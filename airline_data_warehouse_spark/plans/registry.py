@@ -1,0 +1,62 @@
+"""Query registry: the driver-facing catalog of implemented operators.
+
+Each entry couples a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string for DuckDB (or None for
+non-SQL-expressible operators → rows-only check). Keys map 1:1 to
+SURVEY.md §2 operator rows; dedup/similarity/text extension operators
+register here too.
+
+Oracle-parity conventions (see tools/check_correctness.py):
+* money math is done in DECIMAL(18,2) (the testdata doubles are exact
+  2-dp values) so sums are exact and identical in both engines; final
+  decimal outputs are cast to DOUBLE, which is deterministic.
+* every query with LIMIT/top-k orders by a unique tie-breaker.
+* every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    operators: str  # SURVEY §2 row ids this query exercises
+    description: str = ""
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, operators: str, description: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QueryDef(name, fn, oracle, operators, description)
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a testdata table. Some tables carry parquet TIMESTAMP(NANOS)
+    columns, which Spark's vectorized reader refuses; read them as raw
+    nanosecond longs and truncate to microseconds (`div 1000` — exactly
+    what DuckDB's ns→us conversion does, so oracles agree)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def all_queries() -> dict[str, QueryDef]:
+    # import for side effects: module-level @register calls
+    from airline_data_warehouse_spark.plans import llmops, relational, scalars  # noqa: F401
+    return dict(_REGISTRY)

@@ -1,0 +1,723 @@
+"""Relational operator queries (SURVEY §2.1-2.7) over the testdata star.
+
+The reference's warehouse shapes transfer onto the TPC-H-ish testdata:
+orders/lineitem play fact_sales, customer/nation/region/supplier/part play
+the dimensions, events plays flight_status_updates. Every query is a
+declarative DataFrame plan — Catalyst broadcasts the small dims, pushes
+filters into the parquet scans, and keeps aggregation partial (map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from airline_data_warehouse_spark.plans.registry import load, register
+
+D182 = DecimalType(18, 2)
+
+
+def dec2(c) -> F.Column:
+    return F.col(c).cast(D182) if isinstance(c, str) else c.cast(D182)
+
+
+# ---------------------------------------------------------------------------
+# Star joins (J1-J6) + aggregation over dim attributes (A5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_star_revenue",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           r_name AS region_name,
+           o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2, 3
+    """,
+    operators="J1-J5,A5,E3",
+    description="Denormalized star view aggregated by dim attributes — the "
+                "v_airline_analytics analog (for supabase/denorm view:2-41).",
+)
+def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    customer, nation, region = (load(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+          .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .groupBy(
+              F.year("o_orderdate").alias("order_year"),
+              F.col("r_name").alias("region_name"),
+              "o_orderpriority")
+          .agg(
+              F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+               .cast("double").alias("revenue"),
+              F.count("*").alias("n_items"),
+              F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "role_playing_dim_join",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+    """,
+    operators="J4,J5",
+    description="Role-playing dimension joined twice under different aliases "
+                "(dim_airport as origin/dest, denorm view:39-40).",
+)
+def role_playing_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    customer, supplier = load(spark, sf_dir, "customer"), load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cn, sn = nation.alias("cn"), nation.alias("sn")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+          .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+          .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+          .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+          .groupBy(F.col("cn.n_name").alias("cust_nation"),
+                   F.col("sn.n_name").alias("supp_nation"))
+          .agg(F.count("*").alias("n_items"),
+               F.sum(dec2("l_extendedprice")).cast("double").alias("gross"))
+    )
+
+
+@register(
+    "expression_left_join",
+    oracle="""
+    SELECT n_name AS derived_nation, COUNT(*) AS n_customers
+    FROM customer LEFT JOIN nation ON c_custkey % 30 = n_nationkey
+    GROUP BY 1
+    """,
+    operators="J6,F11",
+    description="LEFT OUTER equi-join on a computed key — the "
+                "LEFT(flight_key,2)=airline_key carrier join (denorm view:41).",
+)
+def expression_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation = load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation),
+                      customer.c_custkey % 30 == nation.n_nationkey, "left")
+                .groupBy(F.col("n_name").alias("derived_nation"))
+                .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "semi_join_existence",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    operators="P8,J8",
+    description="Existence probe as a semi-join (airport-exists check, "
+                "scripts/uploadFlights.js:20-29).",
+)
+def semi_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+                    .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@register(
+    "anti_join_fk_violations",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    operators="J8",
+    description="FK-violation detection as an anti-join "
+                "(scripts/uploadFlights.js:106-135).",
+)
+def anti_join_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+                    .select("c_custkey", "c_name"))
+
+
+@register(
+    "dimension_repair_placeholders",
+    oracle="""
+    WITH event_users AS (SELECT DISTINCT user_id FROM events),
+    known AS (
+      SELECT c_custkey AS user_key, c_name AS user_name, c_mktsegment AS segment
+      FROM customer WHERE c_custkey IN (SELECT user_id FROM event_users)
+    ),
+    missing AS (
+      SELECT user_id AS user_key,
+             'User ' || CAST(user_id AS VARCHAR) || ' (placeholder)' AS user_name,
+             'Unknown' AS segment
+      FROM event_users
+      WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT * FROM known UNION ALL SELECT * FROM missing
+    """,
+    operators="J9,J8,U1",
+    description="Insert-if-absent dimension repair: synthesize placeholder "
+                "rows for missing keys (getOrCreateAirport, "
+                "scripts/uploadFlights.js:15-50).",
+)
+def dimension_repair_placeholders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, customer = load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    users = events.select("user_id").distinct()
+    known = (customer.join(users, customer.c_custkey == users.user_id, "left_semi")
+                     .select(F.col("c_custkey").alias("user_key"),
+                             F.col("c_name").alias("user_name"),
+                             F.col("c_mktsegment").alias("segment")))
+    missing = (users.join(customer, users.user_id == customer.c_custkey, "left_anti")
+                    .select(F.col("user_id").alias("user_key"),
+                            F.concat(F.lit("User "), F.col("user_id").cast("string"),
+                                     F.lit(" (placeholder)")).alias("user_name"),
+                            F.lit("Unknown").alias("segment")))
+    return known.unionByName(missing)
+
+
+@register(
+    "lookup_join_with_fuzzy_fallback",
+    oracle="""
+    WITH lang_map(code, lang_name) AS (
+      VALUES ('en','English'), ('es','Spanish'), ('de','German'), ('fr','French')
+    )
+    SELECT d.lang, COALESCE(m.lang_name, 'Unknown (' || d.lang || ')') AS lang_name,
+           COUNT(*) AS n_docs
+    FROM documents d LEFT JOIN lang_map m ON lower(trim(d.lang)) = m.code
+    GROUP BY 1, 2
+    """,
+    operators="J7,P3",
+    description="Broadcast lookup join with a synthesized fallback value — "
+                "the country-hierarchy lookup (smartFileProcessor.js:272-276, "
+                "341-345) without per-row network calls.",
+)
+def lookup_join_with_fuzzy_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lang_map = spark.createDataFrame(
+        [("en", "English"), ("es", "Spanish"), ("de", "German"), ("fr", "French")],
+        "code string, lang_name string")
+    return (
+        docs.join(F.broadcast(lang_map),
+                  F.lower(F.trim(docs.lang)) == lang_map.code, "left")
+            .groupBy("lang",
+                     F.coalesce("lang_name",
+                                F.concat(F.lit("Unknown ("), F.col("lang"), F.lit(")")))
+                      .alias("lang_name"))
+            .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W2 + extensions) and sorts/limits (O1-O3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "latest_event_per_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    operators="W1,T4",
+    description="Latest-status-per-flight generalization: top-1 per key by "
+                "event time (server.js:153-158).",
+)
+def latest_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (events.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("user_id",
+                          F.col("event_id").alias("last_event_id"),
+                          F.col("ts").alias("last_ts"),
+                          F.col("event_type").alias("last_type"),
+                          F.col("value").alias("last_value")))
+
+
+@register(
+    "keep_first_within_order",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    operators="W2,A3",
+    description="Keep-first dedup with deterministic input order "
+                "(passengerMap first-wins, scripts/uploadPassengers.js:143-154).",
+)
+def keep_first_within_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (events.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("user_id", "event_type",
+                          F.col("event_id").alias("first_event_id"),
+                          F.col("ts").alias("first_ts")))
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank_in_priority
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) WHERE rn <= 3
+    """,
+    operators="W1,O1",
+    description="Top-k per group ('top routes by revenue' shape, SURVEY §2.5).",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(),
+                                                      F.col("o_orderkey").asc())
+    return (orders.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 3)
+                  .select("o_orderpriority", "o_orderkey", "o_totalprice",
+                          F.col("rn").cast("int").alias("rank_in_priority")))
+
+
+@register(
+    "lag_delta_per_key",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+    operators="W-ext",
+    description="lag/lead over event time per key (SURVEY §2.5 extension).",
+)
+def lag_delta_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select("event_id", "user_id", "value",
+                         F.lag("value").over(w).alias("prev_value"))
+
+
+@register(
+    "running_total_per_key",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+    operators="W-ext",
+    description="Running total per key — exact decimal accumulation so the "
+                "result is engine-independent.",
+)
+def running_total_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.select("event_id", "user_id",
+                         F.sum(dec2("value")).over(w).cast("double").alias("running_value"))
+
+
+@register(
+    "global_latest_event",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+    operators="O1,W1",
+    description="Order-by-desc + limit 1 (latest status update, server.js:157-158).",
+)
+def global_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "events")
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .select("event_id", "user_id", "event_type", "ts", "value")
+            .limit(1))
+
+
+@register(
+    "newest_100_monitor",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+    operators="O2",
+    description="Dirty-data monitor page: newest 100 rows (server.js:214-218).",
+)
+def newest_100_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "events")
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .select("event_id", "user_id", "event_type", "ts")
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A6) incl. rollup/cube
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_counts",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+           (SELECT COUNT(*) FROM customer) AS n_customers
+    """,
+    operators="A1",
+    description="Exact table counts for verification "
+                "(scripts/uploadPassengers.js:293-304).",
+)
+def exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").agg(F.count("*").alias("n_orders"))
+    l = load(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_lineitems"))
+    c = load(spark, sf_dir, "customer").agg(F.count("*").alias("n_customers"))
+    return o.crossJoin(l).crossJoin(c)
+
+
+@register(
+    "grouped_duplicate_report",
+    oracle="""
+    SELECT text, COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc_id
+    FROM documents GROUP BY text HAVING COUNT(*) > 1
+    """,
+    operators="A2",
+    description="Duplicate-key audit report (scripts/checkDuplicates.js:10-47).",
+)
+def grouped_duplicate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "documents")
+            .groupBy("text")
+            .agg(F.count("*").alias("n_occurrences"), F.min("doc_id").alias("first_doc_id"))
+            .filter(F.col("n_occurrences") > 1))
+
+
+@register(
+    "distinct_dimension_values",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    operators="A3",
+    description="Distinct-by-key (order-free dedup).",
+)
+def distinct_dimension_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "group_tallies",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    operators="A4",
+    description="Clean/dirty/total tallies shape (server.js:94-100).",
+)
+def group_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(dec2("value")).cast("double").alias("total_value")))
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS INT) AS g_year,
+           CAST(GROUPING(CAST(EXTRACT(quarter FROM o_orderdate) AS INT)) AS INT) AS g_quarter,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(1, 2)
+    """,
+    operators="A5",
+    description="Hierarchical rollup over date-dim attributes (SURVEY §2.4 — "
+                "free via Spark rollup).",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        dec2("o_totalprice").alias("price"))
+    return (orders.rollup("order_year", "order_quarter")
+                  .agg(F.grouping("order_year").cast("int").alias("g_year"),
+                       F.grouping("order_quarter").cast("int").alias("g_quarter"),
+                       F.count("*").alias("n_orders"),
+                       F.sum("price").cast("double").alias("revenue"))
+                  .select("order_year", "order_quarter", "g_year", "g_quarter",
+                          "n_orders", "revenue"))
+
+
+@register(
+    "cube_region_priority",
+    oracle="""
+    SELECT r_name AS region_name, o_orderpriority,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, o_orderpriority)
+    """,
+    operators="A5",
+    description="Cube over two dim attributes.",
+)
+def cube_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    nation, region = load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
+    joined = (orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+                    .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+                    .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+                    .select(F.col("r_name").alias("region_name"), "o_orderpriority",
+                            dec2("o_totalprice").alias("price")))
+    return (joined.cube("region_name", "o_orderpriority")
+                  .agg(F.grouping("region_name").cast("int").alias("g_region"),
+                       F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+                       F.count("*").alias("n_orders"),
+                       F.sum("price").cast("double").alias("revenue"))
+                  .select("region_name", "o_orderpriority", "g_region", "g_priority",
+                          "n_orders", "revenue"))
+
+
+@register(
+    "distinct_count_by_group",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    operators="A-ext",
+    description="Exact distinct aggregate per group.",
+)
+def distinct_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_distinct_customers"),
+                 F.count("*").alias("n_orders")))
+
+
+@register(
+    "segment_stats",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal,
+           MIN(c_acctbal) AS min_acctbal, MAX(c_acctbal) AS max_acctbal
+    FROM customer GROUP BY 1
+    """,
+    operators="A-ext",
+    description="Per-group stats; avg computed as exact-sum / count so both "
+                "engines produce identical doubles.",
+)
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sum_dec = F.sum(dec2("c_acctbal")).cast("double")
+    return (load(spark, sf_dir, "customer")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"),
+                 sum_dec.alias("sum_acctbal"),
+                 (sum_dec / F.count("*")).alias("avg_acctbal"),
+                 F.min("c_acctbal").alias("min_acctbal"),
+                 F.max("c_acctbal").alias("max_acctbal")))
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    operators="T6-ext,A5",
+    description="Tumbling event-time window aggregate (batch twin of the "
+                "streaming delay-stats extension, SURVEY §2.9 T6).",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(dec2("value")).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "total_value"))
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (P1-P7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "projection_rename",
+    oracle="""
+    SELECT c_custkey AS customer_key, c_name AS full_name, c_mktsegment AS segment
+    FROM customer
+    """,
+    operators="P1,S5",
+    description="Projection + snake_case rename (CSV col → table col, "
+                "smartFileProcessor.js:241-246).",
+)
+def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_name").alias("full_name"),
+        F.col("c_mktsegment").alias("segment"))
+
+
+@register(
+    "filter_equality",
+    oracle="SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'",
+    operators="P2",
+    description="Equality filter (.eq pushdown, server.js:156).",
+)
+def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value"))
+
+
+@register(
+    "filter_ilike_contains",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE lower(p_type) LIKE '%promo%'
+    """,
+    operators="P3",
+    description="Case-insensitive contains filter (.ilike fallback, "
+                "smartFileProcessor.js:344).",
+)
+def filter_ilike_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "part")
+            .filter(F.lower(F.col("p_type")).contains("promo"))
+            .select("p_partkey", "p_name", "p_type"))
+
+
+@register(
+    "clean_dirty_split",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(CASE WHEN length(text) < 40 THEN 'too_short'
+                         WHEN lang NOT IN ('en','es','de','fr','zh') THEN 'unknown_language'
+                    END, 'clean') AS status
+    FROM documents
+    """,
+    operators="P4,S6",
+    description="Single-pass error_reason computation → clean/dirty split "
+                "(the quarantine model, smartFileProcessor.js:225-253).",
+)
+def clean_dirty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    reason = (F.when(F.length("text") < 40, "too_short")
+               .when(~F.col("lang").isin("en", "es", "de", "fr", "zh"), "unknown_language"))
+    return docs.select("doc_id", F.coalesce(reason, F.lit("clean")).alias("status"))
+
+
+@register(
+    "threshold_case_expr",
+    oracle="""
+    SELECT event_id, value,
+           CASE WHEN value > 240 THEN 'Eligible' ELSE 'Not Eligible' END
+             AS insurance_eligibility_status
+    FROM events
+    """,
+    operators="P5,P7",
+    description="The 240-minute insurance threshold + CASE "
+                "(server.js:162-163, denorm view:31-34).",
+)
+def threshold_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.functions.cleaning import insurance_eligibility_status
+    return (load(spark, sf_dir, "events")
+            .select("event_id", "value",
+                    insurance_eligibility_status(F.col("value"))
+                    .alias("insurance_eligibility_status")))
+
+
+@register(
+    "coalesce_column_pick",
+    oracle="""
+    SELECT COALESCE(NULLIF(l_returnflag, 'N'), l_linestatus) AS picked_flag,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    operators="P6",
+    description="Null-coalescing column pick (PassengerID || PassengerKey, "
+                "smartFileProcessor.js:360).",
+)
+def coalesce_column_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy(F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")),
+                                F.col("l_linestatus")).alias("picked_flag"))
+            .agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1-U2 + extensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_two_sources",
+    oracle="""
+    SELECT event_id, user_id, value, 'purchase_feed' AS sales_source
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, value, 'signup_feed' AS sales_source
+    FROM events WHERE event_type = 'signup'
+    """,
+    operators="U1",
+    description="Two-source UNION ALL fact stream (travel-agency + corporate, "
+                "scripts/uploadAllSales.js:164).",
+)
+def union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    a = (events.filter(F.col("event_type") == "purchase")
+               .select("event_id", "user_id", "value", F.lit("purchase_feed").alias("sales_source")))
+    b = (events.filter(F.col("event_type") == "signup")
+               .select("event_id", "user_id", "value", F.lit("signup_feed").alias("sales_source")))
+    return a.unionByName(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    EXCEPT
+    SELECT DISTINCT c_custkey FROM customer
+    """,
+    operators="U-ext",
+    description="EXCEPT (set difference) — the clean/dirty complement as a set op.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    custs = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id")).distinct()
+    return users.subtract(custs)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    INTERSECT
+    SELECT DISTINCT c_custkey FROM customer
+    """,
+    operators="U-ext",
+    description="INTERSECT — keys present in both stream and dimension.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    custs = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id")).distinct()
+    return users.intersect(custs)
