@@ -1,0 +1,152 @@
+"""Structured Streaming: the flight-status feed (SURVEY §2.9 T1-T6).
+
+Reference topology: Kafka topic ``flight-status-updates`` (JSON value
+keyed by flight_key, consumer group from earliest offset,
+kafkaConfig.js:16-58) → per-message JSON parse → append to
+``flight_status_updates`` (server.js:234-245); insurance eligibility is
+evaluated query-time as latest-per-key + delay>240, flipping
+``is_eligible_insurance`` on matching fact rows (server.js:144-184).
+
+Spark mapping:
+* T1  kafka_status_source: readStream from Kafka (earliest offsets).
+* T1' file_status_source: drop-in JSON-file source with identical
+  downstream schema — used by tests (no broker in the harness) and as
+  the generic landing-zone pattern.
+* T2  parse_status_stream: from_json → typed columns.
+* T3  append_status_sink: append-mode writeStream.
+* T4  latest_status_per_flight: batch window over the accumulated table.
+* T5  eligibility_merge_batch: the foreachBatch MERGE body (delay>240 →
+  flip the flag) — pure DataFrame function so it is unit-testable.
+* T6  windowed_delay_stats: watermark + tumbling window (labeled
+  extension; the reference has no late-data handling — at-least-once
+  replay duplicates are tolerated exactly as the reference tolerates
+  ``fromBeginning`` replays).
+
+At scale: the stream shuffles only for the windowed aggregate (keyed by
+window × flight), state is bounded by the watermark; the eligibility
+merge broadcasts the per-batch eligible-key set against the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.functions.cleaning import INSURANCE_DELAY_MINUTES
+from airline_data_warehouse_spark.schemas import STATUS_MESSAGE
+
+TOPIC = "flight-status-updates"
+
+
+def kafka_status_source(spark: SparkSession, bootstrap_servers: str,
+                        topic: str = TOPIC) -> DataFrame:
+    """T1 — Kafka source, earliest offsets (fromBeginning parity)."""
+    return (spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .load())
+
+
+def file_status_source(spark: SparkSession, path: str) -> DataFrame:
+    """T1' — landing-zone JSON source with the kafka wire shape
+    (key/value strings), so parse_status_stream works on either."""
+    return (spark.readStream.schema("key string, value string").json(path))
+
+
+def parse_status_stream(raw: DataFrame) -> DataFrame:
+    """T2 — JSON value → typed status rows (kafkaConfig.js:50-52)."""
+    return (raw.select(F.from_json(F.col("value").cast("string"), STATUS_MESSAGE).alias("s"))
+               .select("s.flight_key", "s.status", "s.delay_minutes", "s.update_timestamp"))
+
+
+def append_status_sink(parsed: DataFrame, path: str, checkpoint: str,
+                       trigger_once: bool = True):
+    """T3 — append-only sink for the status table (server.js:238-241)."""
+    writer = (parsed.writeStream.outputMode("append")
+              .format("parquet").option("path", path)
+              .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_status_per_flight(status_table: DataFrame) -> DataFrame:
+    """T4/W1 — newest update per flight_key; ties broken by delay then
+    status for determinism under at-least-once duplicate delivery."""
+    w = Window.partitionBy("flight_key").orderBy(
+        F.col("update_timestamp").desc(), F.col("delay_minutes").desc(), F.col("status"))
+    return (status_table.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def check_insurance(status_table: DataFrame, flight_key: str) -> DataFrame:
+    """E2 — the /check-insurance verdict for one flight (server.js:144-184):
+    latest update, delay>240 → eligible."""
+    latest = (status_table.filter(F.col("flight_key") == flight_key)
+              .orderBy(F.col("update_timestamp").desc()).limit(1))
+    return latest.select(
+        "flight_key", "status", "delay_minutes", "update_timestamp",
+        (F.col("delay_minutes") > INSURANCE_DELAY_MINUTES).alias("is_eligible"),
+        F.floor(F.col("delay_minutes") / 60).cast("int").alias("delay_hours"),
+        (F.col("delay_minutes") % 60).cast("int").alias("delay_rem_minutes"))
+
+
+def eligibility_merge_batch(fact: DataFrame, status_batch: DataFrame) -> DataFrame:
+    """T5 — the foreachBatch MERGE body: any flight in the batch whose
+    delay exceeds the threshold flips is_eligible_insurance and records
+    the delay on its fact rows (server.js:162-171). Eligible-key set is
+    tiny per batch → broadcast left join, fact never shuffles."""
+    eligible = (status_batch.filter(F.col("delay_minutes") > INSURANCE_DELAY_MINUTES)
+                .groupBy("flight_key")
+                .agg(F.max("delay_minutes").alias("_new_delay"),
+                     F.lit("delayed").alias("_new_status")))
+    return (fact.join(F.broadcast(eligible), "flight_key", "left")
+                .withColumn("is_eligible_insurance",
+                            F.when(F.col("_new_delay").isNotNull(), F.lit(True))
+                             .otherwise(F.col("is_eligible_insurance")))
+                .withColumn("delay_minutes",
+                            F.coalesce(F.col("_new_delay"), F.col("delay_minutes")))
+                .withColumn("flight_status",
+                            F.coalesce(F.col("_new_status"), F.col("flight_status")))
+                .drop("_new_delay", "_new_status"))
+
+
+def start_eligibility_merge(parsed: DataFrame, fact_path: str, out_path: str,
+                            checkpoint: str):
+    """T5 wiring: per micro-batch, apply the merge to the fact table.
+    On plain parquet the rewrite goes to ``out_path`` (non-atomic swap is
+    the caller's concern; a Delta MERGE drops in transparently)."""
+    def _merge(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        fact = spark.read.parquet(fact_path)
+        eligibility_merge_batch(fact, batch).write.mode("overwrite").parquet(out_path)
+
+    return (parsed.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def windowed_delay_stats(parsed: DataFrame, window_size: str = "10 minutes",
+                         watermark: str | None = "10 minutes") -> DataFrame:
+    """T6 (extension) — watermarked tumbling-window delay statistics.
+    Pass ``watermark=None`` when the input already carries one (e.g.
+    downstream of dedup_replayed_updates — redefining is disallowed)."""
+    if watermark is not None:
+        parsed = parsed.withWatermark("update_timestamp", watermark)
+    return (parsed
+            .groupBy(F.window("update_timestamp", window_size).alias("w"), "flight_key")
+            .agg(F.count("*").alias("n_updates"),
+                 F.max("delay_minutes").alias("max_delay"),
+                 F.avg("delay_minutes").alias("avg_delay"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "flight_key", "n_updates", "max_delay", "avg_delay"))
+
+
+def dedup_replayed_updates(parsed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T6 upgrade — exactly-once semantics over at-least-once delivery:
+    stateful dropDuplicates within the watermark on the natural message
+    identity (flight_key, update_timestamp)."""
+    return (parsed.withWatermark("update_timestamp", watermark)
+                  .dropDuplicatesWithinWatermark(["flight_key", "update_timestamp"]))

@@ -1,0 +1,96 @@
+"""Streaming tests: file-source stand-in for Kafka (no broker in the
+harness), deterministic availableNow micro-batches (SURVEY §5 strategy)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.streaming import status as st
+
+MESSAGES = [
+    {"flight_key": "AA100", "status": "delayed", "delay_minutes": 300,
+     "update_timestamp": "2023-06-01T10:00:00Z"},
+    {"flight_key": "AA100", "status": "delayed", "delay_minutes": 120,
+     "update_timestamp": "2023-06-01T08:00:00Z"},
+    {"flight_key": "AF023", "status": "on-time", "delay_minutes": 0,
+     "update_timestamp": "2023-06-01T09:00:00Z"},
+    # at-least-once replay duplicate:
+    {"flight_key": "AA100", "status": "delayed", "delay_minutes": 300,
+     "update_timestamp": "2023-06-01T10:00:00Z"},
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    (d / "in").mkdir()
+    with open(d / "in" / "batch1.json", "w") as f:
+        for m in MESSAGES:
+            f.write(json.dumps({"key": m["flight_key"], "value": json.dumps(m)}) + "\n")
+    return d
+
+
+def test_stream_ingest_append(spark, stream_dir):
+    parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
+    q = st.append_status_sink(parsed, str(stream_dir / "status_table"),
+                              str(stream_dir / "ckpt_append"))
+    q.awaitTermination(60)
+    table = spark.read.parquet(str(stream_dir / "status_table"))
+    assert table.count() == 4
+    assert set(table.columns) == {"flight_key", "status", "delay_minutes", "update_timestamp"}
+    assert dict(table.dtypes)["update_timestamp"] == "timestamp"
+
+
+def test_latest_and_insurance_verdict(spark, stream_dir):
+    table = spark.read.parquet(str(stream_dir / "status_table"))
+    latest = {r["flight_key"]: r for r in st.latest_status_per_flight(table).collect()}
+    assert len(latest) == 2
+    assert latest["AA100"]["delay_minutes"] == 300  # newest wins over older 120
+    verdict = st.check_insurance(table, "AA100").collect()[0]
+    assert verdict["is_eligible"] is True
+    assert verdict["delay_hours"] == 5 and verdict["delay_rem_minutes"] == 0
+    assert st.check_insurance(table, "AF023").collect()[0]["is_eligible"] is False
+
+
+def test_eligibility_merge(spark, stream_dir, tmp_path):
+    fact = spark.createDataFrame(
+        [("T1", "AA100", "scheduled", 0, False),
+         ("T2", "AA100", "scheduled", 0, False),
+         ("T3", "AF023", "scheduled", 0, False)],
+        "transaction_id string, flight_key string, flight_status string, "
+        "delay_minutes int, is_eligible_insurance boolean")
+    fact_path = str(tmp_path / "fact")
+    fact.write.parquet(fact_path)
+
+    parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
+    q = st.start_eligibility_merge(parsed, fact_path, str(tmp_path / "fact_out"),
+                                   str(tmp_path / "ckpt_merge"))
+    q.awaitTermination(60)
+    out = {r["transaction_id"]: r for r in
+           spark.read.parquet(str(tmp_path / "fact_out")).collect()}
+    assert out["T1"]["is_eligible_insurance"] and out["T2"]["is_eligible_insurance"]
+    assert out["T1"]["delay_minutes"] == 300 and out["T1"]["flight_status"] == "delayed"
+    assert not out["T3"]["is_eligible_insurance"]
+    assert out["T3"]["flight_status"] == "scheduled"
+
+
+def test_windowed_delay_stats_and_dedup(spark, stream_dir, tmp_path):
+    parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
+    deduped = st.dedup_replayed_updates(parsed)
+    stats = st.windowed_delay_stats(deduped, watermark=None)
+    q = (stats.writeStream.outputMode("append")
+         .format("memory").queryName("delay_stats")
+         .option("checkpointLocation", str(tmp_path / "ckpt_stats"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM delay_stats").collect()
+    # watermark closes nothing in a single availableNow batch unless a later
+    # event advances it — with max ts 10:00 and 10m watermark, the 08:00 and
+    # 09:00 windows emit; assert the replay duplicate did not double-count.
+    by_key = {(r["flight_key"], str(r["window_start"])): r for r in rows}
+    for r in rows:
+        assert r["n_updates"] == 1  # dedup removed the replayed AA100 event
+    assert len(by_key) >= 1
