@@ -15,6 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from airline_data_warehouse_spark.operators.hashing import (
+    BAND_ROWS,
+    LSH_BANDS,
+    char_shingles,
+    minhash_signature,
+    simhash16,
+)
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per distinct text value.
@@ -37,3 +45,72 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             .withColumn("group_size", F.count("*").over(w))
             .withColumn("representative", F.min(id_col).over(w))
             .filter(F.col("group_size") > 1))
+
+
+def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 5) -> DataFrame:
+    """(id, shingles) with empty-shingle docs dropped."""
+    return (df.select(F.col(id_col), char_shingles(F.col(text_col), k).alias("shingles"))
+              .filter(F.size("shingles") > 0))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (id1 < id2).
+
+    shingle → N_HASHES min-hashes → LSH_BANDS bands of BAND_ROWS rows →
+    explode by band → self-equi-join on (band, band_key). The join is a
+    shuffle on the band key, never an all-pairs cross product — candidate
+    volume scales with bucket collisions, not corpus².
+    """
+    sh = shingled(df, text_col, id_col, k)
+    sig = sh.select(id_col, *[c.alias(f"h{i}") for i, c in
+                              enumerate(minhash_signature(F.col("shingles")))])
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"h{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.concat_ws("_", *cols).alias("band_key")))
+    exploded = (sig.select(id_col, F.explode(F.array(*bands)).alias("bk"))
+                   .select(id_col, "bk.band", "bk.band_key"))
+    a = exploded.alias("a")
+    b_ = exploded.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id1"),
+                     F.col(f"b.{id_col}").alias("id2"))
+             .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, threshold: float = 0.6) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with EXACT n-gram
+    Jaccard ≥ threshold — the standard candidate-then-verify near-dup
+    pipeline (MinHash recall, exact precision)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, k)
+    sh = shingled(df, text_col, id_col, k)
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (cand.join(s1, "id1").join(s2, "id2")
+                .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id1", "id2", "jaccard"))
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """16-bit SimHash per document; identical signatures are near-dup
+    candidates (hamming-0 bucket grouping)."""
+    sh = shingled(df, text_col, id_col, k)
+    return sh.select(id_col, simhash16(F.col("shingles")).alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """SimHash bucket report: signature → member count + representative."""
+    return (simhash_signatures(df, text_col, id_col, k)
+            .groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("representative")))

@@ -1,0 +1,88 @@
+"""Portable hashing primitives shared by the dedup/similarity operators.
+
+Everything here is engine-independent integer arithmetic: a shingle's
+base hash is the first 15 hex chars of its md5 (60 bits, fits bigint)
+reduced mod p = 2^31-1, and the MinHash family is the classic universal
+(a*h + b) mod p. The same arithmetic is emitted as DuckDB SQL by
+plans/llmops.py, so approximate operators are still bit-exactly
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+# Fixed universal-hash parameters (a, b) — arbitrary but pinned; changing
+# them changes every signature, so treat as part of the operator contract.
+# 16 permutations in 4 bands of 4 rows: P(collide | s) = 1-(1-s^4)^4 —
+# 98.6% recall at s=0.9 while 0.2-similar noise pairs collide at ~0.6%,
+# which is what keeps candidate volume sub-quadratic on vocabulary-dense
+# corpora at 100 TB.
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (1_000_003, 17), (1_299_709, 4_242), (15_485_863, 7), (32_452_843, 911),
+    (49_979_687, 131_071), (67_867_967, 524_287), (86_028_121, 8_191),
+    (104_395_301, 127), (122_949_823, 99_991), (141_650_939, 3),
+    (160_481_183, 65_537), (179_424_673, 29), (198_491_317, 777_777),
+    (217_645_177, 1_009), (236_887_691, 42), (256_203_161, 604_171),
+)
+N_HASHES = len(MINHASH_PARAMS)
+LSH_BANDS = 4
+BAND_ROWS = N_HASHES // LSH_BANDS  # 4
+
+SIMHASH_BITS = 16
+
+
+def base_hash(s: Column) -> Column:
+    """60-bit md5 prefix as bigint, reduced mod 2^31-1 (portable)."""
+    return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MERSENNE_P)
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of a string (empty array when len < k)."""
+    n = F.length(text) - (k - 1)
+    return F.when(n >= 1, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column) -> list[Column]:
+    """One min-hash per (a,b) param over the shingle set."""
+    sig = []
+    for a, b in MINHASH_PARAMS:
+        hashed = F.transform(shingles, lambda s: (F.lit(a) * base_hash(s) + F.lit(b)) % MERSENNE_P)
+        sig.append(F.array_min(hashed))
+    return sig
+
+
+def simhash16(shingles: Column) -> Column:
+    """16-bit SimHash: per bit position j, sum ±1 votes of each shingle
+    hash's bit j; bit set iff the vote is positive."""
+    def bit_vote(j: int):
+        # two-arg merge lambda factory (no default args: Spark derives the
+        # HOF lambda arity from the Python signature)
+        return lambda acc, s: acc + (F.shiftright(base_hash(s), j) % 2) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        votes = F.aggregate(shingles, F.lit(0).cast("long"), bit_vote(j))
+        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def hyperplane_weights(n_planes: int = 8, dims: int = 64) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane weights derived from md5 —
+    computed driver-side once and inlined as literals, so the Spark plan
+    and the SQL oracle share the exact same planes."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dims):
+            digest = hashlib.md5(f"adw-plane:{j}:{i}".encode()).digest()
+            row.append(1.0 if digest[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes

@@ -1,0 +1,124 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED — the image/audio libraries are not in
+this container — but everything Spark-side is real and tested: the
+schema contract, the Arrow batch shape, the partition-preserving UDF
+signature, and a deterministic fake decoder for pipeline tests. Swapping
+``_decode_stub`` for PIL/librosa is a one-function change.
+
+Design for 100 TB of media: payloads never leave the executor (no
+collect), metadata extraction is native Column code (magic bytes,
+length), and the Pandas UDF sees bounded Arrow batches
+(spark.sql.execution.arrow.maxRecordsPerBatch) so peak memory is
+batch_size × max_payload, independent of partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("media_type", StringType(), True),   # image|audio|video
+    StructField("mime", StringType(), True),
+])
+
+DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("media_type", StringType(), True),
+    StructField("n_bytes", IntegerType(), True),
+    StructField("width", IntegerType(), True),        # image/video
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),  # audio/video
+    StructField("checksum", StringType(), True),
+])
+
+_MAGIC = {
+    b"\x89PNG": ("image", "image/png"),
+    b"\xff\xd8\xff": ("image", "image/jpeg"),
+    b"RIFF": ("audio", "audio/wav"),
+    b"\x1aE\xdf\xa3": ("video", "video/webm"),
+}
+
+
+def sniff_media_type(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata from the raw bytes — native Column ops only
+    (magic-byte dispatch + length), no Python in the loop."""
+    head = F.substring(F.col(payload_col), 1, 4)
+    mt = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
+    for magic, (m_type, m_mime) in _MAGIC.items():
+        cond = F.substring(F.col(payload_col), 1, len(magic)) == F.lit(magic)
+        mt = F.when(cond, m_type).otherwise(mt)
+        mime = F.when(cond, m_mime).otherwise(mime)
+    return (df.withColumn("sniffed_type", mt)
+              .withColumn("sniffed_mime", mime)
+              .withColumn("n_bytes", F.length(payload_col).cast("int"))
+              .withColumn("head_hex", F.hex(head)))
+
+
+def _decode_stub(payload: bytes, media_type: str, deterministic_fake: bool):
+    """The decode seam. Real decoders (PIL / soundfile / pyav) plug in
+    here; the container has none, so either raise (production posture)
+    or emit deterministic fake dimensions derived from the payload."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in "
+            "this container; pass deterministic_fake=True for pipeline tests")
+    import hashlib
+    d = hashlib.md5(payload or b"").digest()
+    width = 16 + d[0] % 64 if media_type in ("image", "video") else None
+    height = 16 + d[1] % 64 if media_type in ("image", "video") else None
+    duration = 100 + int.from_bytes(d[2:4], "big") % 10_000 \
+        if media_type in ("audio", "video") else None
+    return width, height, duration, hashlib.md5(payload or b"").hexdigest()
+
+
+def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """Arrow-batched decode/feature-extract over MEDIA_SCHEMA rows.
+
+    mapInPandas keeps partitioning intact (no shuffle) and streams
+    batches, so a 100 TB media table decodes at scan parallelism.
+    """
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                w, h, dur, checksum = _decode_stub(payload, row.media_type,
+                                                   deterministic_fake)
+                out.append((row.media_id, row.media_type, len(payload),
+                            w, h, dur, checksum))
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: expand each decoded video row into
+    frame timestamps (sequence+explode — distributed, no UDF); the frame
+    *extraction* would run in decode_media's seam."""
+    return (df.filter(F.col("media_type") == "video")
+              .withColumn("frame_ts_ms",
+                          F.explode(F.sequence(F.lit(0), F.col("duration_ms"),
+                                               F.lit(every_ms))))
+              .select("media_id", "frame_ts_ms"))

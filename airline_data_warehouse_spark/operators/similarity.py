@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query set
+  against the corpus; one scan, no shuffle until the per-query top-k
+  window. The 100 TB shape: queries are broadcast, corpus is scanned
+  once, k rows per query survive.
+* lsh_topk — the scale path: random-hyperplane signatures bucket the
+  corpus; exact cosine is computed only inside the query's bucket.
+  Hyperplanes are deterministic literals (operators/hashing.py) so the
+  DuckDB oracle shares them.
+
+All arithmetic is double-precision with sequential fold order, matching
+the SQL oracle bit-for-bit; scores are rounded to 6 dp before ranking
+with id tie-breaks so rankings are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.operators.hashing import hyperplane_weights
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k neighbors for each query (self-match excluded)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "score",
+                          F.col("rank").cast("int").alias("rank")))
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dims: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign of <vec, plane_j>."""
+    planes = hyperplane_weights(n_planes, dims)
+    bucket = F.lit(0)
+    for j, w in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in w])
+        d = F.round(_dot(vec, lit_plane), 9)
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 8, dims: int = 64) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to the query's
+    hyperplane bucket. Recall trades against bucket size via n_planes."""
+    bucketed = corpus.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("cv"),
+                             hyperplane_bucket(F.col(vec_col), n_planes, dims)
+                             .alias("bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"))
+    scored = (F.broadcast(q).join(bucketed, "bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "score",
+                          F.col("rank").cast("int").alias("rank")))
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             n_planes: int = 8, dims: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2) within LSH
+    buckets — the embedding twin of ngram_jaccard_pairs."""
+    bucketed = corpus.select(F.col(id_col), F.col(vec_col),
+                             hyperplane_bucket(F.col(vec_col), n_planes, dims)
+                             .alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id1"),
+                     F.col(f"b.{id_col}").alias("id2"),
+                     cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"))
+             .filter(F.col("score") >= threshold))

@@ -11,6 +11,20 @@ from pyspark.sql import functions as F
 WS = r"[ \t\n]+"
 STOPWORDS = ("the", "a", "of", "and", "to")
 
+# n-gram-heuristic language ID: marker words per language, checked as
+# whole tokens; ties resolve in declaration order (en first).
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "is", "was")),
+    ("es", ("el", "la", "de", "que", "los")),
+    ("de", ("der", "die", "und", "das", "ist")),
+    ("fr", ("le", "la", "et", "les", "des")),
+    ("zh", ()),  # handled by a non-ASCII check, not markers
+)
+
+# GPT-2-flavored tokenizer regex: letter runs, digit runs, single
+# non-alphanumeric-non-space marks.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
 
 def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), WS)
@@ -44,3 +58,56 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
                       (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
                       F.when((n_tokens >= 20) & (n_stop > 0), "keep")
                        .otherwise("filter").alias("verdict")))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Token counting with a BPE-flavored regex (letter runs / digit runs
+    / punctuation marks) next to the plain whitespace count."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0)).cast("int")
+         .alias("n_bpe_tokens"),
+        F.size(_tokens(text)).cast("int").alias("n_ws_tokens"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language over
+    whitespace tokens; non-ASCII-heavy text → zh; best score wins with
+    declaration-order tie-break; zero hits → 'und'."""
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    def marker_filter(markers):
+        # one-arg lambda factory: Spark's HOF binding derives the lambda's
+        # variable count from the Python signature, so defaults can't be
+        # used to close over `markers`.
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(markers))).cast("int")
+        for lang, markers in LANG_MARKERS if markers
+    }
+    non_ascii = F.length(F.regexp_replace(F.col(text_col), r"[\x00-\x7F]", "")).cast("int")
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang, _ in reversed([(lg, m) for lg, m in LANG_MARKERS if m]):
+        # iterate reversed so earlier languages win ties (>= replaces)
+        pred = F.when(scores[lang] >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, scores[lang])
+    pred = F.when(non_ascii * 2 > F.length(F.col(text_col)), F.lit("zh")).otherwise(pred)
+    out_scores = [scores[lg].alias(f"score_{lg}") for lg, m in LANG_MARKERS if m]
+    return df.select(F.col(id_col), *out_scores, non_ascii.alias("n_non_ascii"),
+                     pred.alias("predicted_lang"))
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Document fingerprint: minimum k-gram hash over the text (winnowing
+    with w = whole document) — one 31-bit integer per doc, portable
+    arithmetic (operators/hashing.base_hash)."""
+    from airline_data_warehouse_spark.operators.hashing import base_hash, char_shingles
+    grams = char_shingles(F.col(text_col), k)
+    fp = F.array_min(F.transform(grams, base_hash))
+    return (df.filter(F.length(text_col) >= k)
+              .select(F.col(id_col), fp.alias("fingerprint")))

@@ -1,0 +1,117 @@
+"""Behavioral tests for the training-data-pipeline operators: recall on
+crafted near-duplicates, LSH bucket invariants, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.operators import dedup as dd
+from airline_data_warehouse_spark.operators import multimodal as mm
+from airline_data_warehouse_spark.operators import similarity as sim
+from airline_data_warehouse_spark.operators import text as tx
+
+BASE = ("the quick brown fox jumps over the lazy dog while the market data "
+        "pipeline keeps shuffling partitions across the cluster nodes")
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE + " tail"),                 # near-dup of 1
+        (3, BASE.replace("quick", "rapid")),  # near-dup of 1
+        (4, "completely different content about airline insurance claims and "
+            "kafka streaming updates for delayed flights at busy airports"),
+        (5, BASE),                            # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark, near_dup_docs):
+    kept = {r["doc_id"] for r in dd.exact_dedup(near_dup_docs).collect()}
+    assert kept == {1, 2, 3, 4}  # 5 collapses into 1
+    groups = dd.duplicate_groups(near_dup_docs).collect()
+    assert {r["doc_id"] for r in groups} == {1, 5}
+    assert all(r["representative"] == 1 for r in groups)
+
+
+def test_minhash_finds_near_dups(spark, near_dup_docs):
+    pairs = {(r["id1"], r["id2"]) for r in dd.minhash_lsh_candidates(near_dup_docs).collect()}
+    assert (1, 5) in pairs          # identical signatures always collide
+    assert (1, 2) in pairs          # tail-append survives banding
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_verification(spark, near_dup_docs):
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in
+           dd.ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()}
+    assert got[(1, 5)] == 1.0
+    assert got[(1, 2)] >= 0.9
+    assert all(j >= 0.5 for j in got.values())
+
+
+def test_simhash_similarity(spark, near_dup_docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(near_dup_docs).collect()}
+    assert sigs[1] == sigs[5]
+    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(4)]
+    rows.append((10, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # ~= vec 0
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = sim.brute_force_topk(corpus, corpus.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in top.orderBy("rank").collect()]
+    assert got[0][0] == 10  # the nearly-parallel vector ranks first
+
+
+def test_lsh_bucket_stable_under_scaling(spark):
+    rows = [(1, [0.5] * 64), (2, [1.5] * 64)]  # same direction, diff norms
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = {r["vec_id"]: r["b"] for r in
+               df.select("vec_id", sim.hyperplane_bucket(F.col("embedding")).alias("b")).collect()}
+    assert buckets[1] == buckets[2]  # hyperplane signs are scale-invariant
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame([
+        (1, "the cat and the dog of the house is big"),
+        (2, "el perro y la casa de los gatos que ladran"),
+        (3, "der hund und die katze ist das haus"),
+        (4, "xyzzy plugh qwerty"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["predicted_lang"] for r in tx.lang_id(docs).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_multimodal_sniff_and_decode(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\nrest"), "image", None),
+         (2, bytearray(b"RIFFxxxxWAVE"), "audio", None),
+         (3, bytearray(b"\xff\xd8\xff\xe0jpeg"), "image", None)],
+        mm.MEDIA_SCHEMA)
+    sniffed = {r["media_id"]: r for r in mm.sniff_media_type(media).collect()}
+    assert sniffed[1]["sniffed_mime"] == "image/png"
+    assert sniffed[2]["sniffed_type"] == "audio"
+    assert sniffed[3]["sniffed_mime"] == "image/jpeg"
+
+    decoded = {r["media_id"]: r for r in
+               mm.decode_media(media, deterministic_fake=True).collect()}
+    assert decoded[1]["width"] is not None and decoded[1]["duration_ms"] is None
+    assert decoded[2]["duration_ms"] is not None and decoded[2]["width"] is None
+    assert decoded[1]["checksum"] != decoded[3]["checksum"]
+
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        mm.decode_media(media, deterministic_fake=False).collect()
+
+
+def test_frame_sampling(spark):
+    decoded = spark.createDataFrame(
+        [(1, "video", 3500), (2, "image", None)],
+        "media_id long, media_type string, duration_ms int")
+    frames = mm.frame_sample_plan(decoded, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
+        (1, 0), (1, 1000), (1, 2000), (1, 3000)]
