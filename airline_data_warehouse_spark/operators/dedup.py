@@ -17,8 +17,9 @@ from pyspark.sql import functions as F
 
 from airline_data_warehouse_spark.operators.hashing import (
     BAND_ROWS,
+    DEFAULT_SHINGLE_K,
     LSH_BANDS,
-    char_shingles,
+    hashed_shingle_set,
     minhash_signature,
     simhash16,
 )
@@ -48,31 +49,51 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = 5) -> DataFrame:
-    """(id, shingles) with empty-shingle docs dropped."""
-    return (df.select(F.col(id_col), char_shingles(F.col(text_col), k).alias("shingles"))
-              .filter(F.size("shingles") > 0))
+             k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """(id, hs): distinct 31-bit shingle-hash set per doc; empty docs
+    dropped. The one shared representation for MinHash / SimHash /
+    Jaccard (see hashing.hashed_shingle_set).
+
+    Repartitions on the id before the md5-heavy derivation: shingling is
+    CPU-bound, so parallelism must track cores, not input splits — a
+    small-file scan would otherwise pin the whole corpus hash on one or
+    two tasks (and on a cluster, the id-keyed exchange also evens out
+    document-length skew)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    # filter on text length BEFORE the projection: a filter on size(hs)
+    # would be collapsed into the projection and evaluate the whole
+    # md5 cascade twice (alias inlining), doubling the dominant cost.
+    return (df.filter(F.length(text_col) >= k)
+              .repartition(cores * 2, F.col(id_col))
+              .select(F.col(id_col), hashed_shingle_set(F.col(text_col), k).alias("hs")))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", k: int = 5) -> DataFrame:
+                           id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
+                           shingle_sets: DataFrame | None = None) -> DataFrame:
     """MinHash + banded LSH candidate pairs (id1 < id2).
 
-    shingle → N_HASHES min-hashes → LSH_BANDS bands of BAND_ROWS rows →
-    explode by band → self-equi-join on (band, band_key). The join is a
-    shuffle on the band key, never an all-pairs cross product — candidate
-    volume scales with bucket collisions, not corpus².
+    shingle-hash set -> N_HASHES min-hashes -> LSH_BANDS bands of BAND_ROWS
+    rows -> explode by band -> self-equi-join on (band, band_key). The join
+    shuffles on the band key, never an all-pairs cross product - candidate
+    volume scales with bucket collisions, not corpus^2.
     """
-    sh = shingled(df, text_col, id_col, k)
+    sh = shingled(df, text_col, id_col, k) if shingle_sets is None else shingle_sets
     sig = sh.select(id_col, *[c.alias(f"h{i}") for i, c in
-                              enumerate(minhash_signature(F.col("shingles")))])
+                              enumerate(minhash_signature(F.col("hs")))])
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"h{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)]
         bands.append(F.struct(F.lit(b).alias("band"),
                               F.concat_ws("_", *cols).alias("band_key")))
+    # Persist the exploded band table: the self-join would otherwise
+    # evaluate the whole shingle->md5->signature subtree twice. This is
+    # the scale-safe thing to cache - LSH_BANDS rows x ~50 bytes per doc,
+    # orders of magnitude smaller than the corpus (at warehouse scale
+    # you'd materialize signatures as a table instead).
     exploded = (sig.select(id_col, F.explode(F.array(*bands)).alias("bk"))
-                   .select(id_col, "bk.band", "bk.band_key"))
+                   .select(id_col, "bk.band", "bk.band_key")
+                   .persist())
     a = exploded.alias("a")
     b_ = exploded.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -84,14 +105,17 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 5, threshold: float = 0.6) -> DataFrame:
-    """Near-duplicate pairs: LSH candidates verified with EXACT n-gram
-    Jaccard ≥ threshold — the standard candidate-then-verify near-dup
-    pipeline (MinHash recall, exact precision)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, k)
-    sh = shingled(df, text_col, id_col, k)
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingles").alias("sh2"))
+                        k: int = DEFAULT_SHINGLE_K, threshold: float = 0.6) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with exact Jaccard
+    over the shingle-hash sets (>= threshold) - the standard
+    candidate-then-verify near-dup pipeline (MinHash recall, set-exact
+    precision modulo 31-bit hash collisions)."""
+    # persist: candidate generation and both pair sides reuse the sets,
+    # and shingling (substring explosion + md5) dominates the cost
+    sh = shingled(df, text_col, id_col, k).persist()
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, shingle_sets=sh)
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("hs").alias("sh1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("hs").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (cand.join(s1, "id1").join(s2, "id2")
@@ -101,15 +125,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 5) -> DataFrame:
+                       id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K) -> DataFrame:
     """16-bit SimHash per document; identical signatures are near-dup
     candidates (hamming-0 bucket grouping)."""
     sh = shingled(df, text_col, id_col, k)
-    return sh.select(id_col, simhash16(F.col("shingles")).alias("simhash"))
+    return sh.select(id_col, simhash16(F.col("hs")).alias("simhash"))
 
 
 def simhash_buckets(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+                    id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K) -> DataFrame:
     """SimHash bucket report: signature → member count + representative."""
     return (simhash_signatures(df, text_col, id_col, k)
             .groupBy("simhash")

@@ -42,34 +42,49 @@ def base_hash(s: Column) -> Column:
     return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MERSENNE_P)
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct character k-grams of a string (empty array when len < k)."""
+DEFAULT_SHINGLE_K = 9  # char 9-grams: distinctive even on small vocabularies
+
+
+def char_shingles(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Character k-grams of a string, in order, possibly with repeats
+    (empty array when len < k). Set semantics are applied downstream on
+    the hashed form — deduplicating ints is far cheaper than strings."""
     n = F.length(text) - (k - 1)
-    return F.when(n >= 1, F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
-    )).otherwise(F.array().cast("array<string>"))
+    return F.when(n >= 1,
+                  F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
+                  ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingles: Column) -> list[Column]:
-    """One min-hash per (a,b) param over the shingle set."""
+def hashed_shingle_set(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct 31-bit shingle hashes — the ONE representation every
+    downstream family shares (16 MinHash perms, 16 SimHash bits, Jaccard
+    set intersection). md5 runs once per shingle; distinct runs on ints.
+    31-bit collisions shift a Jaccard size by ±1 with P≈n²/2³² per doc —
+    negligible, and the SQL oracle replays identical arithmetic anyway."""
+    return F.array_distinct(F.transform(char_shingles(text, k), base_hash))
+
+
+def minhash_signature(hashed: Column) -> list[Column]:
+    """One min-hash per (a,b) param over a pre-hashed shingle array."""
     sig = []
     for a, b in MINHASH_PARAMS:
-        hashed = F.transform(shingles, lambda s: (F.lit(a) * base_hash(s) + F.lit(b)) % MERSENNE_P)
-        sig.append(F.array_min(hashed))
+        def perm(h, a=a, b=b):  # plain expression closure, not a Spark HOF lambda
+            return (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+        sig.append(F.array_min(F.transform(hashed, lambda h: perm(h))))
     return sig
 
 
-def simhash16(shingles: Column) -> Column:
-    """16-bit SimHash: per bit position j, sum ±1 votes of each shingle
-    hash's bit j; bit set iff the vote is positive."""
+def simhash16(hashed: Column) -> Column:
+    """16-bit SimHash over a pre-hashed shingle array: per bit position j,
+    sum +-1 votes of each hash's bit j; bit set iff the vote is positive."""
     def bit_vote(j: int):
         # two-arg merge lambda factory (no default args: Spark derives the
         # HOF lambda arity from the Python signature)
-        return lambda acc, s: acc + (F.shiftright(base_hash(s), j) % 2) * 2 - 1
+        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
 
     out = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        votes = F.aggregate(shingles, F.lit(0).cast("long"), bit_vote(j))
+        votes = F.aggregate(hashed, F.lit(0).cast("long"), bit_vote(j))
         out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
 

@@ -24,10 +24,16 @@ HEADLINE = [
     "revenue_rollup",
     "latest_event_per_key",
     "topk_per_group",
-    "dedup_exact_hash",
     "std_amount",
     "std_date_multiformat",
     "text_quality_score",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "text_lang_id",
+    "multimodal_decode_fake",
 ]
 
 
