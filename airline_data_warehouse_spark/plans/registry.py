@@ -50,6 +50,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     nanosecond longs and truncate to microseconds (`div 1000` — exactly
     what DuckDB's ns→us conversion does, so oracles agree)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamps compare against a naive-UTC oracle; pin the session tz so
+    # a caller-provided session on a non-UTC host can't shift collect()ed
+    # datetimes
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -1,0 +1,120 @@
+"""Physical-plan assertions: the properties that decide 100 TB viability
+must hold structurally, not by luck — dims broadcast, filters reach the
+parquet scan, projections prune columns, no cartesian products sneak in."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.plans.registry import all_queries
+
+
+def plan_of(df) -> str:
+    """Simple-mode physical plan: each operator appears exactly once, so
+    operator counting is well-defined."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def detailed_plan_of(df) -> str:
+    """Formatted plan with per-node details (PushedFilters, ReadSchema)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return all_queries()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir, registry):
+    plan = plan_of(registry["flagship_star_revenue"].builder(spark, sf_dir))
+    # 4 dims (orders is fact-side) → all broadcast, zero sort-merge joins
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # (codegen markers only appear in the AQE final plan post-execution;
+    # tools/explain_audit.py covers that interactively)
+
+
+def test_analytics_view_broadcasts(spark):
+    from airline_data_warehouse_spark.analytics import build_airline_analytics
+    from airline_data_warehouse_spark.dimensions import build_dim_date
+    fact = spark.createDataFrame(
+        [("T1", 20230101, "P001", "AA100")],
+        "transaction_id string, date_key int, passenger_key string, flight_key string") \
+        .withColumn("ticket_price", F.lit(1.0).cast("decimal(10,2)")) \
+        .withColumn("taxes", F.lit(0.0).cast("decimal(10,2)")) \
+        .withColumn("baggage_fees", F.lit(0.0).cast("decimal(10,2)")) \
+        .withColumn("total_amount", F.lit(1.0).cast("decimal(10,2)")) \
+        .withColumn("sales_source", F.lit("corporate")) \
+        .withColumn("flight_status", F.lit("scheduled")) \
+        .withColumn("delay_minutes", F.lit(0)) \
+        .withColumn("is_eligible_insurance", F.lit(False)) \
+        .withColumn("created_at", F.current_timestamp())
+    dims = {
+        "dim_passenger": spark.createDataFrame([("P001", "n", "e", "Bronze")],
+            "passenger_key string, full_name string, email string, loyalty_status string"),
+        "dim_flight": spark.createDataFrame([("AA100", "JFK", "LAX", "B737")],
+            "flight_key string, origin_airport_key string, destination_airport_key string, aircraft_type string"),
+        "dim_airport": spark.createDataFrame([("JFK", "a", "c", "US"), ("LAX", "a", "c", "US")],
+            "airport_key string, airport_name string, city string, country string"),
+        "dim_airline": spark.createDataFrame([("AA", "American", "Oneworld")],
+            "airline_key string, airline_name string, alliance string"),
+    }
+    view = build_airline_analytics(fact, build_dim_date(spark), dims["dim_passenger"],
+                                   dims["dim_flight"], dims["dim_airport"], dims["dim_airline"])
+    plan = plan_of(view)
+    assert plan.count("BroadcastHashJoin") == 6  # 5 dims + role-playing reuse
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, registry):
+    plan = detailed_plan_of(registry["filter_ilike_contains"].builder(spark, sf_dir))
+    # the contains-filter itself isn't pushable, but IsNotNull must reach
+    # the parquet scan and the scan must prune to the 3 selected columns
+    assert "PushedFilters: [IsNotNull(p_type)" in plan
+    assert "p_retailprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_projection_prunes_columns(spark, sf_dir, registry):
+    plan = detailed_plan_of(registry["projection_rename"].builder(spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "c_acctbal" not in read_schema  # unused column never read
+    assert "c_custkey" in read_schema
+
+
+def test_equality_filter_pushed(spark, sf_dir, registry):
+    plan = detailed_plan_of(registry["filter_equality"].builder(spark, sf_dir))
+    assert "EqualTo(event_type,purchase)" in plan  # predicate at the scan
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir, registry):
+    semi = plan_of(registry["semi_join_existence"].builder(spark, sf_dir))
+    anti = plan_of(registry["anti_join_fk_violations"].builder(spark, sf_dir))
+    assert "LeftSemi" in semi and "CartesianProduct" not in semi
+    assert "LeftAnti" in anti and "CartesianProduct" not in anti
+
+
+def test_brute_force_ann_broadcasts_queries(spark, sf_dir, registry):
+    plan = plan_of(registry["similarity_topk_bruteforce"].builder(spark, sf_dir))
+    # the query side must broadcast: corpus scans once, never shuffles
+    # before scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_query_collects_to_driver(registry):
+    # static guard: registered builders must return lazy DataFrames —
+    # builders run no actions; spot-check by building without executing
+    import inspect
+    for name, qd in registry.items():
+        src = inspect.getsource(qd.builder)
+        assert ".collect()" not in src, f"{name} collects driver-side"
+        assert ".toPandas()" not in src, f"{name} collects driver-side"

@@ -1,0 +1,63 @@
+"""Warehouse materialization tests: partition layout on disk, partition
+pruning visible in the physical plan, append semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.warehouse import Warehouse
+from tests.test_plans import detailed_plan_of
+
+
+def _mk_fact(spark):
+    rows = [
+        ("TA000001", 20230115, "P001", "AA100"),
+        ("TA000002", 20230220, "P002", "AA100"),
+        ("CO000003", 20240301, "P001", "AF023"),
+    ]
+    return (spark.createDataFrame(
+        rows, "transaction_id string, date_key int, passenger_key string, flight_key string")
+        .withColumn("total_amount", F.lit(100.0).cast("decimal(10,2)")))
+
+
+def test_fact_partition_layout(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    wh.write_fact_sales(_mk_fact(spark))
+    parts = sorted(d for d in os.listdir(wh.path("fact_sales"))
+                   if d.startswith("sale_year_month="))
+    assert parts == ["sale_year_month=202301", "sale_year_month=202302",
+                     "sale_year_month=202403"]
+    assert wh.table(spark, "fact_sales").count() == 3
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    wh.write_fact_sales(_mk_fact(spark))
+    sliced = wh.fact_sales_for_range(spark, 20230101, 20230131)
+    assert [r["transaction_id"] for r in sliced.collect()] == ["TA000001"]
+    plan = detailed_plan_of(sliced)
+    # the partition filter must appear as PartitionFilters (directory-level
+    # pruning), not as a data filter
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "sale_year_month" in seg
+
+
+def test_status_append_and_dirty_partitioning(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    upd = spark.createDataFrame(
+        [("AA100", "delayed", 300, "2023-06-01 10:00:00")],
+        "flight_key string, status string, delay_minutes int, update_timestamp string") \
+        .withColumn("update_timestamp", F.to_timestamp("update_timestamp"))
+    wh.append_status_updates(upd)
+    wh.append_status_updates(upd)  # append twice → 2 rows (at-least-once)
+    assert spark.read.parquet(wh.path("flight_status_updates")).count() == 2
+
+    dirty = spark.createDataFrame(
+        [(1, "passengers", "{}", "Invalid passenger key")],
+        "id long, source_table string, original_data string, error_reason string") \
+        .withColumn("created_at", F.current_timestamp())
+    wh.append_dirty(dirty)
+    assert os.path.isdir(os.path.join(wh.path("dirty_data"), "source_table=passengers"))
