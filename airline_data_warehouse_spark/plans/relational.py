@@ -721,3 +721,204 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = load(spark, sf_dir, "events").select("user_id").distinct()
     custs = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id")).distinct()
     return users.intersect(custs)
+
+
+# ---------------------------------------------------------------------------
+# Sink semantics as queries (S6-S8, J10/T5) and remaining E2/J7 shapes
+# ---------------------------------------------------------------------------
+
+@register(
+    "upsert_keyed",
+    oracle="""
+    WITH source AS (
+      SELECT c_custkey AS customer_key, c_name AS full_name, 'UPSERTED' AS segment
+      FROM customer WHERE c_custkey <= 50
+      UNION ALL
+      SELECT c_custkey + 10000, 'New#' || CAST(c_custkey AS VARCHAR), 'NEW'
+      FROM customer WHERE c_custkey <= 10
+    ),
+    target AS (
+      SELECT c_custkey AS customer_key, c_name AS full_name, c_mktsegment AS segment
+      FROM customer
+    )
+    SELECT * FROM target WHERE customer_key NOT IN (SELECT customer_key FROM source)
+    UNION ALL
+    SELECT * FROM source
+    """,
+    operators="S7",
+    description="Keyed upsert (insert-or-update, source wins) via anti-join "
+                "+ unionByName — the PostgREST onConflict upsert "
+                "(smartFileProcessor.js:167-174) on plain parquet.",
+)
+def upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.sources.sinks import upsert
+    customer = load(spark, sf_dir, "customer")
+    target = customer.select(F.col("c_custkey").alias("customer_key"),
+                             F.col("c_name").alias("full_name"),
+                             F.col("c_mktsegment").alias("segment"))
+    modified = (customer.filter(F.col("c_custkey") <= 50)
+                .select(F.col("c_custkey").alias("customer_key"),
+                        F.col("c_name").alias("full_name"),
+                        F.lit("UPSERTED").alias("segment")))
+    new_rows = (customer.filter(F.col("c_custkey") <= 10)
+                .select((F.col("c_custkey") + 10000).alias("customer_key"),
+                        F.concat(F.lit("New#"), F.col("c_custkey").cast("string"))
+                         .alias("full_name"),
+                        F.lit("NEW").alias("segment")))
+    return upsert(target, modified.unionByName(new_rows), "customer_key")
+
+
+@register(
+    "conditional_update",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN TRUE ELSE FALSE END AS is_flagged,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'expedited'
+                ELSE 'standard' END AS handling
+    FROM orders
+    """,
+    operators="S8",
+    description="UPDATE ... SET ... WHERE as a declarative column rewrite "
+                "(the is_eligible_insurance flip, server.js:166-171).",
+)
+def conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.sources.sinks import conditional_update as cu
+    orders = (load(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderpriority",
+                      F.lit(False).alias("is_flagged"),
+                      F.lit("standard").alias("handling")))
+    updated = cu(orders, F.col("o_orderpriority") == "1-URGENT",
+                 {"is_flagged": F.lit(True), "handling": F.lit("expedited")})
+    return updated.select("o_orderkey", "is_flagged", "handling")
+
+
+@register(
+    "stream_merge_eligibility",
+    oracle="""
+    WITH fact AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+             CAST(o_custkey AS VARCHAR) AS flight_key,
+             'scheduled' AS flight_status, 0 AS delay_minutes,
+             FALSE AS is_eligible_insurance
+      FROM orders
+    ),
+    eligible AS (
+      SELECT CAST(user_id AS VARCHAR) AS flight_key,
+             MAX(CAST(round(value, 0) AS INT)) AS new_delay
+      FROM events WHERE CAST(round(value, 0) AS INT) > 240
+      GROUP BY 1
+    )
+    SELECT transaction_id, f.flight_key,
+           CASE WHEN new_delay IS NOT NULL THEN 'delayed' ELSE flight_status END
+             AS flight_status,
+           COALESCE(new_delay, delay_minutes) AS delay_minutes,
+           CASE WHEN new_delay IS NOT NULL THEN TRUE
+                ELSE is_eligible_insurance END AS is_eligible_insurance
+    FROM fact f LEFT JOIN eligible e ON f.flight_key = e.flight_key
+    """,
+    operators="J10,T5",
+    description="Stream-to-table enrichment: the foreachBatch eligibility "
+                "MERGE body (delay>240 flips the fact flag) run batch-wise — "
+                "orders play fact_sales, events play the status batch.",
+)
+def stream_merge_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.streaming.status import eligibility_merge_batch
+    fact = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("transaction_id"),
+        F.col("o_custkey").cast("string").alias("flight_key"),
+        F.lit("scheduled").alias("flight_status"),
+        F.lit(0).alias("delay_minutes"),
+        F.lit(False).alias("is_eligible_insurance"))
+    status = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("flight_key"),
+        F.round("value", 0).cast("int").alias("delay_minutes"))
+    return eligibility_merge_batch(fact, status)
+
+
+@register(
+    "quarantine_payload_shape",
+    oracle="""
+    SELECT doc_id, 'documents' AS source_table,
+           to_json(struct_pack(lang := lang, source := source)) AS original_data,
+           CASE WHEN length(text) < 40 THEN 'too_short'
+                WHEN lang NOT IN ('en','es','de','fr','zh') THEN 'unknown_language'
+           END AS error_reason
+    FROM documents
+    WHERE length(text) < 40 OR lang NOT IN ('en','es','de','fr','zh')
+    """,
+    operators="S6,P4,F15",
+    description="Quarantine row shaping: rejected rows serialized as JSON "
+                "payloads + error_reason (the dirty_data JSONB model, "
+                "smartFileProcessor.js:428-441).",
+)
+def quarantine_payload_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    reason = (F.when(F.length("text") < 40, "too_short")
+               .when(~F.col("lang").isin("en", "es", "de", "fr", "zh"), "unknown_language"))
+    return (docs.withColumn("error_reason", reason)
+                .filter(F.col("error_reason").isNotNull())
+                .select("doc_id", F.lit("documents").alias("source_table"),
+                        F.to_json(F.struct("lang", "source"),
+                                  {"ignoreNullFields": "false"}).alias("original_data"),
+                        "error_reason"))
+
+
+@register(
+    "country_hierarchy_dim",
+    oracle="""
+    SELECT CAST(dense_rank() OVER (ORDER BY country) AS BIGINT) AS country_id,
+           country AS country_name
+    FROM (SELECT DISTINCT
+            CASE lower(trim(n_name))
+                 WHEN 'united states' THEN 'United States'
+                 WHEN 'united kingdom' THEN 'United Kingdom'
+                 ELSE upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+            END AS country
+          FROM nation)
+    """,
+    operators="J7,J9",
+    description="Materializes the reference's PHANTOM dim_country_hierarchy "
+                "(queried at smartFileProcessor.js:272-276 but never created) "
+                "from standardized country names.",
+)
+def country_hierarchy_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from airline_data_warehouse_spark.functions.cleaning import standardize_country
+    nation = load(spark, sf_dir, "nation")
+    countries = (nation.select(standardize_country(F.col("n_name")).alias("country_name"))
+                       .distinct())
+    w = Window.orderBy("country_name")
+    return countries.select(F.dense_rank().over(w).cast("bigint").alias("country_id"),
+                            "country_name")
+
+
+@register(
+    "insurance_verdict_all_flights",
+    oracle="""
+    SELECT user_id AS flight_ref, delay_min,
+           delay_min > 240 AS is_eligible,
+           CAST(delay_min // 60 AS INT) AS delay_hours,
+           CAST(delay_min % 60 AS INT) AS delay_rem_minutes
+    FROM (SELECT user_id, CAST(round(value, 0) AS INT) AS delay_min,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    operators="E2,W1,P5,F17",
+    description="The /check-insurance verdict generalized to every key: "
+                "latest event per key, 240-min threshold, h/m breakdown "
+                "(server.js:144-184).",
+)
+def insurance_verdict_all_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (events.withColumn("delay_min", F.round("value", 0).cast("int"))
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1))
+    return latest.select(
+        F.col("user_id").alias("flight_ref"),
+        "delay_min",
+        (F.col("delay_min") > 240).alias("is_eligible"),
+        F.floor(F.col("delay_min") / 60).cast("int").alias("delay_hours"),
+        (F.col("delay_min") % 60).cast("int").alias("delay_rem_minutes"))
