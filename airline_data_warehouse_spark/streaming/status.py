@@ -48,6 +48,28 @@ def kafka_status_source(spark: SparkSession, bootstrap_servers: str,
             .load())
 
 
+def to_kafka_wire(updates: DataFrame) -> DataFrame:
+    """S9 (producer shape) — status rows → kafka wire format: key =
+    flight_key, value = JSON message (kafkaConfig.js:25-40). Feed to
+    ``.write.format("kafka")`` / ``.writeStream.format("kafka")`` with a
+    bootstrap-servers option, or to the file landing zone for tests."""
+    return updates.select(
+        F.col("flight_key").alias("key"),
+        F.to_json(F.struct("flight_key", "status", "delay_minutes",
+                           "update_timestamp"),
+                  {"ignoreNullFields": "false"}).alias("value"))
+
+
+def kafka_producer_sink(updates: DataFrame, bootstrap_servers: str,
+                        topic: str = TOPIC) -> None:
+    """S9 — publish to Kafka (batch write; requires a broker + the
+    spark-sql-kafka package, neither present in the test harness — the
+    wire shaping above is the tested part)."""
+    (to_kafka_wire(updates).write.format("kafka")
+     .option("kafka.bootstrap.servers", bootstrap_servers)
+     .option("topic", topic).save())
+
+
 def file_status_source(spark: SparkSession, path: str) -> DataFrame:
     """T1' — landing-zone JSON source with the kafka wire shape
     (key/value strings), so parse_status_stream works on either."""

@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the cleaning standardizers —
+invariants that must hold for ANY input, not just the fixture corpus.
+Batched evaluation: hypothesis generates the corpus, one Spark job
+evaluates every example (per-example Spark jobs would be minutes)."""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.functions import cleaning as C
+
+TEXTISH = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=40)
+
+
+def _batch_eval(spark, expr_builder, values, n_args=1):
+    """Evaluate a Column expression over a batch of example tuples."""
+    rows = [tuple(v) if isinstance(v, tuple) else (v,) for v in values]
+    schema = ", ".join(f"c{i} string" for i in range(n_args))
+    df = spark.createDataFrame(rows, schema)
+    cols = [F.col(f"c{i}") for i in range(n_args)]
+    return [r["out"] for r in df.select(expr_builder(*cols).alias("out")).collect()]
+
+
+def test_passenger_key_invariants(spark):
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(TEXTISH, min_size=200, max_size=200))
+    def check(examples):
+        outs = _batch_eval(spark, C.standardize_passenger_key, examples)
+        for raw, out in zip(examples, outs):
+            digits = re.sub(r"\D", "", raw)
+            if out is not None:
+                # always canonical: P + exactly 3 digits, the LAST 3
+                assert re.fullmatch(r"P[0-9]{3}", out), (raw, out)
+                assert out[1:] == digits[-3:]
+                assert "P" in raw and len(digits) >= 3
+            else:
+                assert "P" not in raw or len(digits) < 3, (raw, out)
+    check()
+
+
+def test_email_invariants(spark):
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(st.tuples(TEXTISH, TEXTISH), min_size=200, max_size=200))
+    def check(examples):
+        outs = _batch_eval(spark, C.standardize_email, examples, n_args=2)
+        email_re = re.compile(r"^[^\s@]+@[^\s@]+\.[^\s@]+$")
+        for (name, email), out in zip(examples, outs):
+            assert out is not None
+            assert out == out.lower()          # always lowercased
+            if email and email_re.match(email):
+                assert out == email.lower()    # valid emails pass through
+            else:
+                assert out.endswith("@example.com")  # else synthesized
+    check()
+
+
+def test_amount_invariants(spark):
+    money = st.one_of(
+        TEXTISH,
+        st.decimals(min_value=-99999, max_value=999999, places=2)
+          .map(lambda d: f"${d:,}"),
+    )
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(money, min_size=200, max_size=200))
+    def check(examples):
+        outs = _batch_eval(spark, C.standardize_amount, [str(x) for x in examples])
+        for raw, out in zip(examples, outs):
+            assert out is not None             # never NULL: bad → 0.00
+            assert isinstance(out, Decimal)
+            assert out == out.quantize(Decimal("0.01"))  # always 2 dp
+            if re.fullmatch(r"\$-?[\d,]+\.\d{2}", str(raw)):
+                assert out == Decimal(str(raw).replace("$", "").replace(",", ""))
+    check()
+
+
+def test_date_invariants(spark):
+    dates = st.dates(min_value=__import__("datetime").date(1970, 1, 1),
+                     max_value=__import__("datetime").date(2069, 12, 31))
+    fmt = st.sampled_from(["%Y-%m-%d", "%m/%d/%Y", "%d-%b-%y", "%Y%m%d"])
+    examples_st = st.lists(
+        st.one_of(st.tuples(dates, fmt).map(lambda t: (t[0].strftime(t[1]), t[0])),
+                  TEXTISH.map(lambda s: (s, None))),
+        min_size=150, max_size=150)
+
+    @settings(max_examples=1, deadline=None)
+    @given(examples_st)
+    def check(examples):
+        outs = _batch_eval(spark, C.standardize_date, [e[0] for e in examples])
+        for (raw, expected), out in zip(examples, outs):
+            if expected is not None and "%y" not in "":  # formatted real dates
+                # two-digit years are lossy across the 1969/2069 pivot —
+                # only assert when unambiguous or format is 4-digit
+                if re.fullmatch(r"\d{2}-[A-Za-z]{3}-\d{2}", raw):
+                    assert out is None or (out.month, out.day) == (expected.month, expected.day)
+                else:
+                    assert out == expected, (raw, expected, out)
+    check()
+
+
+def test_loyalty_always_valid(spark):
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(TEXTISH, min_size=200, max_size=200))
+    def check(examples):
+        outs = _batch_eval(spark, C.standardize_loyalty_status, examples)
+        assert set(outs) <= {"Bronze", "Silver", "Gold", "Platinum"}
+    check()
+
+
+def test_country_never_null_or_empty(spark):
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(TEXTISH, min_size=200, max_size=200))
+    def check(examples):
+        outs = _batch_eval(spark, C.standardize_country, examples)
+        for raw, out in zip(examples, outs):
+            assert out is not None and out != ""
+            if raw.strip().lower() in ("us", "usa", "u.s.", "u.s.a.", "united states"):
+                assert out == "United States"
+    check()

@@ -33,6 +33,21 @@ def stream_dir(tmp_path_factory):
     return d
 
 
+def test_kafka_wire_roundtrip(spark):
+    """Producer wire shape (S9) parses back through the consumer path (T2)."""
+    upd = spark.createDataFrame(
+        [("AA100", "delayed", 300, "2023-06-01 10:00:00")],
+        "flight_key string, status string, delay_minutes int, update_timestamp string") \
+        .withColumn("update_timestamp", F.to_timestamp("update_timestamp"))
+    wire = st.to_kafka_wire(upd)
+    assert wire.columns == ["key", "value"]
+    row = wire.collect()[0]
+    assert row["key"] == "AA100" and '"delay_minutes":300' in row["value"]
+    back = st.parse_status_stream(wire).collect()[0]
+    assert back["flight_key"] == "AA100" and back["delay_minutes"] == 300
+    assert str(back["update_timestamp"]) == "2023-06-01 10:00:00"
+
+
 def test_stream_ingest_append(spark, stream_dir):
     parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
     q = st.append_status_sink(parsed, str(stream_dir / "status_table"),
