@@ -922,3 +922,35 @@ def insurance_verdict_all_flights(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("delay_min") > 240).alias("is_eligible"),
         F.floor(F.col("delay_min") / 60).cast("int").alias("delay_hours"),
         (F.col("delay_min") % 60).cast("int").alias("delay_rem_minutes"))
+
+
+@register(
+    "event_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seqd AS (
+      SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM seqd GROUP BY user_id, seq
+    """,
+    operators="CUSTOM-sessionize,W-ext",
+    description="Gap-based session windows (30 min) — custom stateful "
+                "operator Spark lacks; batch twin of the "
+                "applyInPandasWithState streaming version "
+                "(streaming/sessions.py).",
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.streaming.sessions import sessionize_batch
+    return sessionize_batch(load(spark, sf_dir, "events"))
