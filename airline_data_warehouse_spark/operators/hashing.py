@@ -1,5 +1,11 @@
 """Portable hashing primitives shared by the dedup/similarity operators.
 
+Algorithms are the published classics: MinHash resemblance sketching
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3),
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", 2002), and random-hyperplane LSH for cosine (same paper).
+
 Everything here is engine-independent integer arithmetic: a shingle's
 base hash is the first 15 hex chars of its md5 (60 bits, fits bigint)
 reduced mod p = 2^31-1, and the MinHash family is the classic universal

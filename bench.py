@@ -34,6 +34,8 @@ HEADLINE = [
     "similarity_topk_lsh",
     "text_lang_id",
     "multimodal_decode_fake",
+    "event_sessionization",
+    "salted_aggregation",
 ]
 
 

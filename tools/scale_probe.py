@@ -1,0 +1,101 @@
+"""Scale probe: replicate the sf0.1 testdata N× into /tmp and measure
+headline operators at 1× and N× to verify near-linear scaling (the
+"would this survive a 100× scale-up" question, answered with numbers).
+
+Replication remaps keys per copy so join fan-out and group cardinality
+scale realistically (copy i shifts ids by i*10^9 for facts; dimension
+tables stay fixed, as they would at 100 TB).
+
+Usage: python tools/scale_probe.py [factor]  (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    "flagship_star_revenue",
+    "role_playing_dim_join",
+    "latest_event_per_key",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_lang_id",
+    "event_sessionization",
+    "salted_aggregation",
+]
+SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
+                 "events": "event_id", "documents": "doc_id",
+                 "embeddings": "vec_id"}
+FIXED_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+
+_ALPHA = "abcdefghijklmnop"
+
+
+def build_scaled(spark, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+    from airline_data_warehouse_spark.plans.registry import load
+    os.makedirs(out_dir, exist_ok=True)
+    for t in FIXED_TABLES:
+        load(spark, BASE, t).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t, key in SCALED_TABLES.items():
+        df = load(spark, BASE, t)
+        copies = None
+        for i in range(factor):
+            shifted = df.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
+            if t == "documents" and i > 0:
+                # substitution-cipher each copy's text so copies are NOT
+                # near-duplicates of each other — keeps near-dup volume
+                # linear in corpus size, i.e. a fair scaling measurement
+                rot = _ALPHA[i:] + _ALPHA[:i]
+                shifted = shifted.withColumn("text", F.translate("text", _ALPHA, rot))
+            copies = shifted if copies is None else copies.unionByName(shifted)
+        # fact keys shift identically on both sides (l_orderkey follows
+        # o_orderkey), so joins keep matching while cardinality scales
+        copies.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from airline_data_warehouse_spark.plans.registry import all_queries
+    reg = all_queries()
+    out = {}
+    for name in PROBE_QUERIES:
+        t0 = time.time()
+        reg[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out_dir = f"/tmp/adw_scale_{factor}x"
+    from airline_data_warehouse_spark.session import get_spark
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_scaled(spark, factor, out_dir)
+    base = time_queries(spark, BASE)      # warm
+    base = time_queries(spark, BASE)
+    scaled = time_queries(spark, out_dir)
+    report = {
+        "factor": factor,
+        "queries": {
+            name: {"base_s": base[name], "scaled_s": scaled[name],
+                   "ratio": round(scaled[name] / max(base[name], 1e-6), 2)}
+            for name in PROBE_QUERIES
+        },
+    }
+    print(json.dumps(report, indent=2))
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
