@@ -103,3 +103,85 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                      F.col(f"b.{id_col}").alias("id2"),
                      cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"))
              .filter(F.col("score") >= threshold))
+
+
+def label_centroids(corpus: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label centroid vectors, computed dimension-wise via posexplode
+    (one shuffle keyed on (label, dim)). Exact-decimal accumulation so
+    the result is independent of aggregation order — float32 inputs are
+    exactly representable in DECIMAL(20,10)."""
+    exploded = corpus.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"))
+    summed = (exploded.groupBy(label_col, "dim")
+              .agg(F.sum(F.col("val").cast("decimal(20,10)")).alias("s"),
+                   F.count("*").alias("n")))
+    return summed.select(
+        label_col, F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid_val"))
+
+
+def centroid_vectors(corpus: DataFrame, label_col: str = "label",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Centroids as (list_id, centroid) array rows — the coarse quantizer
+    table for IVF. Built from label_centroids' exact per-dim means and
+    re-assembled in dim order (deterministic array layout)."""
+    per_dim = label_centroids(corpus, vec_col=vec_col, label_col=label_col)
+    assembled = (per_dim.groupBy(label_col)
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid_val")))
+                       .alias("pairs"))
+                 .select(F.col(label_col).alias("list_id"),
+                         F.transform("pairs", lambda p: p["centroid_val"])
+                          .alias("centroid")))
+    return assembled
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Inverted-file assignment: each vector goes to its highest-cosine
+    centroid (rounded score, list_id tie-break). Centroids broadcast; one
+    window over the n_centroids-fanout — no shuffle of the corpus beyond
+    the per-vector argmax."""
+    scored = (corpus.crossJoin(F.broadcast(centroids))
+              .select(F.col(id_col), F.col(vec_col),
+                      F.col("list_id"),
+                      cosine(F.col(vec_col), F.col("centroid")).alias("cscore")))
+    w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(),
+                                           F.col("list_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(id_col, vec_col, "list_id"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_probe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             label_col: str = "label") -> DataFrame:
+    """IVF approximate top-k: probe the query's ``n_probe`` nearest
+    inverted lists, exact cosine only within them. Complements lsh_topk:
+    IVF recall degrades gracefully with n_probe instead of bucket
+    boundaries."""
+    cents = centroid_vectors(corpus, label_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    qscored = (queries.select(F.col(id_col).alias("query_id"),
+                              F.col(vec_col).alias("qv"))
+               .crossJoin(F.broadcast(cents))
+               .select("query_id", "qv", "list_id",
+                       cosine(F.col("qv"), F.col("centroid")).alias("cscore")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
+                                                F.col("list_id").asc())
+    probes = (qscored.withColumn("rn", F.row_number().over(wq))
+                     .filter(F.col("rn") <= n_probe)
+                     .select("query_id", "qv", "list_id"))
+
+    scored = (probes.join(assigned, "list_id")
+              .filter(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine(F.col("qv"), F.col(vec_col)).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "score",
+                          F.col("rank").cast("int").alias("rank")))

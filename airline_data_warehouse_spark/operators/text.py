@@ -111,3 +111,26 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
     fp = F.array_min(F.transform(grams, base_hash))
     return (df.filter(F.length(text_col) >= k)
               .select(F.col(id_col), fp.alias("fingerprint")))
+
+
+def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     top_n: int = 3) -> DataFrame:
+    """TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-N terms per
+    document (score desc, term asc). Fully distributed: explode -> two
+    keyed aggregations -> broadcast idf join -> per-doc window."""
+    from pyspark.sql import Window
+    n_docs = df.count()  # driver-side scalar (a count, not a collect of rows)
+    terms = (df.select(F.col(id_col),
+                       F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS))
+                        .alias("term"))
+               .filter(F.col("term") != ""))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    idf = (tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+             .withColumn("idf", F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1))
+    scored = (tf.join(F.broadcast(idf), "term")
+                .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= top_n)
+                  .select(id_col, "term", "tf", "tfidf",
+                          F.col("rnk").cast("int").alias("rnk")))
