@@ -954,3 +954,21 @@ def insurance_verdict_all_flights(spark: SparkSession, sf_dir: str) -> DataFrame
 def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airline_data_warehouse_spark.streaming.sessions import sessionize_batch
     return sessionize_batch(load(spark, sf_dir, "events"))
+
+
+@register(
+    "approx_distinct_count",
+    oracle=None,  # HLL sketches are engine-specific — accuracy is bounded
+                  # by tests/test_approx.py against the exact count instead
+    operators="A-approx",
+    description="approx_count_distinct (HyperLogLog++) per group — the "
+                "sketch path for 100 TB distinct counts where exact "
+                "count-distinct would shuffle every value. rows-only check; "
+                "pytest bounds the error at <2% against the exact count.",
+)
+def approx_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.approx_count_distinct("o_custkey", rsd=0.01)
+                 .alias("approx_distinct_customers"),
+                 F.count("*").alias("n_orders")))
