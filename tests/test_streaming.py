@@ -92,6 +92,33 @@ def test_eligibility_merge(spark, stream_dir, tmp_path):
     assert out["T3"]["flight_status"] == "scheduled"
 
 
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Restarting an append sink from its checkpoint must not re-emit
+    already-committed batches (offset tracking = exactly-once sink)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    m1 = {"flight_key": "AA100", "status": "delayed", "delay_minutes": 100,
+          "update_timestamp": "2023-06-01T10:00:00Z"}
+    with open(in_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"key": "AA100", "value": json.dumps(m1)}) + "\n")
+
+    def run_once():
+        parsed = st.parse_status_stream(st.file_status_source(spark, str(in_dir)))
+        q = st.append_status_sink(parsed, str(tmp_path / "table"),
+                                  str(tmp_path / "ckpt"))
+        q.awaitTermination(60)
+
+    run_once()
+    assert spark.read.parquet(str(tmp_path / "table")).count() == 1
+    m2 = dict(m1, delay_minutes=200, update_timestamp="2023-06-01T11:00:00Z")
+    with open(in_dir / "b2.json", "w") as f:
+        f.write(json.dumps({"key": "AA100", "value": json.dumps(m2)}) + "\n")
+    run_once()  # restart from the same checkpoint
+    table = spark.read.parquet(str(tmp_path / "table"))
+    assert table.count() == 2  # b1 NOT re-ingested
+    assert {r["delay_minutes"] for r in table.collect()} == {100, 200}
+
+
 def test_windowed_delay_stats_and_dedup(spark, stream_dir, tmp_path):
     parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
     deduped = st.dedup_replayed_updates(parsed)
