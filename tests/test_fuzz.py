@@ -1,0 +1,67 @@
+"""Crash-robustness fuzz: adversarial CSV content through detection and
+the matching processor must never raise — everything lands in clean or
+dirty, like the reference's try/catch-per-row contract."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from airline_data_warehouse_spark import etl
+from airline_data_warehouse_spark.sources.csv import read_detected
+
+CELL = st.text(alphabet=st.characters(codec="ascii", min_codepoint=32,
+                                      exclude_characters=',"\r\n'),
+               max_size=12)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(CELL, CELL, CELL, CELL), min_size=30, max_size=30))
+def _fuzz_rows(rows):
+    return rows  # materialized by the caller-level test
+
+
+def test_fuzzed_passenger_csv(spark, tmp_path):
+    import random
+    rnd = random.Random(1234)
+    alphabet = "Pabc019 $.-'@#"
+    lines = ["PassengerKey,FullName,Email,LoyaltyStatus"]
+    for i in range(200):
+        cells = ["".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 12)))
+                 for _ in range(rnd.randint(1, 6))]
+        lines.append(",".join(cells))
+    p = tmp_path / "fuzz_passengers.csv"
+    p.write_text("\n".join(lines) + "\n")
+    # the CSV reader skips fully-blank lines (csv-parser does the same)
+    n_nonblank = sum(1 for ln in lines[1:] if ln.strip())
+    sig, raw = read_detected(spark, str(p))
+    assert sig.file_type == "passengers"
+    clean, dirty = etl.process_passengers(raw)
+    n_clean, n_dirty = clean.count(), dirty.count()
+    assert n_clean + n_dirty == n_nonblank  # conservation: nothing lost or crashed
+    # clean keys always canonical
+    for r in clean.collect():
+        assert r["passenger_key"].startswith("P") and len(r["passenger_key"]) == 4
+        assert "@" in r["email"]
+        assert r["loyalty_status"] in ("Bronze", "Silver", "Gold", "Platinum")
+
+
+def test_fuzzed_sales_csv(spark, tmp_path):
+    import random
+    rnd = random.Random(99)
+    alphabet = "P0123456789-/$., aZ"
+    header = "TransactionID,TransactionDate,PassengerID,FlightID,TicketPrice,Taxes,BaggageFees,TotalAmount"
+    lines = [header]
+    for i in range(200):
+        cells = ["".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 10)))
+                 for _ in range(8)]
+        lines.append(",".join(cells))
+    p = tmp_path / "fuzz_sales.csv"
+    p.write_text("\n".join(lines) + "\n")
+    sig, raw = read_detected(spark, str(p))
+    assert sig.file_type == "travel_agency_sales"
+    clean, dirty = etl.process_sales(raw, "travel_agency")
+    assert clean.count() + dirty.count() == 200
+    for r in clean.collect():
+        assert r["transaction_id"].startswith("TA")
+        assert r["ticket_price"] is not None  # bad amounts → 0.00, never null
+        assert 19000101 <= r["date_key"] <= 21001231
