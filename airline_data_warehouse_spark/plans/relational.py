@@ -972,3 +972,68 @@ def approx_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_count_distinct("o_custkey", rsd=0.01)
                  .alias("approx_distinct_customers"),
                  F.count("*").alias("n_orders")))
+
+
+@register(
+    "asof_join_status",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_value AS asof_click_value, c.ts AS asof_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    operators="CUSTOM-asof",
+    description="As-of join (point-in-time enrichment): each purchase "
+                "annotated with the user's latest prior click — Spark "
+                "union-window implementation checked against DuckDB's "
+                "native ASOF JOIN (operators/asof.py).",
+)
+def asof_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.operators.asof import asof_join
+    events = load(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                       .select("event_id", "user_id", "ts"))
+    clicks = (events.filter(F.col("event_type") == "click")
+                    .groupBy("user_id", "ts")
+                    .agg(F.max("value").alias("click_value")))
+    return asof_join(purchases, clicks, key="user_id",
+                     left_ts="ts", right_ts="ts",
+                     right_value_cols=["click_value"])
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    SELECT a.event_id AS error_id, b.event_id AS signup_id, a.user_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') a
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') b
+      ON a.user_id = b.user_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000::BIGINT
+    """,
+    operators="CUSTOM-range",
+    description="Range (interval) join: error/signup event pairs within "
+                "1 hour per user — bin-bucketed equi-join instead of the "
+                "inequality cross-product (operators/asof.py).",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.operators.asof import range_join_binned
+    events = load(spark, sf_dir, "events")
+    errors = (events.filter(F.col("event_type") == "error")
+                    .select(F.col("event_id").alias("error_id"),
+                            "user_id", F.col("ts").alias("error_ts")))
+    signups = (events.filter(F.col("event_type") == "signup")
+                     .select(F.col("event_id").alias("signup_id"),
+                             F.col("user_id").alias("s_user_id"),
+                             F.col("ts").alias("signup_ts")))
+    joined = range_join_binned(
+        errors, signups.withColumnRenamed("s_user_id", "user_id"),
+        key="user_id", left_ts="error_ts", right_ts="signup_ts",
+        tolerance_seconds=3600)
+    return joined.select("error_id", "signup_id", "user_id")
