@@ -49,6 +49,37 @@ class Warehouse:
          .partitionBy("sale_year_month")
          .parquet(self.path("fact_sales")))
 
+    def upsert_fact_incremental(self, spark: SparkSession, new_rows: DataFrame) -> None:
+        """Incremental fact maintenance: merge new/changed rows into ONLY
+        the months they touch, leaving every other partition untouched.
+
+        Dynamic partition overwrite rewrites just the affected
+        directories — at 100 TB a daily load touches a handful of month
+        partitions, not the table. Within those months the merge is the
+        standard anti-join + union (source wins on transaction_id).
+        """
+        staged = new_rows.withColumn(
+            "sale_year_month", (F.col("date_key") / 100).cast("int"))
+        months = staged.select("sale_year_month").distinct()
+        existing_path = self.path("fact_sales")
+        if os.path.isdir(existing_path):
+            current = (spark.read.parquet(existing_path)
+                       .join(F.broadcast(months), "sale_year_month", "left_semi"))
+            kept = current.join(staged.select("transaction_id"),
+                                "transaction_id", "left_anti")
+            merged = kept.unionByName(staged.select(*kept.columns))
+        else:
+            merged = staged
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (merged.sortWithinPartitions("flight_key", "transaction_id")
+                   .write.mode("overwrite")
+                   .partitionBy("sale_year_month")
+                   .parquet(existing_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     def append_status_updates(self, updates: DataFrame) -> None:
         (updates
          .withColumn("update_date", F.to_date("update_timestamp"))

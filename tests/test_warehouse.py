@@ -45,6 +45,43 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     assert "sale_year_month" in seg
 
 
+def test_incremental_fact_upsert_touches_only_affected_partitions(spark, tmp_path):
+    import time
+    wh = Warehouse(str(tmp_path))
+    wh.write_fact_sales(_mk_fact(spark))
+    untouched = os.path.join(wh.path("fact_sales"), "sale_year_month=202403")
+    before_mtime = max(os.path.getmtime(os.path.join(untouched, f))
+                       for f in os.listdir(untouched))
+    time.sleep(1.1)
+
+    new_rows = (spark.createDataFrame(
+        [("TA000001", 20230115, "P001", "AA100"),   # update existing
+         ("TA000009", 20230120, "P009", "ZZ999")],  # new row, same month
+        "transaction_id string, date_key int, passenger_key string, flight_key string")
+        .withColumn("total_amount", F.lit(999.0).cast("decimal(10,2)")))
+    wh.upsert_fact_incremental(spark, new_rows)
+
+    table = spark.read.parquet(wh.path("fact_sales"))
+    assert table.count() == 4  # 3 original + 1 new, TA000001 replaced
+    rows = {r["transaction_id"]: r for r in table.collect()}
+    assert rows["TA000001"]["total_amount"] == 999.0
+    assert rows["CO000003"]["total_amount"] == 100.0  # other month untouched
+    # the 2024-03 partition files were not rewritten
+    after_mtime = max(os.path.getmtime(os.path.join(untouched, f))
+                      for f in os.listdir(untouched))
+    assert after_mtime == before_mtime
+
+
+def test_jsonl_fallback_sink(spark, tmp_path):
+    from airline_data_warehouse_spark.sources.sinks import append_jsonl
+    dirty = spark.createDataFrame([("passengers", "{}", "Invalid passenger key")],
+                                  "source_table string, original_data string, error_reason string")
+    path = str(tmp_path / "dirty_backup")
+    append_jsonl(dirty, path)
+    append_jsonl(dirty, path)  # append mode accumulates (S11 semantics)
+    assert spark.read.json(path).count() == 2
+
+
 def test_status_append_and_dirty_partitioning(spark, tmp_path):
     wh = Warehouse(str(tmp_path))
     upd = spark.createDataFrame(
