@@ -1037,3 +1037,66 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id", left_ts="error_ts", right_ts="signup_ts",
         tolerance_seconds=3600)
     return joined.select("error_id", "signup_id", "user_id")
+
+
+@register(
+    "exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50_total,
+           quantile_cont(o_totalprice, 0.9) AS p90_total,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    operators="A-ext",
+    description="Exact interpolated percentiles per group (Spark percentile "
+                "== DuckDB quantile_cont, linear interpolation).",
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p50_total"),
+                 F.expr("percentile(o_totalprice, 0.9)").alias("p90_total"),
+                 F.count("*").alias("n_orders")))
+
+
+@register(
+    "string_similarity_join",
+    oracle="""
+    WITH corrupted AS (
+      SELECT n_nationkey, substr(n_name, 1, 2) || substr(n_name, 4) AS dirty_name
+      FROM nation
+    )
+    SELECT c.n_nationkey, c.dirty_name, n.n_name AS matched_name,
+           CAST(levenshtein(c.dirty_name, n.n_name) AS INT) AS distance
+    FROM corrupted c JOIN nation n
+      ON abs(length(c.dirty_name) - length(n.n_name)) <= 2
+     AND levenshtein(c.dirty_name, n.n_name) <= 2
+    """,
+    operators="F2/F3-generalized,J7",
+    description="String-similarity join (edit distance <= 2) with length "
+                "blocking — dirty dimension names fuzzy-matched back to the "
+                "canonical dimension (the generalized country/email fixup). "
+                "Blocking keys make it an equi-join at scale, the distance "
+                "check is verify-only.",
+)
+def string_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    corrupted = nation.select(
+        "n_nationkey",
+        F.concat(F.substring("n_name", 1, 2),
+                 F.expr("substring(n_name, 4)")).alias("dirty_name"))
+    # length-bucket blocking (bucket width 3, probe ±1) turns the theta
+    # join into equi-join probes; levenshtein verifies candidates only
+    c = (corrupted.withColumn("_b0", (F.length("dirty_name") / 3).cast("int"))
+                  .withColumn("_shift", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+                  .withColumn("_b", F.col("_b0") + F.col("_shift")))
+    n = nation.select(F.col("n_name").alias("matched_name")) \
+              .withColumn("_b", (F.length("matched_name") / 3).cast("int"))
+    return (c.join(n, "_b")
+             .filter((F.abs(F.length("dirty_name") - F.length("matched_name")) <= 2)
+                     & (F.levenshtein("dirty_name", "matched_name") <= 2))
+             .select("n_nationkey", "dirty_name", "matched_name",
+                     F.levenshtein("dirty_name", "matched_name").cast("int")
+                      .alias("distance"))
+             .distinct())
