@@ -93,6 +93,24 @@ def append_status_sink(parsed: DataFrame, path: str, checkpoint: str,
     return writer.start()
 
 
+def enrich_stream_with_dims(parsed: DataFrame, dim_flight: DataFrame,
+                            dim_airport: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each status update joined to the flight
+    and origin-airport dimensions. Static sides broadcast per micro-batch
+    — the streaming twin of the analytics view's dim joins; Spark re-reads
+    the static side each batch, so dimension upserts are picked up live."""
+    df_ = F.broadcast(dim_flight.alias("df"))
+    ap = F.broadcast(dim_airport.alias("ap"))
+    return (parsed.alias("s")
+            .join(df_, F.col("s.flight_key") == F.col("df.flight_key"), "left")
+            .join(ap, F.col("df.origin_airport_key") == F.col("ap.airport_key"), "left")
+            .select(F.col("s.flight_key").alias("flight_key"),
+                    "s.status", "s.delay_minutes", "s.update_timestamp",
+                    F.col("df.aircraft_type").alias("aircraft_type"),
+                    F.col("ap.city").alias("origin_city"),
+                    F.col("ap.country").alias("origin_country")))
+
+
 def latest_status_per_flight(status_table: DataFrame) -> DataFrame:
     """T4/W1 — newest update per flight_key; ties broken by delay then
     status for determinism under at-least-once duplicate delivery."""

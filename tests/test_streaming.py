@@ -92,6 +92,29 @@ def test_eligibility_merge(spark, stream_dir, tmp_path):
     assert out["T3"]["flight_status"] == "scheduled"
 
 
+def test_stream_static_enrichment(spark, stream_dir, tmp_path):
+    dim_flight = spark.createDataFrame(
+        [("AA100", "JFK", "LHR", "B777"), ("AF023", "CDG", "JFK", "A320")],
+        "flight_key string, origin_airport_key string, destination_airport_key string, aircraft_type string")
+    dim_airport = spark.createDataFrame(
+        [("JFK", "John F. Kennedy", "New York", "United States"),
+         ("CDG", "Charles de Gaulle", "Paris", "France")],
+        "airport_key string, airport_name string, city string, country string")
+    parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
+    enriched = st.enrich_stream_with_dims(parsed, dim_flight, dim_airport)
+    q = (enriched.writeStream.outputMode("append")
+         .format("memory").queryName("enriched_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM enriched_out").collect()
+    assert len(rows) == 4
+    by_flight = {r["flight_key"]: r for r in rows}
+    assert by_flight["AA100"]["aircraft_type"] == "B777"
+    assert by_flight["AA100"]["origin_city"] == "New York"
+    assert by_flight["AF023"]["origin_country"] == "France"
+
+
 def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     """Restarting an append sink from its checkpoint must not re-emit
     already-committed batches (offset tracking = exactly-once sink)."""
