@@ -54,6 +54,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # a caller-provided session on a non-UTC host can't shift collect()ed
     # datetimes
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # cleaning semantics are null-on-failure (quarantine model), never
+    # throw-on-cast — pin ANSI off under caller-provided sessions too
+    # (Spark 4 defaults it on)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
