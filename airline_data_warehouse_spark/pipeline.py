@@ -51,6 +51,8 @@ class PipelineResult:
 def process_files(spark: SparkSession, csv_paths: list[str]) -> PipelineResult:
     """Detect + process every file; accumulate per-table clean frames
     (upserted in path order, source-wins) and quarantine rows."""
+    # null-on-failure cleaning semantics under any caller session
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     result = PipelineResult()
     dirty_frames: list[DataFrame] = []
     sales_clean: dict[str, DataFrame] = {}
