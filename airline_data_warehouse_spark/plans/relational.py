@@ -1100,3 +1100,54 @@ def string_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.levenshtein("dirty_name", "matched_name").cast("int")
                       .alias("distance"))
              .distinct())
+
+
+@register(
+    "pivot_event_matrix",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+    operators="A-pivot",
+    description="Pivot: per-user event-type count matrix (explicit value "
+                "list keeps the output schema static — mandatory at scale, "
+                "an inferred pivot would scan twice).",
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types))
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure,
+             l_extendedprice AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    """,
+    operators="A-unpivot",
+    description="Unpivot (melt): wide measure columns to long "
+                "(measure, value) rows — the EAV reshaping for metric stores.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "lineitem")
+            .withColumnRenamed("l_extendedprice", "extendedprice")
+            .withColumnRenamed("l_discount", "discount")
+            .withColumnRenamed("l_tax", "tax")
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["extendedprice", "discount", "tax"],
+                     "measure", "value"))
