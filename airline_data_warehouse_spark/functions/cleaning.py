@@ -167,9 +167,11 @@ def standardize_loyalty_status(c: Column) -> Column:
 
 
 def na_to_null(c: Column) -> Column:
-    """F10 — 'N/A' and empty strings → NULL (alliance column)."""
+    """F10 — trimmed 'N/A' → NULL; anything else (including '') stays as
+    its trimmed value (smartFileProcessor.js:448 — the reference compares
+    the trimmed alliance to 'N/A' only and keeps empty strings)."""
     t = F.trim(c)
-    return F.when((t == "N/A") | (t == ""), F.lit(None)).otherwise(t)
+    return F.when(t == "N/A", F.lit(None)).otherwise(t)
 
 
 def strip_single_quotes(c: Column) -> Column:

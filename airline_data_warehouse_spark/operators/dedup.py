@@ -24,12 +24,35 @@ from airline_data_warehouse_spark.operators.hashing import (
     simhash16,
 )
 
+# DataFrames persisted by operators in this module, so long-lived sessions
+# (bench loops, driver sweeps) can release executor memory between queries.
+# The persists are load-bearing — each cached plan is consumed by both
+# sides of a self-join — but the cache's lifetime is one query, not the
+# session, so callers running many queries call release_caches() after
+# each action completes.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every cache created by this module's operators. Safe to
+    call at any time; blocking=False so it never stalls the caller."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per distinct text value.
 
-    Shuffles on md5(text) (fixed 32-byte key), computes min(id) per group
-    map-side-partially, then a semi-join back — two narrow shuffles, no
+    Shuffles on md5(text) (fixed 32-byte key) and computes min(id) per
+    group with map-side partial aggregation — one narrow shuffle, no
     window over the full corpus. Returns (id_col, text_hash).
     """
     hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
@@ -91,9 +114,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # the scale-safe thing to cache - LSH_BANDS rows x ~50 bytes per doc,
     # orders of magnitude smaller than the corpus (at warehouse scale
     # you'd materialize signatures as a table instead).
-    exploded = (sig.select(id_col, F.explode(F.array(*bands)).alias("bk"))
-                   .select(id_col, "bk.band", "bk.band_key")
-                   .persist())
+    exploded = _persist(sig.select(id_col, F.explode(F.array(*bands)).alias("bk"))
+                           .select(id_col, "bk.band", "bk.band_key"))
     a = exploded.alias("a")
     b_ = exploded.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -112,7 +134,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     precision modulo 31-bit hash collisions)."""
     # persist: candidate generation and both pair sides reuse the sets,
     # and shingling (substring explosion + md5) dominates the cost
-    sh = shingled(df, text_col, id_col, k).persist()
+    sh = _persist(shingled(df, text_col, id_col, k))
     cand = minhash_lsh_candidates(df, text_col, id_col, k, shingle_sets=sh)
     s1 = sh.select(F.col(id_col).alias("id1"), F.col("hs").alias("sh1"))
     s2 = sh.select(F.col(id_col).alias("id2"), F.col("hs").alias("sh2"))

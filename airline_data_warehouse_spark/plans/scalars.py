@@ -250,7 +250,7 @@ def std_loyalty_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "na_null_and_trim",
     oracle="""
     SELECT s_suppkey,
-           CASE WHEN trim(raw_alliance) = 'N/A' OR trim(raw_alliance) = '' THEN NULL
+           CASE WHEN trim(raw_alliance) = 'N/A' THEN NULL
                 ELSE trim(raw_alliance) END AS alliance
     FROM (SELECT s_suppkey,
                  CASE s_suppkey % 3 WHEN 0 THEN 'N/A'

@@ -51,11 +51,14 @@ def main() -> None:
     # warm-up: JVM, parquet footer reads, codegen
     registry["flagship_star_revenue"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from airline_data_warehouse_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         registry[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_caches()  # per-query cache lifetime: no cross-query memory creep
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -108,7 +108,10 @@ def test_loyalty(spark):
 
 def test_na_null_and_quotes(spark):
     assert _eval1(spark, C.na_to_null, "N/A") is None
-    assert _eval1(spark, C.na_to_null, "  ") is None
+    assert _eval1(spark, C.na_to_null, " N/A ") is None
+    # reference keeps empty strings: smartFileProcessor.js:448 compares
+    # the trimmed value to 'N/A' only
+    assert _eval1(spark, C.na_to_null, "  ") == ""
     assert _eval1(spark, C.na_to_null, " Oneworld ") == "Oneworld"
     assert _eval1(spark, C.strip_single_quotes, " 'AA100'") == "AA100"
 

@@ -115,3 +115,13 @@ def test_frame_sampling(spark):
     frames = mm.frame_sample_plan(decoded, every_ms=1000).collect()
     assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
         (1, 0), (1, 1000), (1, 2000), (1, 3000)]
+
+
+def test_release_caches_leaves_no_persistent_rdds(spark, near_dup_docs):
+    """Cache lifetime is one query: after an action + release_caches(),
+    no persisted RDDs remain in the session (VERDICT r01 leak fix)."""
+    spark.catalog.clearCache()
+    dd.ngram_jaccard_pairs(near_dup_docs).collect()  # persists shingles + bands
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    dd.release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

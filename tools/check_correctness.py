@@ -67,6 +67,8 @@ def main() -> int:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
+    from airline_data_warehouse_spark.operators.dedup import release_caches
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures, passed, rows_only = [], 0, 0
     for name, fn in sorted(qs.items()):
@@ -77,6 +79,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_caches()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:500]}")
