@@ -164,6 +164,10 @@ def process_sales(raw: DataFrame, source_type: str) -> tuple[DataFrame, DataFram
         F.lit(0).alias("delay_minutes"),
         F.lit(False).alias("is_eligible_insurance"),
         F.current_timestamp().alias("created_at"),
+        # input-order key, carried so union_sales_dedup can break
+        # cross-file ties deterministically (first occurrence wins);
+        # dropped from the final fact there
+        F.col("_line_no"),
     )
     helper = ["_pax", "_flight", "_date", "_txn"]
     return clean, dirty0.unionByName(dups).drop(*helper)
@@ -172,13 +176,18 @@ def process_sales(raw: DataFrame, source_type: str) -> tuple[DataFrame, DataFram
 def union_sales_dedup(ta: DataFrame, co: DataFrame) -> tuple[DataFrame, DataFrame]:
     """U1 + cross-file dedup (scripts/uploadAllSales.js:164-188): union the
     two cleaned sources, then keep-first again on transaction_id across
-    files (travel-agency file processed first — mirrors array order)."""
+    files. Order: travel-agency before corporate (mirrors the reference's
+    array order), then `_line_no` (file path, byte offset, sequence) so
+    duplicates from two files of the SAME source type also resolve
+    first-occurrence-wins deterministically — `created_at` is
+    current_timestamp() and therefore query-constant, useless as a tie-break.
+    """
     tagged = (ta.withColumn("_file_order", F.lit(0))
                 .unionByName(co.withColumn("_file_order", F.lit(1))))
-    w = Window.partitionBy("transaction_id").orderBy("_file_order", "created_at")
+    w = Window.partitionBy("transaction_id").orderBy("_file_order", "_line_no")
     ranked = tagged.withColumn("_rn", F.row_number().over(w))
-    clean = ranked.filter(F.col("_rn") == 1).drop("_rn", "_file_order")
-    dups = (ranked.filter(F.col("_rn") > 1).drop("_rn", "_file_order")
+    clean = ranked.filter(F.col("_rn") == 1).drop("_rn", "_file_order", "_line_no")
+    dups = (ranked.filter(F.col("_rn") > 1).drop("_rn", "_file_order", "_line_no")
                   .withColumn("error_reason", F.lit("Duplicate transaction ID (cross-file)")))
     return clean, dups
 

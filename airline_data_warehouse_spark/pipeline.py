@@ -98,7 +98,7 @@ def process_files(spark: SparkSession, csv_paths: list[str]) -> PipelineResult:
                 dirty_frames.append(sinks.quarantine(
                     cross_dups, "fact_sales", ["transaction_id"]))
         else:
-            fact = ta if ta is not None else co
+            fact = (ta if ta is not None else co).drop("_line_no")
         result.tables["fact_sales"] = fact
 
     # FK repair: referenced airports missing from the dimension get

@@ -69,20 +69,30 @@ def read_csv(spark: SparkSession, path: str, columns: list[str],
     """S1/S3 — read a CSV with every column as a string, plus a `_line_no`
     input-order column (keep-first dedup semantics are positional, W2).
 
-    `_line_no` is derived from the row's byte offset in its file via the
-    `_metadata` hidden column — monotone in file order and stable across
-    partition splits, unlike monotonically_increasing_id under re-reads.
+    `_line_no` is a struct ``(file, block, seq)`` ordered exactly like the
+    bytes on disk: file path, then the split's `_metadata.file_block_start`
+    byte offset, then `monotonically_increasing_id()` as the intra-split
+    sequence (a split is consumed by one task in file order, and the id is
+    monotone within a task). Struct comparison is lexicographic, so
+    ``orderBy("_line_no")`` reproduces file order even when one file is cut
+    into many splits or a multi-file glob is read — unlike a bare
+    monotonically_increasing_id, whose partition-major order follows split
+    *scheduling*, not byte order. Across files the order is lexicographic
+    by path; callers that need upload order (pipeline.process_files) read
+    one file per call and sequence the calls themselves.
     """
     df = (spark.read
           .option("header", str(header).lower())
           .option("mode", "PERMISSIVE")
           .schema(raw_string_schema(columns))
           .csv(path)
-          .select("*", F.col("_metadata.file_path").alias("_src_file")))
-    # CSV rows arrive in file order within each split; a per-file ordered id
-    # built from the split-local order: use monotonically_increasing_id as
-    # the intra-split tiebreaker (splits of one file keep relative order).
-    return df.withColumn("_line_no", F.monotonically_increasing_id())
+          .select("*",
+                  F.col("_metadata.file_path").alias("_src_file"),
+                  F.col("_metadata.file_block_start").alias("_block_start")))
+    line_no = F.struct(F.col("_src_file").alias("file"),
+                       F.col("_block_start").alias("block"),
+                       F.monotonically_increasing_id().alias("seq"))
+    return df.withColumn("_line_no", line_no).drop("_block_start")
 
 
 def read_detected(spark: SparkSession, path: str) -> tuple[FileSignature | None, DataFrame | None]:

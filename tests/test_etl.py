@@ -230,3 +230,37 @@ def test_analytics_view(spark, fixture_dir):
     assert r["airline_name"] == "Air France" and r["alliance"] == "SkyTeam"
     assert r["insurance_eligibility_status"] == "Not Eligible"
     assert r["year"] == 2023 and r["month_name"] == "January"
+
+
+def test_keep_first_order_stable_across_splits_and_files(spark, tmp_path):
+    """W2 determinism (VERDICT r01): _line_no must reproduce byte order
+    even when one file is cut into many splits and a multi-file glob is
+    read — the winner of keep-first dedup is the first occurrence in
+    (file, byte-offset) order, never a function of split scheduling."""
+    from airline_data_warehouse_spark.sources.csv import read_csv
+
+    header = "PassengerKey,FullName,Email,LoyaltyStatus"
+    # file a: every key appears 4x; occurrence index embedded in FullName
+    lines_a = [header] + [
+        f"P{k:04d},occ{occ}_of_a,a{k}@x.com,Silver" + "," * 0 + " " * 40
+        for occ in range(4) for k in range(250)
+    ]
+    # file b (lexicographically later): same keys again — must all lose
+    lines_b = [header] + [f"P{k:04d},occ0_of_b,b{k}@x.com,Gold" for k in range(250)]
+    (tmp_path / "a.csv").write_text("\n".join(lines_a) + "\n")
+    (tmp_path / "b.csv").write_text("\n".join(lines_b) + "\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")  # force splits
+    try:
+        raw = read_csv(spark, str(tmp_path), header.split(","))
+        assert raw.rdd.getNumPartitions() > 4, "input did not split; test is vacuous"
+        firsts, dups = etl._keep_first(
+            raw.withColumn("_std_key", F.col("PassengerKey")), "_std_key", "dup")
+        winners = firsts.select("PassengerKey", "FullName").collect()
+        assert len(winners) == 250
+        assert all(r["FullName"] == "occ0_of_a" for r in winners), \
+            sorted({r["FullName"] for r in winners})
+        assert dups.count() == 4 * 250  # 3 later in-file + 1 cross-file per key
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
