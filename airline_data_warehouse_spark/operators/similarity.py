@@ -87,22 +87,61 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.col("rank").cast("int").alias("rank")))
 
 
+def hyperplane_band_keys(vec: Column, bands: int = 4, rows_per_band: int = 8,
+                         dims: int = 64) -> list[Column]:
+    """Per-band hyperplane keys for banded (multi-table) cosine LSH: band b
+    packs the sign bits of planes [b*R, (b+1)*R) into an int key. A pair is
+    a candidate iff ANY band key collides (OR-of-ANDs), so recall comes
+    from the band count while bucket granularity — and therefore the size
+    of the within-bucket self-join — comes from 2^rows_per_band per band.
+    At larger corpus sizes raise rows_per_band (buckets grow 2^R) and
+    bands together to hold recall."""
+    planes = hyperplane_weights(bands * rows_per_band, dims)
+    keys = []
+    for b in range(bands):
+        key = F.lit(0)
+        for r in range(rows_per_band):
+            w = planes[b * rows_per_band + r]
+            lit_plane = F.array(*[F.lit(x) for x in w])
+            d = F.round(_dot(vec, lit_plane), 9)
+            key = key + F.when(d > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        keys.append(key)
+    return keys
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
-                             n_planes: int = 8, dims: int = 64) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id1 < id2) within LSH
-    buckets — the embedding twin of ngram_jaccard_pairs."""
-    bucketed = corpus.select(F.col(id_col), F.col(vec_col),
-                             hyperplane_bucket(F.col(vec_col), n_planes, dims)
-                             .alias("bucket"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                             bands: int = 4, rows_per_band: int = 8,
+                             dims: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2) — the embedding
+    twin of ngram_jaccard_pairs, banded like the MinHash path.
+
+    Candidate generation explodes each vector into ``bands`` (band, key)
+    rows — ids only, never vectors — and self-joins on the band key, so
+    candidate volume scales with actual key collisions (tunable via
+    rows_per_band), not bucket². Pairs colliding in several bands are
+    deduplicated BEFORE the exact-cosine verify, which joins the vectors
+    back by id. Replaces the r01 single-table design whose 2^8 buckets
+    made the self-join quadratic in corpus/256."""
+    keys = hyperplane_band_keys(F.col(vec_col), bands, rows_per_band, dims)
+    banded = (corpus.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("band_key"))
+                            for b, k in enumerate(keys)])).alias("bk"))
+        .select(id_col, "bk.band", "bk.band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("id1"),
-                     F.col(f"b.{id_col}").alias("id2"),
-                     cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"))
-             .filter(F.col("score") >= threshold))
+                     F.col(f"b.{id_col}").alias("id2"))
+             .distinct())
+    v1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (cand.join(v1, "id1").join(v2, "id2")
+                .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("score"))
+                .filter(F.col("score") >= threshold))
 
 
 def label_centroids(corpus: DataFrame, id_col: str = "vec_id",

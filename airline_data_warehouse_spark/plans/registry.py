@@ -67,7 +67,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Queries whose physical plan changed since their last driver-green round:
 # they sort into the validation window right after never-validated entries,
 # so the driver re-certifies the new plan.
-_REVALIDATE: tuple[str, ...] = ()
+_REVALIDATE: tuple[str, ...] = (
+    # r02: rewritten as banded multi-table hyperplane LSH (similarity.py)
+    "dedup_embedding_cosine",
+)
 
 
 def _driver_validated() -> set[str]:

@@ -125,3 +125,23 @@ def test_release_caches_leaves_no_persistent_rdds(spark, near_dup_docs):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
     dd.release_caches()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_banded_near_dup_beats_single_table(spark):
+    """Banded OR-of-ANDs: a perturbed twin that disagrees with its source
+    on a plane in one band is still a candidate via another band. The
+    scaled-direction pair must always pair; near-identical pairs at
+    threshold 0.99 are found with all-band recall."""
+    import random
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(64)]
+    rows = [(1, base),
+            (2, [x * 2.0 for x in base]),          # same direction → score 1.0
+            (3, base[:32] + [x + 0.01 for x in base[32:]]),  # tiny perturbation
+            (4, [rnd.uniform(-1, 1) for _ in range(64)])]    # unrelated
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id1"], r["id2"]): r["score"]
+             for r in sim.embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
