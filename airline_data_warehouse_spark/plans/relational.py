@@ -1074,32 +1074,23 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND levenshtein(c.dirty_name, n.n_name) <= 2
     """,
     operators="F2/F3-generalized,J7",
-    description="String-similarity join (edit distance <= 2) with length "
-                "blocking — dirty dimension names fuzzy-matched back to the "
-                "canonical dimension (the generalized country/email fixup). "
-                "Blocking keys make it an equi-join at scale, the distance "
-                "check is verify-only.",
+    description="String-similarity join (edit distance <= 2) with "
+                "pigeonhole segment blocking (PassJoin-style) — dirty "
+                "dimension names fuzzy-matched back to the canonical "
+                "dimension (the generalized country/email fixup). Blocking "
+                "keys are exact substring segments, so candidate volume is "
+                "bounded by content collisions even on same-length-heavy "
+                "inputs; levenshtein is verify-only.",
 )
 def string_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.operators.strings import edit_distance_join
     nation = load(spark, sf_dir, "nation")
     corrupted = nation.select(
         "n_nationkey",
         F.concat(F.substring("n_name", 1, 2),
                  F.expr("substring(n_name, 4)")).alias("dirty_name"))
-    # length-bucket blocking (bucket width 3, probe ±1) turns the theta
-    # join into equi-join probes; levenshtein verifies candidates only
-    c = (corrupted.withColumn("_b0", (F.length("dirty_name") / 3).cast("int"))
-                  .withColumn("_shift", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-                  .withColumn("_b", F.col("_b0") + F.col("_shift")))
-    n = nation.select(F.col("n_name").alias("matched_name")) \
-              .withColumn("_b", (F.length("matched_name") / 3).cast("int"))
-    return (c.join(n, "_b")
-             .filter((F.abs(F.length("dirty_name") - F.length("matched_name")) <= 2)
-                     & (F.levenshtein("dirty_name", "matched_name") <= 2))
-             .select("n_nationkey", "dirty_name", "matched_name",
-                     F.levenshtein("dirty_name", "matched_name").cast("int")
-                      .alias("distance"))
-             .distinct())
+    canon = nation.select(F.col("n_name").alias("matched_name"))
+    return edit_distance_join(corrupted, canon, "dirty_name", "matched_name", k=2)
 
 
 @register(

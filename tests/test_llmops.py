@@ -145,3 +145,32 @@ def test_banded_near_dup_beats_single_table(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_edit_distance_join_same_length_heavy(spark):
+    """Segment blocking must stay correct AND selective when every string
+    has the same length (the adversarial case for length-bucket blocking).
+    Result is compared against the brute-force theta join."""
+    import random
+    from airline_data_warehouse_spark.operators.strings import edit_distance_join
+    rnd = random.Random(13)
+    canon_names = ["".join(rnd.choice("abcdef") for _ in range(10)) for _ in range(120)]
+    canon_names = sorted(set(canon_names))
+    probes = []
+    for i, name in enumerate(canon_names):
+        if i % 3 == 0:    # substitution
+            probes.append((i, name[:4] + "z" + name[5:]))
+        elif i % 3 == 1:  # deletion
+            probes.append((i, name[:3] + name[4:]))
+        else:             # unrelated
+            probes.append((i, "".join(rnd.choice("uvwxyz") for _ in range(10))))
+    probe_df = spark.createDataFrame(probes, "pid int, dirty string")
+    canon_df = spark.createDataFrame([(n,) for n in canon_names], "name string")
+
+    got = {(r["pid"], r["name"], r["distance"])
+           for r in edit_distance_join(probe_df, canon_df, "dirty", "name", k=2).collect()}
+    brute = {(r["pid"], r["name"], r["d"])
+             for r in probe_df.crossJoin(canon_df)
+             .withColumn("d", F.levenshtein("dirty", "name").cast("int"))
+             .filter(F.col("d") <= 2).collect()}
+    assert got == brute and len(got) >= len(canon_names) * 2 // 3
