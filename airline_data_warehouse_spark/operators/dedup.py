@@ -160,3 +160,52 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
     return (simhash_signatures(df, text_col, id_col, k)
             .groupBy("simhash")
             .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("representative")))
+
+
+def simhash_chunks(bits: int, parts: int) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, splitting `bits` into `parts` contiguous
+    bit-ranges as evenly as possible (widths differ by at most 1)."""
+    base, rem = divmod(bits, parts)
+    out, off = [], 0
+    for i in range(parts):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
+                       max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs (id1 < id2, hamming <= max_hamming) over 16-bit
+    SimHash signatures — the multi-probe upgrade over hamming-0 bucketing.
+
+    Pigeonhole chunk blocking instead of bit-flip enumeration: split the
+    signature into max_hamming+1 contiguous bit-chunks; any pair within
+    the hamming budget agrees exactly on at least one chunk (h flipped
+    bits cannot touch h+1 chunks). Candidates come from per-chunk
+    equi-joins — 3 exploded rows per doc versus the 137-probe bit-flip
+    neighborhood for h<=2 on 16 bits — then bit_count(xor) verifies.
+    """
+    from airline_data_warehouse_spark.operators.hashing import SIMHASH_BITS
+
+    sigs = simhash_signatures(df, text_col, id_col, k)
+    parts = max_hamming + 1
+    chunk_cols = []
+    for i, (off, w) in enumerate(simhash_chunks(SIMHASH_BITS, parts)):
+        chunk = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        chunk_cols.append(F.struct(F.lit(i).alias("part"), chunk.alias("chunk")))
+    banded = (sigs.withColumn("_bk", F.explode(F.array(*chunk_cols)))
+                  .select(id_col, "simhash", "_bk.part", "_bk.chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.part") == F.col("b.part"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id1"),
+                     F.col("a.simhash").alias("s1"),
+                     F.col(f"b.{id_col}").alias("id2"),
+                     F.col("b.simhash").alias("s2"))
+             .distinct())
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return (cand.select("id1", "id2", hamming.alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))
