@@ -152,15 +152,51 @@ def eligibility_merge_batch(fact: DataFrame, status_batch: DataFrame) -> DataFra
                 .drop("_new_delay", "_new_status"))
 
 
-def start_eligibility_merge(parsed: DataFrame, fact_path: str, out_path: str,
-                            checkpoint: str):
-    """T5 wiring: per micro-batch, apply the merge to the fact table.
-    On plain parquet the rewrite goes to ``out_path`` (non-atomic swap is
-    the caller's concern; a Delta MERGE drops in transparently)."""
+def start_eligibility_merge(parsed: DataFrame, fact_path: str, checkpoint: str,
+                            out_path: str | None = None,
+                            partition_col: str = "sale_year_month"):
+    """T5 wiring: per micro-batch, MERGE the eligibility flip into the
+    fact (server.js:166-171 UPDATEs fact rows by flight_key).
+
+    Default path — partition-scoped in-place merge: the batch's eligible
+    flight keys are semi-joined against the fact to find the partitions
+    holding their rows, only those partitions are re-derived, and dynamic
+    partition overwrite commits just those directories. A 100 TB fact
+    with a handful of delayed flights per batch rewrites a few month
+    directories, not the table (same machinery as
+    Warehouse.upsert_fact_incremental). Batches with no eligible keys
+    touch nothing. A Delta MERGE drops in transparently here.
+
+    Fallback — ``out_path`` given: the fact is unpartitioned, so the
+    merge rewrites the whole table to ``out_path`` (non-atomic swap is
+    the caller's concern). Kept for flat-layout callers; not the scale
+    path.
+    """
     def _merge(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession
         fact = spark.read.parquet(fact_path)
-        eligibility_merge_batch(fact, batch).write.mode("overwrite").parquet(out_path)
+        if out_path is not None:
+            eligibility_merge_batch(fact, batch).write.mode("overwrite").parquet(out_path)
+            return
+        if partition_col not in fact.columns:
+            raise ValueError(
+                f"in-place merge needs a fact partitioned by {partition_col!r}; "
+                "pass out_path= for unpartitioned facts")
+        eligible = (batch.filter(F.col("delay_minutes") > INSURANCE_DELAY_MINUTES)
+                    .select("flight_key").distinct())
+        months = (fact.join(F.broadcast(eligible), "flight_key", "left_semi")
+                      .select(partition_col).distinct())
+        if not months.limit(1).count():
+            return  # nothing eligible in this batch — zero writes
+        affected = fact.join(F.broadcast(months), partition_col, "left_semi")
+        merged = eligibility_merge_batch(affected, batch)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (merged.write.mode("overwrite")
+                   .partitionBy(partition_col).parquet(fact_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (parsed.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)
