@@ -39,3 +39,27 @@ def build_dim_date(spark: SparkSession, start: dt.date = DEFAULT_START,
         F.quarter("full_date").alias("quarter"),
         F.year("full_date").alias("year"),
     )
+
+
+# The reference trigger's literal known-country set (`for supabase/trigger
+# hierarchy:6`). Quirk preserved: the list holds RAW spellings (USA, UK)
+# while inserts carry standardized names (United States, ...), so in the
+# reference every insert raises the NOTICE; we compare against both raw
+# and standardized spellings to implement the evident intent.
+KNOWN_COUNTRIES = ("USA", "UK", "UAE", "Canada", "Australia", "Japan",
+                   "United States", "United Kingdom",
+                   "United Arab Emirates")
+
+
+def unknown_country_reviews(dim_airport: DataFrame,
+                            known: tuple[str, ...] = KNOWN_COUNTRIES) -> DataFrame:
+    """Trigger parity (`for supabase/trigger hierarchy:14-17`): every
+    distinct dim_airport country outside the known set becomes a review
+    row — the RAISE NOTICE 'New country added: %' becomes an appendable
+    ``new_countries`` table instead of a log line."""
+    return (dim_airport
+            .select("country").distinct()
+            .filter(~F.col("country").isin(*known))
+            .select(F.col("country").alias("country_name"),
+                    F.concat(F.lit("New country added: "), F.col("country"))
+                     .alias("notice")))

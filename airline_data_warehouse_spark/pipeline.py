@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airline_data_warehouse_spark import etl
 from airline_data_warehouse_spark.analytics import build_airline_analytics
-from airline_data_warehouse_spark.dimensions import build_dim_date
+from airline_data_warehouse_spark.dimensions import build_dim_date, unknown_country_reviews
 from airline_data_warehouse_spark.schemas import PRIMARY_KEYS
 from airline_data_warehouse_spark.sources import sinks
 from airline_data_warehouse_spark.sources.csv import read_detected
@@ -106,6 +106,12 @@ def process_files(spark: SparkSession, csv_paths: list[str]) -> PipelineResult:
     if "dim_flight" in result.tables and "dim_airport" in result.tables:
         result.tables["dim_airport"] = etl.repair_airport_dim(
             result.tables["dim_airport"], result.tables["dim_flight"])
+
+    # trigger parity: countries outside the known set land in a review
+    # table (the reference RAISEs a NOTICE per insert; see dimensions.py)
+    if "dim_airport" in result.tables:
+        result.tables["new_countries"] = unknown_country_reviews(
+            result.tables["dim_airport"])
 
     if dirty_frames:
         q = dirty_frames[0]

@@ -893,6 +893,34 @@ def country_hierarchy_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "new_countries_review",
+    oracle="""
+    SELECT country_name, 'New country added: ' || country_name AS notice
+    FROM (SELECT DISTINCT
+            CASE lower(trim(n_name))
+                 WHEN 'united states' THEN 'United States'
+                 WHEN 'united kingdom' THEN 'United Kingdom'
+                 ELSE upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+            END AS country_name
+          FROM nation)
+    WHERE country_name NOT IN ('USA', 'UK', 'UAE', 'Canada', 'Australia',
+                               'Japan', 'United States', 'United Kingdom',
+                               'United Arab Emirates')
+    """,
+    operators="2.10-trigger",
+    description="Trigger parity (`for supabase/trigger hierarchy:14-17`): "
+                "standardized countries outside the known set appended to "
+                "the new_countries review table (NOTICE → reviewable rows).",
+)
+def new_countries_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.dimensions import unknown_country_reviews
+    from airline_data_warehouse_spark.functions.cleaning import standardize_country
+    nation = load(spark, sf_dir, "nation")
+    dim = nation.select(standardize_country(F.col("n_name")).alias("country"))
+    return unknown_country_reviews(dim)
+
+
+@register(
     "insurance_verdict_all_flights",
     oracle="""
     SELECT user_id AS flight_ref, delay_min,

@@ -64,3 +64,14 @@ def test_pipeline_upsert_across_files(spark, csv_dir, tmp_path):
     rows = {r["airport_key"]: r for r in result.tables["dim_airport"].collect()}
     assert rows["JFK"]["airport_name"] == "New Name"  # later file wins (upsert)
     assert set(rows) == {"JFK", "ORD"}
+
+
+def test_new_countries_review_table(spark):
+    from airline_data_warehouse_spark.dimensions import unknown_country_reviews
+    dim = spark.createDataFrame(
+        [("JFK", "United States"), ("LHR", "United Kingdom"),
+         ("KEF", "Iceland"), ("RKV", "Iceland"), ("NRT", "Japan")],
+        "airport_key string, country string")
+    rows = {r["country_name"]: r["notice"]
+            for r in unknown_country_reviews(dim).collect()}
+    assert rows == {"Iceland": "New country added: Iceland"}
