@@ -36,16 +36,44 @@ from airline_data_warehouse_spark.functions.cleaning import INSURANCE_DELAY_MINU
 from airline_data_warehouse_spark.schemas import STATUS_MESSAGE
 
 TOPIC = "flight-status-updates"
+GROUP_ID = "flight-status-group"
+
+
+def kafka_source_options(bootstrap_servers: str, topic: str = TOPIC,
+                         group_id: str = GROUP_ID) -> dict[str, str]:
+    """The exact consumer option set (kafkaConfig.js:16,44-47): topic
+    subscription, consumer group, fromBeginning → startingOffsets
+    earliest. Split out so the contract test can pin it without a
+    broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "kafka.group.id": group_id,
+        "startingOffsets": "earliest",
+    }
+
+
+def kafka_sasl_options(username: str, password: str) -> dict[str, str]:
+    """SASL/SSL client security (kafkaConfig.js:7-12: ssl + sasl PLAIN)."""
+    jaas = ("org.apache.kafka.common.security.plain.PlainLoginModule required "
+            f'username="{username}" password="{password}";')
+    return {
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "PLAIN",
+        "kafka.sasl.jaas.config": jaas,
+    }
 
 
 def kafka_status_source(spark: SparkSession, bootstrap_servers: str,
-                        topic: str = TOPIC) -> DataFrame:
-    """T1 — Kafka source, earliest offsets (fromBeginning parity)."""
-    return (spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .option("startingOffsets", "earliest")
-            .load())
+                        topic: str = TOPIC,
+                        extra_options: dict[str, str] | None = None) -> DataFrame:
+    """T1 — Kafka source, earliest offsets (fromBeginning parity). Pass
+    ``kafka_sasl_options(...)`` as extra_options for SASL_SSL clusters."""
+    reader = spark.readStream.format("kafka")
+    for k, v in {**kafka_source_options(bootstrap_servers, topic),
+                 **(extra_options or {})}.items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def to_kafka_wire(updates: DataFrame) -> DataFrame:
@@ -60,14 +88,23 @@ def to_kafka_wire(updates: DataFrame) -> DataFrame:
                   {"ignoreNullFields": "false"}).alias("value"))
 
 
+def kafka_sink_options(bootstrap_servers: str, topic: str = TOPIC) -> dict[str, str]:
+    """Producer option set (kafkaConfig.js:27-37: one topic, keyed JSON
+    messages — key/value come from the wire columns, not options)."""
+    return {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+
+
 def kafka_producer_sink(updates: DataFrame, bootstrap_servers: str,
-                        topic: str = TOPIC) -> None:
+                        topic: str = TOPIC,
+                        extra_options: dict[str, str] | None = None) -> None:
     """S9 — publish to Kafka (batch write; requires a broker + the
     spark-sql-kafka package, neither present in the test harness — the
     wire shaping above is the tested part)."""
-    (to_kafka_wire(updates).write.format("kafka")
-     .option("kafka.bootstrap.servers", bootstrap_servers)
-     .option("topic", topic).save())
+    writer = to_kafka_wire(updates).write.format("kafka")
+    for k, v in {**kafka_sink_options(bootstrap_servers, topic),
+                 **(extra_options or {})}.items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def file_status_source(spark: SparkSession, path: str) -> DataFrame:

@@ -189,3 +189,42 @@ def test_windowed_delay_stats_and_dedup(spark, stream_dir, tmp_path):
     for r in rows:
         assert r["n_updates"] == 1  # dedup removed the replayed AA100 event
     assert len(by_key) >= 1
+
+
+def test_kafka_contract_options_and_schema(spark):
+    """Contract test against kafkaConfig.js fixtures (no broker in the
+    harness): exact consumer/producer option sets and the kafkajs message
+    shape parsing through our consumer path."""
+    src = st.kafka_source_options("broker1:9092")
+    assert src == {
+        "kafka.bootstrap.servers": "broker1:9092",
+        "subscribe": "flight-status-updates",     # kafkaConfig.js:31,45
+        "kafka.group.id": "flight-status-group",  # kafkaConfig.js:16
+        "startingOffsets": "earliest",            # fromBeginning: true, :46
+    }
+    assert st.kafka_sink_options("broker1:9092") == {
+        "kafka.bootstrap.servers": "broker1:9092",
+        "topic": "flight-status-updates",
+    }
+    sasl = st.kafka_sasl_options("user", "pw")
+    assert sasl["kafka.security.protocol"] == "SASL_SSL"  # ssl: true, :7
+    assert sasl["kafka.sasl.mechanism"] == "PLAIN"        # :9
+    assert 'username="user"' in sasl["kafka.sasl.jaas.config"]
+
+    # kafkajs producer message: key = flight_key, value = JSON.stringify
+    # (kafkaConfig.js:31-36) — must parse through our T2 path unchanged
+    msg = ('{"flight_key":"AA100","status":"delayed",'
+           '"delay_minutes":300,"update_timestamp":"2023-06-01T10:00:00Z"}')
+    wire = spark.createDataFrame([("AA100", msg)], "key string, value string")
+    parsed = st.parse_status_stream(wire).collect()[0]
+    assert parsed["flight_key"] == "AA100" and parsed["delay_minutes"] == 300
+    assert parsed["status"] == "delayed"
+
+    # our producer wire emits exactly the fields kafkajs sends
+    import json
+    upd = spark.createDataFrame(
+        [("AA100", "delayed", 300, "2023-06-01 10:00:00")],
+        "flight_key string, status string, delay_minutes int, update_timestamp string") \
+        .withColumn("update_timestamp", F.to_timestamp("update_timestamp"))
+    value = json.loads(st.to_kafka_wire(upd).collect()[0]["value"])
+    assert set(value) == {"flight_key", "status", "delay_minutes", "update_timestamp"}
