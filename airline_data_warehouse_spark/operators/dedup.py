@@ -19,10 +19,13 @@ from airline_data_warehouse_spark.operators.hashing import (
     BAND_ROWS,
     DEFAULT_SHINGLE_K,
     LSH_BANDS,
+    SIMHASH_BITS,
     hashed_shingle_set,
     minhash_signature,
-    simhash16,
+    rehash60,
 )
+
+SIMHASH_MAX_HAMMING = 3  # default near-dup budget (Manku et al. use 3 on 64 bits)
 
 # DataFrames persisted by operators in this module, so long-lived sessions
 # (bench loops, driver sweeps) can release executor memory between queries.
@@ -148,10 +151,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K) -> DataFrame:
-    """16-bit SimHash per document; identical signatures are near-dup
-    candidates (hamming-0 bucket grouping)."""
+    """60-bit SimHash per document: per bit position j, the ±1 votes of
+    each (rehashed) shingle's bit j are summed; signature bit j is set
+    iff the vote is positive. Wide signatures are what make hamming
+    blocking work at scale (Manku/Jain/Sarma, "Detecting near-duplicates
+    for web crawling", WWW 2007, use 64 bits; 60 here = the portable
+    md5-prefix width).
+
+    Shape: explode the shingle set to rows and hash-aggregate 60 bit-count
+    SUMs per doc — higher-order array functions are interpreted, not
+    whole-stage-codegen'd, so folding votes inside F.aggregate costs ~10×
+    this plan. The explode adds no shuffle: `shingled` already partitions
+    by the id, and the groupBy reuses that partitioning. Vote rule:
+    bit j set iff 2·ones_j > n_shingles (±1 sum positive)."""
     sh = shingled(df, text_col, id_col, k)
-    return sh.select(id_col, simhash16(F.col("hs")).alias("simhash"))
+    ex = sh.select(F.col(id_col),
+                   F.explode(F.transform(F.col("hs"), rehash60)).alias("h60"))
+    ones = [F.sum(F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+            for j in range(SIMHASH_BITS)]
+    votes = ex.groupBy(id_col).agg(F.count("*").alias("_n"), *ones)
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"_b{j}") * 2 > F.col("_n"),
+                           F.lit(1 << j)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_buckets(df: DataFrame, text_col: str = "text",
@@ -176,16 +199,20 @@ def simhash_chunks(bits: int, parts: int) -> list[tuple[int, int]]:
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
-                       max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs (id1 < id2, hamming <= max_hamming) over 16-bit
+                       max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs (id1 < id2, hamming <= max_hamming) over 60-bit
     SimHash signatures — the multi-probe upgrade over hamming-0 bucketing.
 
     Pigeonhole chunk blocking instead of bit-flip enumeration: split the
     signature into max_hamming+1 contiguous bit-chunks; any pair within
     the hamming budget agrees exactly on at least one chunk (h flipped
     bits cannot touch h+1 chunks). Candidates come from per-chunk
-    equi-joins — 3 exploded rows per doc versus the 137-probe bit-flip
-    neighborhood for h<=2 on 16 bits — then bit_count(xor) verifies.
+    equi-joins — max_hamming+1 exploded rows per doc, then
+    bit_count(xor) verifies. Chunk cardinality is what keeps the
+    per-chunk self-join sub-quadratic: at the default h<=3 each chunk is
+    15 bits (32k values), so expected bucket size is n/2^15 — this is
+    exactly why the signature is 60 bits wide, a 16-bit signature's
+    5-bit chunks would make every bucket O(n/32) and the join O(n²).
     """
     from airline_data_warehouse_spark.operators.hashing import SIMHASH_BITS
 

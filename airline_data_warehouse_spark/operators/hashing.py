@@ -40,7 +40,7 @@ N_HASHES = len(MINHASH_PARAMS)
 LSH_BANDS = 4
 BAND_ROWS = N_HASHES // LSH_BANDS  # 4
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60  # md5-prefix width: 15 hex chars = 60 independent bits
 
 
 def base_hash(s: Column) -> Column:
@@ -80,19 +80,14 @@ def minhash_signature(hashed: Column) -> list[Column]:
     return sig
 
 
-def simhash16(hashed: Column) -> Column:
-    """16-bit SimHash over a pre-hashed shingle array: per bit position j,
-    sum +-1 votes of each hash's bit j; bit set iff the vote is positive."""
-    def bit_vote(j: int):
-        # two-arg merge lambda factory (no default args: Spark derives the
-        # HOF lambda arity from the Python signature)
-        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
+def rehash60(h: Column) -> Column:
+    """Full-width 60-bit rehash of a 31-bit shingle hash (md5 of its
+    decimal string form, same conv cascade as base_hash but without the
+    mod-p reduction): SimHash needs one independent bit per signature
+    position, and the 31-bit base hash can only feed 31 of them."""
+    return F.conv(F.substring(F.md5(h.cast("string")), 1, 15), 16, 10).cast("long")
 
-    out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        votes = F.aggregate(hashed, F.lit(0).cast("long"), bit_vote(j))
-        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+
 
 
 def hyperplane_weights(n_planes: int = 8, dims: int = 64) -> list[list[float]]:

@@ -177,15 +177,16 @@ def test_edit_distance_join_same_length_heavy(spark):
 
 
 def test_simhash_near_pairs_multiprobe(spark, near_dup_docs):
-    """Chunk blocking finds hamming-1/2 neighbors that hamming-0 buckets
+    """Chunk blocking finds hamming>0 neighbors that hamming-0 buckets
     miss, and the verify never passes a pair beyond the budget."""
+    budget = dd.SIMHASH_MAX_HAMMING
     sigs = {r["doc_id"]: r["simhash"]
             for r in dd.simhash_signatures(near_dup_docs).collect()}
     pairs = {(r["id1"], r["id2"]): r["hamming"]
              for r in dd.simhash_near_pairs(near_dup_docs).collect()}
     assert (1, 5) in pairs and pairs[(1, 5)] == 0  # exact dup
     for (i, j), h in pairs.items():
-        assert h <= 2 and h == bin(sigs[i] ^ sigs[j]).count("1")
+        assert h <= budget and h == bin(sigs[i] ^ sigs[j]).count("1")
     expected = {(i, j) for i in sigs for j in sigs if i < j
-                and bin(sigs[i] ^ sigs[j]).count("1") <= 2}
+                and bin(sigs[i] ^ sigs[j]).count("1") <= budget}
     assert set(pairs) == expected  # pigeonhole blocking: full recall
