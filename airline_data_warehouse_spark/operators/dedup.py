@@ -236,3 +236,45 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
     return (cand.select("id1", "id2", hamming.alias("hamming"))
                 .filter(F.col("hamming") <= max_hamming))
+
+
+def connected_components(pairs: DataFrame, vertices: DataFrame,
+                         id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:
+    """(id_col, cluster_id) for every vertex: cluster_id = the minimum id
+    reachable through the pair graph — the canonical final step of a
+    near-dup pipeline (pairs → duplicate clusters → keep one doc each).
+
+    Min-label propagation: each round every vertex takes the min of its
+    own label and its neighbors' labels. Labels only ever decrease, so
+    sum(label) is strictly monotone until the fixpoint — convergence is
+    one cheap aggregate per round, no self-join diffing. Rounds needed =
+    graph diameter; LSH near-dup graphs are dense clusters with tiny
+    diameters (2–4 rounds in practice) — this is the standard iterative
+    CC shape (cf. Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014; GraphX/GraphFrames do the same under the hood).
+
+    Driver involvement is one float per round (the convergence sum), not
+    per-row data; each round is a distributed shuffle-join keyed on the
+    vertex id. Each round's label table is persisted (lineage would
+    otherwise grow by two joins per round and re-execute everything at
+    the final action); the module's release_caches() frees them all once
+    the caller's action completes.
+    """
+    edges = (pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+                  .unionByName(pairs.select(F.col("id2").alias("src"),
+                                            F.col("id1").alias("dst"))))
+    _persist(edges)
+    labels = _persist(vertices.select(F.col(id_col).alias("v"),
+                                      F.col(id_col).cast("long").alias("label")))
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["src"] == labels["v"])
+                    .select(F.col("dst").alias("v"), F.col("label")))
+        new_labels = _persist(labels.unionByName(nbr)
+                                    .groupBy("v").agg(F.min("label").alias("label")))
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))

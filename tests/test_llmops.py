@@ -176,6 +176,29 @@ def test_edit_distance_join_same_length_heavy(spark):
     assert got == brute and len(got) >= len(canon_names) * 2 // 3
 
 
+def test_connected_components_transitive(spark):
+    """Labels propagate transitively (a-b, b-c ⇒ one cluster without an
+    a-c edge), singletons keep their own id, and every vertex appears."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id1 long, id2 long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dd.connected_components(pairs, verts).collect()}
+    dd.release_caches()
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_connected_components_chain_diameter(spark):
+    """A long chain needs several propagation rounds — exercises the
+    convergence loop, not just the first iteration."""
+    n = 7
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "id1 long, id2 long")
+    verts = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dd.connected_components(pairs, verts).collect()}
+    dd.release_caches()
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
 def test_simhash_near_pairs_multiprobe(spark, near_dup_docs):
     """Chunk blocking finds hamming>0 neighbors that hamming-0 buckets
     miss, and the verify never passes a pair beyond the budget."""
