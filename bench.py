@@ -36,6 +36,18 @@ HEADLINE = [
     "multimodal_decode_fake",
     "event_sessionization",
     "salted_aggregation",
+    # r02 additions: newly driver-validated / rewritten operators
+    "asof_join_status",
+    "range_join_events",
+    "string_similarity_join",
+    "dedup_simhash_multiprobe",
+    "dedup_embedding_cosine",
+    "exact_percentiles",
+    "pivot_event_matrix",
+    "unpivot_measures",
+    "upsert_keyed",
+    "similarity_topk_ivf",
+    "dedup_cluster_representatives",
 ]
 
 
@@ -48,10 +60,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # warm-up: JVM, parquet footer reads, codegen
-    registry["flagship_star_revenue"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
+    # warm-up: one full headline pass at the smallest SF so every
+    # measured run sees a warm JVM, compiled codegen classes, forked
+    # Python worker daemons, and read parquet footers. Cold-start costs
+    # (~6 s of Janino/JIT or pyspark.daemon spin-up on first touch) are
+    # per-process artifacts, not plan properties — measuring them just
+    # charges whichever query happens to run first.
     from airline_data_warehouse_spark.operators.dedup import release_caches
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            registry[name].builder(spark, warm_sf).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up must never sink the measurement run
+        release_caches()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -30,6 +30,8 @@ PROBE_QUERIES = [
     "text_lang_id",
     "event_sessionization",
     "salted_aggregation",
+    "dedup_simhash_multiprobe",
+    "dedup_embedding_cosine",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
@@ -57,6 +59,14 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
                 # linear in corpus size, i.e. a fair scaling measurement
                 rot = _ALPHA[i:] + _ALPHA[:i]
                 shifted = shifted.withColumn("text", F.translate("text", _ALPHA, rot))
+            if t == "embeddings" and i > 0:
+                # rotate each copy's vector by i positions: norm-preserving
+                # but decorrelating, so copies of the same vector are not
+                # cross-copy cosine near-dups (same fairness argument)
+                shifted = shifted.withColumn(
+                    "embedding",
+                    F.concat(F.slice("embedding", i + 1, 64 - i),
+                             F.slice("embedding", 1, i)))
             copies = shifted if copies is None else copies.unionByName(shifted)
         # fact keys shift identically on both sides (l_orderkey follows
         # o_orderkey), so joins keep matching while cardinality scales
@@ -65,12 +75,17 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     from airline_data_warehouse_spark.plans.registry import all_queries
+    from airline_data_warehouse_spark.operators.dedup import release_caches
     reg = all_queries()
     out = {}
     for name in PROBE_QUERIES:
         t0 = time.time()
         reg[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 2)
+        # operators persist signature-sized intermediates for their own
+        # self-joins; release between queries so one measurement never
+        # pays (or benefits from) another query's cache
+        release_caches()
     return out
 
 
@@ -82,8 +97,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     build_scaled(spark, factor, out_dir)
-    base = time_queries(spark, BASE)      # warm
+    base = time_queries(spark, BASE)        # warm-up pass (JVM/codegen/footers)
     base = time_queries(spark, BASE)
+    scaled = time_queries(spark, out_dir)   # warm-up pass for the scaled files
     scaled = time_queries(spark, out_dir)
     report = {
         "factor": factor,
