@@ -222,8 +222,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     for i, (off, w) in enumerate(simhash_chunks(SIMHASH_BITS, parts)):
         chunk = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
         chunk_cols.append(F.struct(F.lit(i).alias("part"), chunk.alias("chunk")))
-    banded = (sigs.withColumn("_bk", F.explode(F.array(*chunk_cols)))
-                  .select(id_col, "simhash", "_bk.part", "_bk.chunk"))
+    # persist: the self-join consumes the banded table twice, and the
+    # signature derivation (shingle md5 cascade + 60 bit-count sums) is
+    # the dominant cost — without the cache it runs once per join side
+    banded = _persist(sigs.withColumn("_bk", F.explode(F.array(*chunk_cols)))
+                          .select(id_col, "simhash", "_bk.part", "_bk.chunk"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.part") == F.col("b.part"))
                    & (F.col("a.chunk") == F.col("b.chunk"))

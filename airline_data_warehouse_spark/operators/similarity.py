@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from airline_data_warehouse_spark.operators.dedup import _persist
 from airline_data_warehouse_spark.operators.hashing import hyperplane_weights
 
 
@@ -38,13 +39,20 @@ def cosine(a: Column, b: Column) -> Column:
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k neighbors for each query (self-match excluded)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    """Exact cosine top-k neighbors for each query (self-match excluded).
+
+    Norms are hoisted into the per-side projections — computed once per
+    vector, not once per (query, neighbor) pair; same doubles, same
+    rounding, so results are bit-identical to the naive form."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       _norm(F.col(vec_col)).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      _norm(F.col(vec_col)).alias("cn"))
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("score")))
+                      F.round(_dot(F.col("qv"), F.col("cv"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -71,14 +79,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     hyperplane bucket. Recall trades against bucket size via n_planes."""
     bucketed = corpus.select(F.col(id_col).alias("neighbor_id"),
                              F.col(vec_col).alias("cv"),
+                             _norm(F.col(vec_col)).alias("cn"),
                              hyperplane_bucket(F.col(vec_col), n_planes, dims)
                              .alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       _norm(F.col(vec_col)).alias("qn"),
                        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"))
     scored = (F.broadcast(q).join(bucketed, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("score")))
+                      F.round(_dot(F.col("qv"), F.col("cv"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -124,7 +135,11 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     back by id. Replaces the r01 single-table design whose 2^8 buckets
     made the self-join quadratic in corpus/256."""
     keys = hyperplane_band_keys(F.col(vec_col), bands, rows_per_band, dims)
-    banded = (corpus.select(
+    # persist (dedup's cache registry, freed by dedup.release_caches):
+    # the self-join consumes the banded table twice, and the 32 hyperplane
+    # dot products per vector are the dominant cost — without the cache
+    # they run once per join side
+    banded = _persist(corpus.select(
         F.col(id_col),
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("band_key"))
                             for b, k in enumerate(keys)])).alias("bk"))
@@ -137,10 +152,14 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
              .select(F.col(f"a.{id_col}").alias("id1"),
                      F.col(f"b.{id_col}").alias("id2"))
              .distinct())
-    v1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    v2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    v1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                       _norm(F.col(vec_col)).alias("n1"))
+    v2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                       _norm(F.col(vec_col)).alias("n2"))
     return (cand.join(v1, "id1").join(v2, "id2")
-                .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("score"))
+                .select("id1", "id2",
+                        F.round(_dot(F.col("v1"), F.col("v2"))
+                                / (F.col("n1") * F.col("n2")), 6).alias("score"))
                 .filter(F.col("score") >= threshold))
 
 
@@ -182,10 +201,12 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     centroid (rounded score, list_id tie-break). Centroids broadcast; one
     window over the n_centroids-fanout — no shuffle of the corpus beyond
     the per-vector argmax."""
-    scored = (corpus.crossJoin(F.broadcast(centroids))
+    scored = (corpus.withColumn("_vn", _norm(F.col(vec_col)))
+              .crossJoin(F.broadcast(centroids.withColumn("_cn", _norm(F.col("centroid")))))
               .select(F.col(id_col), F.col(vec_col),
                       F.col("list_id"),
-                      cosine(F.col(vec_col), F.col("centroid")).alias("cscore")))
+                      F.round(_dot(F.col(vec_col), F.col("centroid"))
+                              / (F.col("_vn") * F.col("_cn")), 6).alias("cscore")))
     w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(),
                                            F.col("list_id").asc())
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -204,20 +225,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_probe: int = 3
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     qscored = (queries.select(F.col(id_col).alias("query_id"),
-                              F.col(vec_col).alias("qv"))
-               .crossJoin(F.broadcast(cents))
-               .select("query_id", "qv", "list_id",
-                       cosine(F.col("qv"), F.col("centroid")).alias("cscore")))
+                              F.col(vec_col).alias("qv"),
+                              _norm(F.col(vec_col)).alias("qn"))
+               .crossJoin(F.broadcast(cents.withColumn("_cn", _norm(F.col("centroid")))))
+               .select("query_id", "qv", "qn", "list_id",
+                       F.round(_dot(F.col("qv"), F.col("centroid"))
+                               / (F.col("qn") * F.col("_cn")), 6).alias("cscore")))
     wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
                                                 F.col("list_id").asc())
     probes = (qscored.withColumn("rn", F.row_number().over(wq))
                      .filter(F.col("rn") <= n_probe)
-                     .select("query_id", "qv", "list_id"))
+                     .select("query_id", "qv", "qn", "list_id"))
 
-    scored = (probes.join(assigned, "list_id")
+    scored = (probes.join(assigned.withColumn("_vn", _norm(F.col(vec_col))), "list_id")
               .filter(F.col("query_id") != F.col(id_col))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
-                      cosine(F.col("qv"), F.col(vec_col)).alias("score")))
+                      F.round(_dot(F.col("qv"), F.col(vec_col))
+                              / (F.col("qn") * F.col("_vn")), 6).alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
