@@ -1,0 +1,65 @@
+"""Deterministic sampling for large-scale corpus curation.
+
+`df.sample()` / `rand()` are partition-order-dependent: rerunning the
+same job after a repartition, a spec change, or on a different cluster
+yields a different sample, which poisons dataset reproducibility and
+ablation comparisons. Every sampler here derives its decision from a
+content hash (md5 → 31-bit, operators/hashing.py), so the same row
+always makes the same decision — on any engine, at any parallelism,
+at any scale. That also makes the samples DuckDB-oracle-checkable.
+
+The hash is salted so independent samples of the same table don't
+correlate (sampling 10% twice with different salts gives ~1% overlap,
+not the same 10%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.operators.hashing import MERSENNE_P, base_hash
+
+
+def _keyed_hash(key_col: str, salt: str):
+    return base_hash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str,
+                salt: str = "adw-sample") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose salted key hash
+    falls below fraction·(2³¹−1). Pure narrow filter — no shuffle, fully
+    pushdown-friendly, and the sampled set is stable under reruns and
+    repartitioning (unlike df.sample, which seeds per partition index).
+    """
+    return df.filter(_keyed_hash(key_col, salt) < int(fraction * MERSENNE_P))
+
+
+def stratified_quota(df: DataFrame, group_col: str, n_per_group: int,
+                     key_col: str, salt: str = "adw-strata") -> DataFrame:
+    """Exactly min(n, group size) rows per group, chosen deterministically:
+    rank rows within each group by (salted hash, key) and keep the first
+    n — the quota/domain-mixing sampler of a training-data pipeline
+    ("cap every source at N documents", "balance languages").
+
+    One shuffle keyed on the group column; skewed groups are bounded by
+    the rank cutoff itself (only n rows survive per group, and AQE
+    handles the pre-filter skew). The (hash, key) order is total, so the
+    selection is unique regardless of input order.
+    """
+    h = _keyed_hash(key_col, salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= n_per_group)
+              .drop("_rk"))
+
+
+def split_train_holdout(df: DataFrame, holdout_fraction: float, key_col: str,
+                        salt: str = "adw-split") -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) disjoint split on the salted key hash — the same
+    document can never leak across the boundary between reruns, which is
+    the property eval-set contamination audits need. Both sides are
+    filters over one scan; no shuffle."""
+    cut = int(holdout_fraction * MERSENNE_P)
+    h = _keyed_hash(key_col, salt)
+    return df.filter(h >= cut), df.filter(h < cut)

@@ -134,3 +134,31 @@ def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
                   .filter(F.col("rnk") <= top_n)
                   .select(id_col, "term", "tf", "tfidf",
                           F.col("rnk").cast("int").alias("rnk")))
+
+
+# PII patterns, written to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): plain character classes and counted repetition only —
+# no backreferences, no lookaround, no possessive quantifiers.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails/phones from a corpus before it becomes training data:
+    replace with [EMAIL] / [PHONE] placeholders and report per-document
+    match counts (the audit trail — curation pipelines gate on
+    "documents still containing PII after the scrub" = 0).
+
+    Pure regexp_replace / regexp_count Columns — single scan, no shuffle,
+    trivially linear at 100 TB. Real pipelines swap in stricter pattern
+    packs (or an NER model via mapInPandas); the operator shape —
+    redacted text + counts in one projection — stays the same."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL)).cast("int")
+    n_phones = F.regexp_count(text, F.lit(PII_PHONE)).cast("int")
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]")
+    return df.select(F.col(id_col),
+                     redacted.alias("redacted_text"),
+                     n_emails.alias("n_emails"),
+                     n_phones.alias("n_phones"))

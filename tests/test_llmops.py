@@ -213,3 +213,60 @@ def test_simhash_near_pairs_multiprobe(spark, near_dup_docs):
     expected = {(i, j) for i in sigs for j in sigs if i < j
                 and bin(sigs[i] ^ sigs[j]).count("1") <= budget}
     assert set(pairs) == expected  # pigeonhole blocking: full recall
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    from airline_data_warehouse_spark.operators import sampling as sp
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in sp.hash_sample(df, 0.2, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in sp.hash_sample(df, 0.2, "doc_id").collect()}
+    assert s1 == s2                      # rerun-stable
+    assert 250 <= len(s1) <= 550         # ~20% of 2000, binomial slack
+    # repartitioning must not change membership (the df.sample failure mode)
+    s3 = {r["doc_id"] for r in sp.hash_sample(df.repartition(13), 0.2, "doc_id").collect()}
+    assert s3 == s1
+    # a different salt gives an (almost surely) different sample
+    s4 = {r["doc_id"] for r in sp.hash_sample(df, 0.2, "doc_id", salt="other").collect()}
+    assert s4 != s1
+
+
+def test_stratified_quota_exact_counts(spark):
+    from airline_data_warehouse_spark.operators import sampling as sp
+    rows = [(i, "big" if i < 100 else "small") for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sp.stratified_quota(df, "source", 25, "doc_id").collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_group["big"]) == 25        # capped
+    assert len(by_group["small"]) == 10      # group smaller than quota
+    again = sp.stratified_quota(df, "source", 25, "doc_id").collect()
+    assert {(r["doc_id"], r["source"]) for r in again} == \
+           {(r["doc_id"], r["source"]) for r in got}
+
+
+def test_train_holdout_split_disjoint_total(spark):
+    from airline_data_warehouse_spark.operators import sampling as sp
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    train, hold = sp.split_train_holdout(df, 0.1, "doc_id")
+    tr = {r["doc_id"] for r in train.collect()}
+    ho = {r["doc_id"] for r in hold.collect()}
+    assert tr.isdisjoint(ho) and len(tr) + len(ho) == 1000
+    assert 50 <= len(ho) <= 160
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        (1, "reach me at jane.doe+spam@mail.example.org thanks"),
+        (2, "call +1 (555) 010-1234 or +44 (020) 555-9999 now"),
+        (3, "no pii here at all"),
+        (4, "two mails: a@b.io and c.d@e-f.co plus +1 (555) 010-0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and "[EMAIL]" in got[1]["redacted_text"]
+    assert "jane" not in got[1]["redacted_text"]
+    assert got[2]["n_phones"] == 2 and got[2]["redacted_text"].count("[PHONE]") == 2
+    assert got[3]["n_emails"] == 0 and got[3]["n_phones"] == 0
+    assert got[3]["redacted_text"] == "no pii here at all"
+    assert got[4]["n_emails"] == 2 and got[4]["n_phones"] == 1
