@@ -63,3 +63,36 @@ def split_train_holdout(df: DataFrame, holdout_fraction: float, key_col: str,
     cut = int(holdout_fraction * MERSENNE_P)
     h = _keyed_hash(key_col, salt)
     return df.filter(h >= cut), df.filter(h < cut)
+
+
+def sequence_packing_plan(df: DataFrame, token_col: str, key_col: str,
+                          context_len: int = 4096, n_shards: int = 64,
+                          salt: str = "adw-pack") -> DataFrame:
+    """Assign each document a (shard, bin, offset) slot for fixed-window
+    sequence packing — the concat-then-chunk layout LLM training jobs
+    use to fill context windows without padding waste.
+
+    Documents are sharded by salted key hash (n_shards independent
+    streams), then laid out head-to-tail in deterministic (hash, key)
+    order within their shard; bin = which context window the document
+    starts in, offset = its first token's position in that window.
+
+    The running total is a window cumsum PARTITIONED BY SHARD — never a
+    global orderBy-without-partitionBy, which would serialize the whole
+    corpus through one task. Shards are packed independently (standard
+    practice: each trainer data-loader consumes its own shard), so the
+    plan is one shuffle on the shard key and scales with n_shards.
+    Documents longer than the context simply span bins, as concat-then-
+    chunk dictates.
+    """
+    h = _keyed_hash(key_col, salt)
+    shard = (h % n_shards).alias("shard")
+    w = (Window.partitionBy("shard")
+               .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col))
+    return (df.select(F.col(key_col), F.col(token_col), h.alias("_h"), shard)
+              .withColumn("_start", start)
+              .select(F.col(key_col), F.col("shard").cast("int").alias("shard"),
+                      (F.col("_start") / context_len).cast("int").alias("bin"),
+                      (F.col("_start") % context_len).cast("int").alias("offset")))

@@ -270,3 +270,24 @@ def test_redact_pii_patterns(spark):
     assert got[3]["n_emails"] == 0 and got[3]["n_phones"] == 0
     assert got[3]["redacted_text"] == "no pii here at all"
     assert got[4]["n_emails"] == 2 and got[4]["n_phones"] == 1
+
+
+def test_sequence_packing_contiguous(spark):
+    """Within a shard, documents tile the token stream head-to-tail:
+    sorting by (bin, offset) reproduces a gapless prefix-sum layout."""
+    from airline_data_warehouse_spark.operators import sampling as sp
+    rows = [(i, 10 + (i * 7) % 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = sp.sequence_packing_plan(df, "n_tokens", "doc_id",
+                                   context_len=128, n_shards=4).collect()
+    toks = dict(rows)
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(got) == 60 and len(by_shard) > 1
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: (r["bin"], r["offset"]))
+        expected_start = 0
+        for r in members:
+            assert r["bin"] * 128 + r["offset"] == expected_start
+            expected_start += toks[r["doc_id"]]
