@@ -16,6 +16,7 @@ Oracle-parity conventions (see tools/check_correctness.py):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -68,22 +69,35 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # they sort into the validation window right after never-validated entries,
 # so the driver re-certifies the new plan.
 _REVALIDATE: tuple[str, ...] = (
-    # r02: rewritten as banded multi-table hyperplane LSH (similarity.py)
-    "dedup_embedding_cosine",
+    # r03: output representation changed to DOUBLE (r02 hash-fail fix)
+    "std_amount",
+    # r03: probe fan-out rewritten data-driven (codegen-overflow fix)
+    "string_similarity_join",
 )
 
 
-def _driver_validated() -> set[str]:
+@functools.lru_cache(maxsize=1)
+def _driver_validated() -> frozenset[str]:
     """Names already holding a green (rows+schema+hash) row in a committed
     CORRECTNESS_r*.json. The driver validates a bounded prefix of the
     registry per round, so ordering is validation *priority*: entries
     without a green row yet come first, letting successive rounds cover
-    the whole registry."""
+    the whole registry.
+
+    This is a dev-harness nicety, not library behavior: the artifacts are
+    only looked for under a directory that is verifiably this repo's
+    checkout (marker: SURVEY.md + tests/ next to the artifacts). Installed
+    as a site-package, the marker is absent and the set is empty — every
+    ordering tier collapses to plain registration order. Cached: the glob
+    + JSON parse runs once per process, not per all_queries() call."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if not (os.path.isfile(os.path.join(root, "SURVEY.md"))
+            and os.path.isdir(os.path.join(root, "tests"))):
+        return frozenset()
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -97,7 +111,7 @@ def _driver_validated() -> set[str]:
             if row.get("rows_match") and row.get("schema_match") is not False \
                     and row.get("hash_match") is not False:
                 green.add(name)
-    return green
+    return frozenset(green)
 
 
 def all_queries() -> dict[str, QueryDef]:

@@ -1003,6 +1003,29 @@ def approx_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_distinct_count",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    operators="A-approx",
+    description="Exact COUNT(DISTINCT) twin of approx_distinct_count: same "
+                "grouping, hash-checkable oracle — the driver-verifiable "
+                "companion for the HLL row (which stays rows-only by "
+                "nature). Spark plans this as a two-phase expand+agg; at "
+                "100 TB the HLL variant is the scale path.",
+)
+def exact_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count_distinct("o_custkey").alias("distinct_customers"),
+                 F.count("*").alias("n_orders")))
+
+
+@register(
     "asof_join_status",
     oracle="""
     WITH purchases AS (

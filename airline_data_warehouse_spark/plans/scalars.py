@@ -122,10 +122,10 @@ def std_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     "std_amount",
     oracle="""
     SELECT l_orderkey, l_linenumber, raw_amount,
-           CAST(COALESCE(TRY_CAST(regexp_extract(
+           CAST(CAST(COALESCE(TRY_CAST(regexp_extract(
                     regexp_replace(raw_amount, '[^0-9.\\-]', '', 'g'),
                     '^[+-]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)') AS DECIMAL(28,10)),
-                 0) AS DECIMAL(10,2)) AS amount
+                 0) AS DECIMAL(10,2)) AS DOUBLE) AS amount
     FROM (SELECT l_orderkey, l_linenumber,
                  CASE WHEN l_linenumber % 3 = 0
                       THEN '$' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
@@ -137,7 +137,9 @@ def std_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     operators="F4,F12",
     description="Amount standardizer: strip currency junk, parseFloat-prefix "
-                "semantics, bad → 0.00 (smartFileProcessor.js:391-394).",
+                "semantics, bad → 0.00 (smartFileProcessor.js:391-394). "
+                "Internal math stays DECIMAL; the final column is cast to "
+                "DOUBLE per the registry decimal→DOUBLE output convention.",
 )
 def std_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -147,7 +149,8 @@ def std_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("garbage")))
     return (li.select("l_orderkey", "l_linenumber", raw.alias("raw_amount"))
               .select("l_orderkey", "l_linenumber", "raw_amount",
-                      C.standardize_amount(F.col("raw_amount")).alias("amount")))
+                      C.standardize_amount(F.col("raw_amount"))
+                       .cast("double").alias("amount")))
 
 
 @register(

@@ -189,27 +189,64 @@ def eligibility_merge_batch(fact: DataFrame, status_batch: DataFrame) -> DataFra
                 .drop("_new_delay", "_new_status"))
 
 
+def _swap_partitions(spark, staging: str, dest_root: str, partition_col: str) -> None:
+    """Per-partition near-atomic swap via the Hadoop FileSystem API: each
+    fully-written staging partition directory replaces its destination twin
+    with two renames (dest → hidden ``.name.replaced``, staging → dest).
+    Renames are atomic on HDFS and local filesystems, and dot-prefixed
+    directories are invisible to Spark's parquet reader, so at every
+    instant each partition is either completely-old or completely-new —
+    never half-replaced. A crash between partitions leaves a mixed but
+    internally-consistent table, and the checkpointed retry of the
+    (idempotent) merge converges it. Object stores without atomic rename
+    (S3) should use a transactional format (Delta/Iceberg MERGE) instead;
+    this is the plain-parquet path for real filesystems.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(dest_root).getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = partition_col + "="
+    for status in fs.listStatus(hpath(staging)):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue  # _SUCCESS and friends
+        dest = hpath(dest_root, name)
+        backup = hpath(dest_root, f".{name}.replaced")
+        if fs.exists(backup):
+            fs.delete(backup, True)  # leftover from a crashed prior swap
+        if fs.exists(dest) and not fs.rename(dest, backup):
+            raise IOError(f"partition swap: rename {dest} -> {backup} failed")
+        if not fs.rename(status.getPath(), dest):
+            raise IOError(f"partition swap: rename into {dest} failed")
+        fs.delete(backup, True)
+    fs.delete(hpath(staging), True)
+
+
 def start_eligibility_merge(parsed: DataFrame, fact_path: str, checkpoint: str,
                             out_path: str | None = None,
                             partition_col: str = "sale_year_month"):
     """T5 wiring: per micro-batch, MERGE the eligibility flip into the
     fact (server.js:166-171 UPDATEs fact rows by flight_key).
 
-    Default path — partition-scoped in-place merge: the batch's eligible
-    flight keys are semi-joined against the fact to find the partitions
-    holding their rows, only those partitions are re-derived, and dynamic
-    partition overwrite commits just those directories. A 100 TB fact
-    with a handful of delayed flights per batch rewrites a few month
-    directories, not the table (same machinery as
-    Warehouse.upsert_fact_incremental). Batches with no eligible keys
-    touch nothing. A Delta MERGE drops in transparently here.
+    Default path — partition-scoped stage-then-swap merge: the batch's
+    eligible flight keys are semi-joined against the fact to find the
+    partitions holding their rows, only those partitions are re-derived,
+    and the merged result is fully materialized to a SIBLING staging
+    directory while the fact is still only being read. Only after the
+    staging write commits are the partition directories swapped, one
+    atomic rename pair at a time (see `_swap_partitions`) — a failure at
+    any point leaves every partition whole, unlike dynamic partition
+    overwrite which deletes destination directories mid-job. A 100 TB
+    fact with a handful of delayed flights per batch rewrites a few month
+    directories, not the table. Batches with no eligible keys touch
+    nothing. A Delta/Iceberg MERGE drops in transparently here and is the
+    recommended swap on object stores without atomic rename.
 
     Fallback — ``out_path`` given: the fact is unpartitioned, so the
-    merge rewrites the whole table to ``out_path`` (non-atomic swap is
-    the caller's concern). Kept for flat-layout callers; not the scale
-    path.
+    merge rewrites the whole table to ``out_path`` (never in-place).
+    Kept for flat-layout callers; not the scale path.
     """
-    def _merge(batch: DataFrame, _epoch: int) -> None:
+    def _merge(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
         fact = spark.read.parquet(fact_path)
         if out_path is not None:
@@ -227,13 +264,10 @@ def start_eligibility_merge(parsed: DataFrame, fact_path: str, checkpoint: str,
             return  # nothing eligible in this batch — zero writes
         affected = fact.join(F.broadcast(months), partition_col, "left_semi")
         merged = eligibility_merge_batch(affected, batch)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (merged.write.mode("overwrite")
-                   .partitionBy(partition_col).parquet(fact_path))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # stage (fact_path still read-only here), then swap
+        staging = f"{fact_path.rstrip('/')}__merge_staging_epoch={epoch}"
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        _swap_partitions(spark, staging, fact_path, partition_col)
 
     return (parsed.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)

@@ -5,13 +5,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes end-to-end via the `noop` sink (full plan runs, no
 driver-side collection skew). A small warm-up action amortizes JVM/codegen
-startup out of the first measurement.
+startup out of the first measurement, and each query is timed
+$SPARK_GRAFT_BENCH_RUNS times (default 3) with the MEDIAN reported —
+single-shot sub-second timings on a shared box are dominated by scheduler
+noise, which made round-over-round comparison untrustworthy.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -75,12 +79,16 @@ def main() -> None:
             pass  # warm-up must never sink the measurement run
         release_caches()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        registry[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_caches()  # per-query cache lifetime: no cross-query memory creep
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            registry[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            release_caches()  # per-query cache lifetime: no cross-query memory creep
+        timings[name] = round(statistics.median(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

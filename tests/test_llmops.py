@@ -104,8 +104,43 @@ def test_multimodal_sniff_and_decode(spark):
     assert decoded[2]["duration_ms"] is not None and decoded[2]["width"] is None
     assert decoded[1]["checksum"] != decoded[3]["checksum"]
 
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
-        mm.decode_media(media, deterministic_fake=False).collect()
+    # real mode on an image without Pillow installed raises, naming the dep
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|decoder"):
+        mm.decode_media(media.filter("media_type = 'image'"),
+                        deterministic_fake=False).collect()
+
+
+def test_multimodal_real_wav_decode(spark):
+    """The REAL decode path for audio: stdlib `wave` reads an actual WAV
+    payload end-to-end through the mapInPandas contract — 8000 frames at
+    16 kHz must come back as exactly 500 ms."""
+    import io
+    import wave as wavlib
+    buf = io.BytesIO()
+    with wavlib.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16_000)
+        wf.writeframes(bytes(8_000 * 2))
+    payload = buf.getvalue()
+    media = spark.createDataFrame([(1, bytearray(payload), "audio", "audio/wav")],
+                                  mm.MEDIA_SCHEMA)
+    row = mm.decode_media(media, deterministic_fake=False).collect()[0]
+    assert row["duration_ms"] == 500
+    assert row["width"] is None and row["n_bytes"] == len(payload)
+
+
+def test_multimodal_real_image_decode(spark):
+    """Real image decode via Pillow — runs wherever PIL is installed,
+    skips cleanly here (the import guard is the behavior under test)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (37, 23)).save(buf, format="PNG")
+    media = spark.createDataFrame([(1, bytearray(buf.getvalue()), "image", "image/png")],
+                                  mm.MEDIA_SCHEMA)
+    row = mm.decode_media(media, deterministic_fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (37, 23)
 
 
 def test_frame_sampling(spark):
@@ -197,6 +232,47 @@ def test_connected_components_chain_diameter(spark):
            for r in dd.connected_components(pairs, verts).collect()}
     dd.release_caches()
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_doubling_beats_diameter(spark):
+    """Pointer doubling converges a diameter-32 chain well inside 8
+    rounds (plain 1-hop propagation would need 32) — the O(log d) claim."""
+    n = 33
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "id1 long, id2 long")
+    verts = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dd.connected_components(pairs, verts, max_iter=8).collect()}
+    dd.release_caches()
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iter without the fixpoint raises instead of silently
+    returning split clusters (downstream dedup would keep duplicates)."""
+    n = 40
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "id1 long, id2 long")
+    verts = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, verts, max_iter=2)
+    dd.release_caches()
+
+
+def test_cache_scope_releases_only_own_tail(spark):
+    """cache_scope frees the caches created inside the block and leaves
+    pre-existing ones alone."""
+    outer = spark.range(3).persist()
+    dd._LIVE_CACHES.append(outer)
+    try:
+        with dd.cache_scope():
+            inner = spark.range(5)
+            dd._persist(inner)
+            inner.count()
+            assert inner.storageLevel.useMemory
+        assert not inner.storageLevel.useMemory     # released by the scope
+        assert outer in dd._LIVE_CACHES             # untouched
+        assert outer.storageLevel.useMemory
+    finally:
+        dd.release_caches()
 
 
 def test_simhash_near_pairs_multiprobe(spark, near_dup_docs):
