@@ -275,7 +275,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
-                         id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:
+                         id_col: str = "doc_id", max_iter: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """(id_col, cluster_id) for every vertex: cluster_id = the minimum id
     reachable through the pair graph — the canonical final step of a
     near-dup pipeline (pairs → duplicate clusters → keep one doc each).
@@ -309,21 +310,36 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     cluster where executor loss mid-query matters, swap in reliable
     `checkpoint()` with a checkpoint dir — same shape, durable blocks.
     """
+    # Edges are local-checkpointed, not just persisted: they're consumed
+    # once per round, so materializing once is right anyway. (The loop
+    # deliberately contains no Union: a round shaped as
+    # union(labels, neighbor_labels).groupBy.min trips a Catalyst
+    # constraint-rewrite crash — NoSuchElementException in
+    # Union.rewriteConstraints — once the loop's self-referencing
+    # lineage carries inferred constraints, e.g. from spark.range
+    # sources. The join+least formulation below is equivalent and
+    # constraint-safe.)
     edges = (pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
                   .unionByName(pairs.select(F.col("id2").alias("src"),
-                                            F.col("id1").alias("dst"))))
-    _persist(edges)
+                                            F.col("id1").alias("dst")))
+                  .localCheckpoint(eager=True))
     labels = (vertices.select(F.col(id_col).alias("v"),
                               F.col(id_col).cast("long").alias("label"))
                       .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = prev_sum is None  # empty vertex set is trivially converged
+    rounds = 0
     for _ in range(max_iter):
-        # 1-hop: min over neighborhood
-        nbr = (edges.join(labels, edges["src"] == labels["v"])
-                    .select(F.col("dst").alias("v"), F.col("label")))
-        hop = (labels.unionByName(nbr)
-                     .groupBy("v").agg(F.min("label").alias("label")))
+        rounds += 1
+        # 1-hop: per-vertex min over incoming neighbor labels, folded
+        # into the vertex's own label with a left join + least
+        nbr_min = (edges.join(labels, edges["src"] == labels["v"])
+                        .groupBy("dst").agg(F.min("label").alias("_nl")))
+        hop = (labels.join(nbr_min, labels["v"] == nbr_min["dst"], "left")
+                     .select(F.col("v"),
+                             F.least(F.col("label"),
+                                     F.coalesce(F.col("_nl"), F.col("label")))
+                              .alias("label")))
         # pointer doubling: v's label <- min(label, label(label)). Every
         # label is itself a vertex id, so the lookup is a self-join.
         x, y = hop.alias("x"), hop.alias("y")
@@ -340,6 +356,8 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
             converged = True
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "

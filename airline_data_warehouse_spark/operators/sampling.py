@@ -65,6 +65,30 @@ def split_train_holdout(df: DataFrame, holdout_fraction: float, key_col: str,
     return df.filter(h >= cut), df.filter(h < cut)
 
 
+def deterministic_shuffle(df: DataFrame, key_col: str, n_shards: int = 64,
+                          salt: str = "adw-shuffle") -> DataFrame:
+    """Global training-order shuffle without a global sort: every row gets
+    a (shard, pos) address — shard = salted key hash mod n_shards, pos =
+    its rank within the shard by (hash, key). Reading shards round-robin
+    (or shard-per-data-loader) replays one fixed uniform-random
+    permutation of the corpus: rerun-stable, repartition-stable, and
+    resumable from any (shard, pos) checkpoint, none of which
+    ``df.orderBy(rand())`` gives.
+
+    The plan is ONE shuffle on the shard key plus a per-shard window
+    rank — a global orderBy would serialize the corpus through a single
+    range-partitioned sort, while this scales with n_shards (each shard
+    sorts ~corpus/n_shards rows independently). The (hash, key) order is
+    total, so pos is unique and deterministic.
+    """
+    h = _keyed_hash(key_col, salt)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (df.withColumn("_h", h)
+              .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+              .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+              .drop("_h"))
+
+
 def sequence_packing_plan(df: DataFrame, token_col: str, key_col: str,
                           context_len: int = 4096, n_shards: int = 64,
                           salt: str = "adw-pack") -> DataFrame:

@@ -136,6 +136,79 @@ def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
                           F.col("rnk").cast("int").alias("rnk")))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     top_frac_cutoff: float = 0.10,
+                     distinct_frac_cutoff: float = 0.50) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rule
+    family: drop documents dominated by repeated n-grams — boilerplate,
+    keyword stuffing, generation loops). Per document, over word
+    bigrams: total count, distinct fraction, and the fraction of mass
+    taken by the single most frequent bigram; verdict 'filter' when the
+    top bigram exceeds ``top_frac_cutoff`` or the distinct fraction
+    falls below ``distinct_frac_cutoff``.
+
+    Shape: zip_with over two shifted slices builds the bigram array
+    in-row (native Columns), explode → count per (doc, bigram) →
+    re-aggregate per doc. Both aggregations are partial-agg friendly and
+    keyed on (doc_id, bigram) then doc_id — no skew surface beyond
+    pathological single-doc token counts, which the explode distributes
+    across whatever partitioning the scan chose.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    bigrams = F.zip_with(F.slice(toks, 1, n - 1),
+                         F.slice(toks, 2, n - 1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    per_bigram = (df.filter(F.size(_tokens(F.col(text_col))) >= 2)
+                    .select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+                    .groupBy(id_col, "bigram").agg(F.count("*").alias("cnt")))
+    per_doc = (per_bigram.groupBy(id_col)
+               .agg(F.sum("cnt").alias("_total"),
+                    F.max("cnt").alias("_top"),
+                    F.count("*").alias("_distinct")))
+    total = F.col("_total").cast("double")
+    top_frac = F.round(F.col("_top") / total, 6)
+    distinct_frac = F.round(F.col("_distinct") / total, 6)
+    return per_doc.select(
+        F.col(id_col),
+        F.col("_total").cast("int").alias("n_bigrams"),
+        top_frac.alias("top_bigram_frac"),
+        distinct_frac.alias("distinct_bigram_frac"),
+        F.when((top_frac > top_frac_cutoff)
+               | (distinct_frac < distinct_frac_cutoff), "filter")
+         .otherwise("keep").alias("verdict"))
+
+
+def ngram_overlap_join(corpus: DataFrame, benchmark: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       bench_id_col: str = "bench_id",
+                       k: int = 9, min_shared: int = 5) -> DataFrame:
+    """Benchmark-contamination detector: (bench_id, doc_id,
+    n_shared_shingles) for every corpus document sharing at least
+    ``min_shared`` distinct character k-gram hashes with a benchmark
+    document — the decontamination step every training-data pipeline
+    runs before an eval is trustworthy (cf. GPT-3 appendix C / PaLM
+    n-gram overlap checks).
+
+    Shape: both sides become (id, shingle_hash) via explode of the
+    hashed shingle set, the join is an equi-join on the 31-bit hash
+    (an inverted index, never corpus × benchmark), and the pair count
+    re-aggregates on (bench_id, doc_id). The benchmark side is tiny by
+    nature (eval sets are thousands of rows, the corpus is the 100 TB
+    side) so its exploded index broadcasts; candidate volume is bounded
+    by true shingle collisions, the same argument as MinHash banding.
+    """
+    from airline_data_warehouse_spark.operators.hashing import hashed_shingle_set
+    c = (corpus.select(F.col(id_col),
+                       F.explode(hashed_shingle_set(F.col(text_col), k)).alias("sh")))
+    b = (benchmark.select(F.col(bench_id_col),
+                          F.explode(hashed_shingle_set(F.col(text_col), k)).alias("sh")))
+    return (c.join(F.broadcast(b), "sh")
+             .groupBy(bench_id_col, id_col)
+             .agg(F.count("*").alias("n_shared_shingles"))
+             .filter(F.col("n_shared_shingles") >= min_shared))
+
+
 # PII patterns, written to behave identically under Java regex (Spark)
 # and RE2 (DuckDB): plain character classes and counted repetition only —
 # no backreferences, no lookaround, no possessive quantifiers.

@@ -367,3 +367,48 @@ def test_sequence_packing_contiguous(spark):
         for r in members:
             assert r["bin"] * 128 + r["offset"] == expected_start
             expected_start += toks[r["doc_id"]]
+
+
+def test_repetition_stats_filters_loops(spark):
+    """A generation-loop document gets 'filter'; diverse text keeps."""
+    docs = spark.createDataFrame([
+        (1, "buy now " * 30),                      # one bigram dominates
+        (2, "the quick brown fox jumps over a lazy dog near the old river bank "
+            "while birds sing softly in tall green trees during early spring"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.repetition_stats(docs).collect()}
+    assert got[1]["verdict"] == "filter" and got[1]["top_bigram_frac"] > 0.4
+    assert got[2]["verdict"] == "keep" and got[2]["distinct_bigram_frac"] > 0.9
+
+
+def test_ngram_overlap_join_finds_contamination(spark):
+    """A doc embedding a benchmark passage is flagged; unrelated docs are
+    not; counts equal the distinct shared 9-gram hashes."""
+    passage = "the capital of france is paris and the seine flows through it"
+    corpus = spark.createDataFrame([
+        (1, f"intro text then {passage} then trailing content"),
+        (2, "completely unrelated words about spark shuffles and parquet files"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([(100, passage)], "bench_id long, text string")
+    got = {(r["bench_id"], r["doc_id"]): r["n_shared_shingles"]
+           for r in tx.ngram_overlap_join(corpus, bench, min_shared=5).collect()}
+    assert (100, 1) in got and got[(100, 1)] >= len(passage) - 8 - 5
+    assert (100, 2) not in got
+
+
+def test_deterministic_shuffle_stable_and_dense(spark):
+    """(shard, pos) is a dense 0..n-1 rank per shard and identical across
+    repartitionings — the reproducible-training-order contract."""
+    from airline_data_warehouse_spark.operators import sampling as sp
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in sp.deterministic_shuffle(df, "doc_id", n_shards=8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in sp.deterministic_shuffle(df.repartition(13), "doc_id",
+                                           n_shards=8).collect()}
+    assert a == b and len(a) == 500
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions)))
