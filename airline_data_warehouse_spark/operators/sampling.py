@@ -89,6 +89,76 @@ def deterministic_shuffle(df: DataFrame, key_col: str, n_shards: int = 64,
               .drop("_h"))
 
 
+def source_mixing_plan(df: DataFrame, source_col: str, token_col: str,
+                       budget_docs: int) -> DataFrame:
+    """Temperature-based source mixing (the DoReMi/multilingual-sampling
+    family with T=2, i.e. weight ∝ sqrt(n)): per source, document/token
+    tallies, a normalized mixing weight, and an integer document quota
+    that sums exactly to ``budget_docs`` via largest-remainder rounding
+    (deterministic tie-break on fractional part desc, source asc).
+
+    sqrt is the one power function IEEE guarantees correctly rounded, so
+    the weights are bit-identical on any engine; the normalizing sum and
+    the remainder ranking run as exact DECIMAL arithmetic (a float sum is
+    order-dependent and would break cross-engine determinism).
+
+    Scale shape: one aggregation keyed on source collapses the corpus to
+    |sources| rows; every window after that runs over that tiny frame,
+    not corpus rows, so the un-partitioned windows are safe by
+    construction.
+    """
+    per_src = (df.groupBy(source_col)
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum(F.col(token_col)).alias("n_tokens")))
+    w = F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast("decimal(18,6)")
+    scored = per_src.withColumn("_w", w)
+    tot = Window.partitionBy()
+    # divide as doubles (correctly rounded) over exact decimal operands —
+    # decimal/decimal division scale rules differ across engines
+    weight = F.col("_w").cast("double") / F.sum("_w").over(tot).cast("double")
+    quota_real = F.round(weight, 6) * budget_docs
+    with_quota = (scored
+                  .withColumn("mix_weight", F.round(weight, 6))
+                  .withColumn("_floor", F.floor(quota_real).cast("int"))
+                  .withColumn("_frac", F.round(quota_real - F.floor(quota_real), 6)))
+    rank_w = Window.partitionBy().orderBy(F.col("_frac").desc(),
+                                          F.col(source_col).asc())
+    leftover = budget_docs - F.sum("_floor").over(tot)
+    return (with_quota
+            .withColumn("_rk", F.row_number().over(rank_w))
+            .select(F.col(source_col).alias("source"),
+                    F.col("n_docs").cast("int").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("mix_weight"),
+                    (F.col("_floor")
+                     + F.when(F.col("_rk") <= leftover, 1).otherwise(0))
+                    .cast("int").alias("quota_docs")))
+
+
+def token_budget_sample(df: DataFrame, source_col: str, token_col: str,
+                        key_col: str, budget_tokens: int,
+                        salt: str = "adw-budget") -> DataFrame:
+    """Per-source token-budget selection: walk each source's documents in
+    deterministic (salted hash, key) order and keep rows while the
+    running token total stays within ``budget_tokens`` — the "cap every
+    source at N tokens" step of corpus mixing, where quotas are token
+    counts, not document counts (stratified_quota's unit).
+
+    One shuffle keyed on source + a per-source window cumsum; the keep
+    rule is cumulative-including-current <= budget, so the selection is a
+    prefix of the per-source order and rerun/repartition-stable.
+    """
+    h = _keyed_hash(key_col, salt)
+    w = (Window.partitionBy(source_col)
+               .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_h", h)
+              .withColumn("cum_tokens",
+                          F.sum(F.col(token_col)).over(w).cast("long"))
+              .filter(F.col("cum_tokens") <= budget_tokens)
+              .drop("_h"))
+
+
 def sequence_packing_plan(df: DataFrame, token_col: str, key_col: str,
                           context_len: int = 4096, n_shards: int = 64,
                           salt: str = "adw-pack") -> DataFrame:

@@ -209,6 +209,72 @@ def ngram_overlap_join(corpus: DataFrame, benchmark: DataFrame,
              .filter(F.col("n_shared_shingles") >= min_shared))
 
 
+def boilerplate_ngram_stats(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 5,
+                            min_docs: int = 3) -> DataFrame:
+    """C4-style boilerplate detector, corpus-level then per-document: a
+    word n-gram is boilerplate when it appears in >= ``min_docs``
+    distinct documents (navigation chrome, license headers, templated
+    sentences); each document then reports how much of its n-gram mass
+    is boilerplate.
+
+    Shape: one explode of the in-row n-gram array feeds both sides —
+    document frequency (distinct doc count per n-gram) and per-doc
+    occurrence counts — joined back on the n-gram key. The join is a
+    plain n-gram-keyed equi-join, NOT a broadcast: at corpus scale the
+    boilerplate set is proportional to template diversity and can be
+    arbitrarily large. All aggregations are partial-agg friendly.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    exploded = (df.filter(F.size(_tokens(F.col(text_col))) >= n)
+                  .select(F.col(id_col), F.explode(grams).alias("ngram")))
+    per_doc_gram = exploded.groupBy(id_col, "ngram").agg(F.count("*").alias("cnt"))
+    docfreq = (per_doc_gram.groupBy("ngram")
+               .agg(F.count("*").alias("df"))
+               .filter(F.col("df") >= min_docs)
+               .select("ngram"))
+    flagged = (per_doc_gram.join(docfreq.withColumn("_bp", F.lit(1)),
+                                 "ngram", "left"))
+    out = (flagged.groupBy(id_col)
+           .agg(F.sum("cnt").alias("_total"),
+                F.sum(F.when(F.col("_bp") == 1, F.col("cnt")).otherwise(0))
+                 .alias("_bp_cnt")))
+    frac = F.round(F.col("_bp_cnt").cast("double") / F.col("_total"), 6)
+    return out.select(
+        F.col(id_col),
+        F.col("_total").cast("int").alias("n_ngrams"),
+        F.col("_bp_cnt").cast("int").alias("n_boilerplate"),
+        frac.alias("boilerplate_frac"))
+
+
+def source_overlap_matrix(df: DataFrame, text_col: str = "text",
+                          source_col: str = "source", k: int = 9) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source
+    pair, the number of distinct character k-gram hashes present in both
+    sources — the corpus-level audit run before mixing sources ("how
+    much of src_b is already in src_a?").
+
+    Shape: the corpus collapses to distinct (source, shingle_hash) rows
+    first (one agg, mass bounded by vocabulary not corpus size), then a
+    hash-keyed self-join restricted to source_a < source_b, then one
+    count per pair. Output cardinality is |sources|² — tiny. Never an
+    all-pairs document comparison.
+    """
+    from airline_data_warehouse_spark.operators.hashing import hashed_shingle_set
+    sh = (df.select(F.col(source_col).alias("src"),
+                    F.explode(hashed_shingle_set(F.col(text_col), k)).alias("sh"))
+            .distinct())
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.src") < F.col("b.src")))
+             .groupBy(F.col("a.src").alias("source_a"),
+                      F.col("b.src").alias("source_b"))
+             .agg(F.count("*").alias("n_shared_shingles")))
+
+
 # PII patterns, written to behave identically under Java regex (Spark)
 # and RE2 (DuckDB): plain character classes and counted repetition only —
 # no backreferences, no lookaround, no possessive quantifiers.

@@ -412,3 +412,71 @@ def test_deterministic_shuffle_stable_and_dense(spark):
         by_shard.setdefault(shard, []).append(pos)
     for shard, positions in by_shard.items():
         assert sorted(positions) == list(range(len(positions)))
+
+
+def test_source_mixing_quotas_sum_to_budget(spark):
+    """Quotas are largest-remainder integers summing exactly to the
+    budget; weights follow sqrt(n) temperature scaling."""
+    from airline_data_warehouse_spark.operators import sampling as sp
+    rows = [(i, f"s{i % 3}", 100 + i) for i in range(60)]  # 20/20/20 split
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = sp.source_mixing_plan(df, "source", "n_chars", budget_docs=100).collect()
+    assert sum(r["quota_docs"] for r in got) == 100
+    assert all(abs(r["mix_weight"] - 1 / 3) < 1e-5 for r in got)
+    skew = df.union(spark.createDataFrame(
+        [(100 + i, "s0", 50) for i in range(60)],
+        "doc_id long, source string, n_chars long"))
+    g2 = {r["source"]: r for r in
+          sp.source_mixing_plan(skew, "source", "n_chars", 100).collect()}
+    # sqrt damping: s0 has 4x the docs of s1 but only 2x the weight
+    assert abs(g2["s0"]["mix_weight"] / g2["s1"]["mix_weight"] - 2.0) < 1e-4
+    assert sum(r["quota_docs"] for r in g2.values()) == 100
+
+
+def test_token_budget_sample_prefix_property(spark):
+    """Selection is a per-source prefix of the salted-hash order and the
+    kept running total never exceeds the budget."""
+    from airline_data_warehouse_spark.operators import sampling as sp
+    rows = [(i, f"s{i % 2}", 30) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = sp.token_budget_sample(df, "source", "n_tok", "doc_id",
+                                 budget_tokens=100).collect()
+    by_src: dict[str, list] = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, kept in by_src.items():
+        assert max(r["cum_tokens"] for r in kept) <= 100
+        assert len(kept) == 3  # floor(100/30) per source
+    # determinism across repartition
+    again = sp.token_budget_sample(df.repartition(7), "source", "n_tok",
+                                   "doc_id", budget_tokens=100).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+
+
+def test_boilerplate_ngram_stats(spark):
+    """A 5-gram shared by >= 3 docs is boilerplate; unique text is not."""
+    chrome = "all rights reserved by the site owner"
+    uniq = ["alpha beta gamma delta epsilon zeta", "one two three four five six",
+            "red green blue yellow purple orange"]
+    docs = spark.createDataFrame(
+        [(i, f"{u} {chrome}") for i, u in enumerate(uniq)] + [(99, uniq[0])],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.boilerplate_ngram_stats(docs, n=5, min_docs=3).collect()}
+    assert all(got[i]["n_boilerplate"] > 0 for i in range(3))
+    assert got[99]["n_boilerplate"] == 0 and got[99]["boilerplate_frac"] == 0.0
+    # the shared chrome contributes the same count to each host doc
+    assert len({got[i]["n_boilerplate"] for i in range(3)}) == 1
+
+
+def test_source_overlap_matrix_counts_shared_shingles(spark):
+    """Sources sharing a passage have a large shared-shingle count;
+    disjoint sources don't appear at all."""
+    shared = "this exact passage appears in two different corpus sources verbatim"
+    docs = spark.createDataFrame([
+        (1, "a", shared), (2, "b", shared + " plus extra words"),
+        (3, "c", "entirely disjoint content with no common substrings here"),
+    ], "doc_id long, source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared_shingles"]
+           for r in tx.source_overlap_matrix(docs, source_col="source").collect()}
+    assert got[("a", "b")] >= len(shared) - 8
+    assert not any("c" in k for k in got)
