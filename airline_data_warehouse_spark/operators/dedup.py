@@ -289,7 +289,11 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     alone needs diameter-many rounds; the doubling step halves the
     remaining pointer chains each round, so chains converge in O(log d)
     rounds — a 1000-link near-dup chain (templated docs edited
-    incrementally) finishes in ~10 rounds, not 1000.
+    incrementally) finishes in ~13 rounds, not 1000. The doubling
+    self-join only engages after 3 hop-only rounds fail to converge:
+    real near-dup components are almost always diameter 1-2, where
+    shortcutting has nothing to shortcut and would just add a shuffle
+    per round.
 
     Labels only ever decrease, so sum(label) is strictly monotone until
     the fixpoint — convergence is one cheap aggregate per round, no
@@ -301,14 +305,16 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     Driver involvement is one float per round (the convergence sum), not
     per-row data; each round is a distributed shuffle-join keyed on the
     vertex id. Each round's label table is local-checkpointed: the round
-    body references the previous labels FOUR times (the neighbor join,
-    the union, and both sides of the doubling self-join), so without
-    lineage truncation the logical plan grows ~4× per round and the
-    driver OOMs just *printing* it by round 6. localCheckpoint keeps the
-    per-round plan constant-size (label blocks live on executors and are
-    GC'd by the ContextCleaner when the round's frame drops). On a
-    cluster where executor loss mid-query matters, swap in reliable
-    `checkpoint()` with a checkpoint dir — same shape, durable blocks.
+    body references the previous labels several times (the neighbor
+    join, the fold, and both sides of the doubling self-join once it
+    engages), so without lineage truncation the logical plan grows
+    multiplicatively per round and the driver OOMs just *printing* it by
+    round 6. The checkpoint is LAZY — the convergence aggregate is the
+    action that materializes it, so each round costs exactly one job.
+    Label blocks live on executors and are GC'd by the ContextCleaner
+    when the round's frame drops. On a cluster where executor loss
+    mid-query matters, swap in reliable `checkpoint()` with a
+    checkpoint dir — same shape, durable blocks.
     """
     # Edges are local-checkpointed, not just persisted: they're consumed
     # once per round, so materializing once is right anyway. (The loop
@@ -325,10 +331,14 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                   .localCheckpoint(eager=True))
     labels = (vertices.select(F.col(id_col).alias("v"),
                               F.col(id_col).cast("long").alias("label"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = prev_sum is None  # empty vertex set is trivially converged
     rounds = 0
+    # Pointer doubling engages only once plain hops have run 3 rounds
+    # without converging (a long-chain graph): near-dup components are
+    # overwhelmingly diameter 1-2, where the doubling self-join is a
+    # pure per-round cost that can never shortcut anything.
     for _ in range(max_iter):
         rounds += 1
         # 1-hop: per-vertex min over incoming neighbor labels, folded
@@ -340,16 +350,21 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                              F.least(F.col("label"),
                                      F.coalesce(F.col("_nl"), F.col("label")))
                               .alias("label")))
-        # pointer doubling: v's label <- min(label, label(label)). Every
-        # label is itself a vertex id, so the lookup is a self-join.
-        x, y = hop.alias("x"), hop.alias("y")
-        new_labels = (
-            x.join(y, F.col("x.label") == F.col("y.v"), "left")
-             .select(F.col("x.v").alias("v"),
-                     F.least(F.col("x.label"),
-                             F.coalesce(F.col("y.label"), F.col("x.label")))
-                      .alias("label"))
-             .localCheckpoint(eager=True))
+        if rounds > 3:
+            # pointer doubling: v's label <- min(label, label(label)).
+            # Every label is itself a vertex id, so the lookup is a
+            # self-join — worth its shuffle only on deep chains.
+            x, y = hop.alias("x"), hop.alias("y")
+            hop = (x.join(y, F.col("x.label") == F.col("y.v"), "left")
+                    .select(F.col("x.v").alias("v"),
+                            F.least(F.col("x.label"),
+                                    F.coalesce(F.col("y.label"),
+                                               F.col("x.label")))
+                             .alias("label")))
+        # lazy checkpoint: the convergence aggregate below is the action
+        # that materializes this round's blocks — one job per round, not
+        # a checkpoint job plus a sum job
+        new_labels = hop.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:

@@ -133,17 +133,37 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     rows_per_band), not bucket². Pairs colliding in several bands are
     deduplicated BEFORE the exact-cosine verify, which joins the vectors
     back by id. Replaces the r01 single-table design whose 2^8 buckets
-    made the self-join quadratic in corpus/256."""
-    keys = hyperplane_band_keys(F.col(vec_col), bands, rows_per_band, dims)
+    made the self-join quadratic in corpus/256.
+
+    The plane dot products run ONCE per vector as a single dots-array
+    projection BELOW the band explode (the Generate operator's child
+    evaluates `_dots` once; band keys are computed per band row from the
+    passed-through array). The earlier per-key formulation built an
+    independent fold expression per plane, which the interpreted HOF
+    path re-evaluated per band key — 2× slower measured at sf0.1, worse
+    as bands grow. Fold order and rounding are unchanged, so keys stay
+    bit-identical to the SQL oracle's."""
+    planes = hyperplane_weights(bands * rows_per_band, dims)
+    plane_mat = F.array(*[F.array(*[F.lit(float(x)) for x in w]) for w in planes])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dots = F.transform(plane_mat, lambda p: F.round(
+        F.aggregate(F.zip_with(F.col("_vd"), p, lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x), 9))
+    key = F.lit(0)
+    for r in range(rows_per_band):
+        key = key + F.when(
+            F.element_at(F.col("_dots"), F.col("band") * rows_per_band + r + 1) > 0,
+            F.lit(1 << r)).otherwise(F.lit(0))
     # persist (dedup's cache registry, freed by dedup.release_caches):
-    # the self-join consumes the banded table twice, and the 32 hyperplane
-    # dot products per vector are the dominant cost — without the cache
-    # they run once per join side
-    banded = _persist(corpus.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("band_key"))
-                            for b, k in enumerate(keys)])).alias("bk"))
-        .select(id_col, "bk.band", "bk.band_key"))
+    # the self-join consumes the banded table twice — without the cache
+    # the dot products run once per join side
+    banded = _persist(
+        corpus.withColumn("_vd", vec_d)
+              .withColumn("_dots", dots)
+              .select(F.col(id_col), F.col("_dots"),
+                      F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+              .select(id_col, F.col("band").cast("int").alias("band"),
+                      key.alias("band_key")))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
