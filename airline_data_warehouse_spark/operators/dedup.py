@@ -127,6 +127,24 @@ def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               .select(F.col(id_col), hashed_shingle_set(F.col(text_col), k).alias("hs")))
 
 
+def minhash_band_table(shingle_sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key) LSH band table from a `shingled` frame: the
+    N_HASHES min-hash signature split into LSH_BANDS bands of BAND_ROWS
+    rows, one row per (doc, band). This is the frame a production
+    pipeline materializes as its signature store — dedup against it
+    never rescans corpus text."""
+    sig = shingle_sets.select(
+        id_col, *[c.alias(f"h{i}") for i, c in
+                  enumerate(minhash_signature(F.col("hs")))])
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"h{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.concat_ws("_", *cols).alias("band_key")))
+    return (sig.select(id_col, F.explode(F.array(*bands)).alias("bk"))
+               .select(id_col, "bk.band", "bk.band_key"))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
                            shingle_sets: DataFrame | None = None) -> DataFrame:
@@ -138,20 +156,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     volume scales with bucket collisions, not corpus^2.
     """
     sh = shingled(df, text_col, id_col, k) if shingle_sets is None else shingle_sets
-    sig = sh.select(id_col, *[c.alias(f"h{i}") for i, c in
-                              enumerate(minhash_signature(F.col("hs")))])
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"h{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)]
-        bands.append(F.struct(F.lit(b).alias("band"),
-                              F.concat_ws("_", *cols).alias("band_key")))
     # Persist the exploded band table: the self-join would otherwise
     # evaluate the whole shingle->md5->signature subtree twice. This is
     # the scale-safe thing to cache - LSH_BANDS rows x ~50 bytes per doc,
     # orders of magnitude smaller than the corpus (at warehouse scale
     # you'd materialize signatures as a table instead).
-    exploded = _persist(sig.select(id_col, F.explode(F.array(*bands)).alias("bk"))
-                           .select(id_col, "bk.band", "bk.band_key"))
+    exploded = _persist(minhash_band_table(sh, id_col))
     a = exploded.alias("a")
     b_ = exploded.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -180,6 +190,45 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                 .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id1", "id2", "jaccard"))
+
+
+def incremental_minhash_pairs(corpus: DataFrame, increment: DataFrame,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              k: int = DEFAULT_SHINGLE_K,
+                              threshold: float = 0.6) -> DataFrame:
+    """(inc_id, corpus_id, jaccard): increment documents that near-
+    duplicate an EXISTING corpus document — the dedup shape a production
+    ingest actually runs daily. A self-join over corpus+increment would
+    re-candidate the whole historical corpus against itself on every
+    batch; this joins only increment bands against corpus bands, so
+    per-batch cost scales with |increment| × collision rate, not
+    |corpus|².
+
+    At warehouse scale the corpus band table is the persisted signature
+    store (see minhash_band_table) and only the increment side is
+    shingled fresh; here both derive from their frames. The band join
+    shuffles on (band, band_key) — when the increment is small relative
+    to shuffle cost, broadcast it by hinting the caller's frame.
+    Increment-internal duplicates are NOT reported (run
+    ngram_jaccard_pairs within the batch for those).
+    """
+    csh = _persist(shingled(corpus, text_col, id_col, k))
+    ish = _persist(shingled(increment, text_col, id_col, k))
+    cbands = minhash_band_table(csh, id_col).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_key")
+    ibands = minhash_band_table(ish, id_col).select(
+        F.col(id_col).alias("inc_id"), "band", "band_key")
+    cand = (ibands.join(cbands, ["band", "band_key"])
+                  .select("inc_id", "corpus_id")
+                  .distinct())
+    s1 = ish.select(F.col(id_col).alias("inc_id"), F.col("hs").alias("sh1"))
+    s2 = csh.select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (cand.join(s1, "inc_id").join(s2, "corpus_id")
+                .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("inc_id", "corpus_id", "jaccard"))
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",

@@ -209,6 +209,53 @@ def ngram_overlap_join(corpus: DataFrame, benchmark: DataFrame,
              .filter(F.col("n_shared_shingles") >= min_shared))
 
 
+# Hand-set logistic weights for model_quality_score — the shape of a
+# fastText/linear quality classifier with the learned weights stubbed as
+# literals (swap in trained coefficients; the plan is identical).
+QUALITY_MODEL_WEIGHTS = {"bias": -3.0, "stopword_ratio": 6.0,
+                         "alpha_ratio": 2.0, "ln1p_tokens": 0.5}
+
+
+def model_quality_score(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality scoring: a logistic model over the handcrafted
+    features (stopword ratio, alphabetic ratio, log token count) — the
+    classifier-scoring stage of a curation pipeline (CCNet/fastText
+    style), with fixed literal weights standing in for learned ones.
+
+    Everything is native Columns in one linear scan — at 100 TB this is
+    a pure map with no shuffle. The logit is NOT rounded: its inputs are
+    identical doubles on every engine (exact-int ratios and a 6-dp-
+    rounded ln), and +/× are IEEE-correctly-rounded, so the logit is
+    bit-identical without help — while rounding it WOULD break parity
+    (weights like 0.5 turn 6-dp features into exact 7-decimal halves,
+    where Spark's shortest-repr HALF_UP and DuckDB's binary rounding
+    disagree). Only ln and the final sigmoid get a 6-dp round, where the
+    cross-engine ulp of the transcendental is the only divergence left.
+    """
+    text = F.col(text_col)
+    toks = _tokens(F.lower(text))
+    n_tokens = F.size(toks).cast("int")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("int")
+    n_chars = F.length(text).cast("int")
+    n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("int")
+    f_stop = F.round(n_stop.cast("double") / n_tokens, 6)
+    f_alpha = F.round(n_alpha.cast("double") / n_chars, 6)
+    f_lntok = F.round(F.log(F.lit(1.0) + n_tokens), 6)
+    w = QUALITY_MODEL_WEIGHTS
+    z = (F.lit(w["bias"]) + F.lit(w["stopword_ratio"]) * f_stop
+         + F.lit(w["alpha_ratio"]) * f_alpha
+         + F.lit(w["ln1p_tokens"]) * f_lntok)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (df.filter(F.length(F.trim(text)) > 0)
+              .select(F.col(id_col),
+                      f_stop.alias("f_stopword"), f_alpha.alias("f_alpha"),
+                      f_lntok.alias("f_ln1p_tokens"),
+                      prob.alias("quality_prob"),
+                      F.when(prob >= 0.5, "keep").otherwise("filter")
+                       .alias("verdict")))
+
+
 def boilerplate_ngram_stats(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 5,
                             min_docs: int = 3) -> DataFrame:

@@ -52,6 +52,17 @@ HEADLINE = [
     "upsert_keyed",
     "similarity_topk_ivf",
     "dedup_cluster_representatives",
+    # r03 additions: curation-suite operators
+    "text_repetition_filter",
+    "benchmark_contamination",
+    "deterministic_shuffle",
+    "source_mixing_weights",
+    "token_budget_sample",
+    "boilerplate_ngrams",
+    "source_overlap_matrix",
+    "dedup_incremental_minhash",
+    "text_model_quality",
+    "exact_distinct_count",
 ]
 
 

@@ -480,3 +480,37 @@ def test_source_overlap_matrix_counts_shared_shingles(spark):
            for r in tx.source_overlap_matrix(docs, source_col="source").collect()}
     assert got[("a", "b")] >= len(shared) - 8
     assert not any("c" in k for k in got)
+
+
+def test_incremental_minhash_finds_cross_batch_dups(spark, near_dup_docs):
+    """Increment docs near-duplicating a corpus doc are paired with it;
+    increment-internal and corpus-internal duplicates are not reported."""
+    corpus = near_dup_docs  # ids 1-5
+    inc = spark.createDataFrame([
+        (101, BASE + " tail"),      # near-dups corpus 1/2/5
+        (102, "fresh unseen content about parquet row groups and column "
+              "statistics that matches nothing in the existing corpus at all"),
+        (103, BASE + " tail"),      # duplicate of 101 within the increment
+    ], "doc_id long, text string")
+    got = dd.incremental_minhash_pairs(corpus, inc, threshold=0.6).collect()
+    dd.release_caches()
+    inc_ids = {r["inc_id"] for r in got}
+    assert 101 in inc_ids and 103 in inc_ids and 102 not in inc_ids
+    assert all(r["corpus_id"] in {1, 2, 3, 5} for r in got)
+    assert all(r["jaccard"] >= 0.6 for r in got)
+    # 101-103 (both increment-side) must not appear as a pair
+    assert all(r["corpus_id"] < 100 for r in got)
+
+
+def test_model_quality_score_orders_sensibly(spark):
+    """Stopword-rich prose outscores keyword salad; probabilities are in
+    (0,1) and the verdict matches the 0.5 cut."""
+    docs = spark.createDataFrame([
+        (1, "the history of the region and the growth of a city to the "
+            "north of the river and the role of the port in trade"),
+        (2, "buy cheap deals discount sale offer price shop now click"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.model_quality_score(docs).collect()}
+    assert 0.0 < got[2]["quality_prob"] < got[1]["quality_prob"] < 1.0
+    for r in got.values():
+        assert r["verdict"] == ("keep" if r["quality_prob"] >= 0.5 else "filter")
