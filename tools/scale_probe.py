@@ -32,6 +32,15 @@ PROBE_QUERIES = [
     "salted_aggregation",
     "dedup_simhash_multiprobe",
     "dedup_embedding_cosine",
+    # r03 curation suite
+    "dedup_cluster_representatives",
+    "dedup_incremental_minhash",
+    "benchmark_contamination",
+    "boilerplate_ngrams",
+    "source_overlap_matrix",
+    "text_repetition_filter",
+    "token_budget_sample",
+    "deterministic_shuffle",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
