@@ -183,6 +183,37 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                 .filter(F.col("score") >= threshold))
 
 
+def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
+                         threshold: float = 0.95, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., 2023): assign every
+    vector to its nearest coarse-quantizer centroid, then compute exact
+    cosine only WITHIN a cluster; (id1, id2, list_id, score) for pairs
+    at/above the threshold. Complements the hyperplane-LSH near-dup
+    path: clusters give interpretable scoping (and reuse an existing
+    IVF quantizer) where banding gives collision-driven candidates.
+
+    Scale shape: centroids broadcast (ivf_assign), one shuffle keyed on
+    list_id for the within-cluster self-join. The quadratic is bounded
+    by cluster size BY DESIGN — SemDeDup's contract is that k grows
+    with the corpus so clusters stay bounded (paper uses ~100k clusters
+    for LAION); for unbounded corpora with fixed k, use
+    embedding_near_dup_pairs, which is collision-linear. Norms are
+    hoisted per vector before the join."""
+    assigned = _persist(ivf_assign(corpus, centroids, id_col, vec_col)
+                        .withColumn("_n", _norm(F.col(vec_col))))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    score = F.round(_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                    / (F.col("a._n") * F.col("b._n")), 6)
+    return (a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id1"),
+                     F.col(f"b.{id_col}").alias("id2"),
+                     F.col("a.list_id").alias("list_id"),
+                     score.alias("score"))
+             .filter(F.col("score") >= threshold))
+
+
 def label_centroids(corpus: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Per-label centroid vectors, computed dimension-wise via posexplode

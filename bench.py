@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "text_model_quality",
     "exact_distinct_count",
+    "dedup_semantic_ivf",
 ]
 
 

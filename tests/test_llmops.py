@@ -514,3 +514,31 @@ def test_model_quality_score_orders_sensibly(spark):
     assert 0.0 < got[2]["quality_prob"] < got[1]["quality_prob"] < 1.0
     for r in got.values():
         assert r["verdict"] == ("keep" if r["quality_prob"] >= 0.5 else "filter")
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """Near-dup pairs inside one cluster are found with exact cosine;
+    a near-dup pair straddling two clusters is missed — SemDeDup's
+    documented recall tradeoff, pinned here so it stays intentional."""
+    import math
+    def unit(theta):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+    # labels 0 and 1 pull centroids toward +x and +y respectively
+    rows = [
+        (1, unit(0.00), 0), (2, unit(0.02), 0),     # same-cluster near-dups
+        (3, unit(math.pi / 4 - 0.01), 0),           # sits at the boundary...
+        (4, unit(math.pi / 4 + 0.01), 1),           # ...its twin lands in cluster 1
+        (5, unit(math.pi / 2), 1), (6, unit(math.pi / 2 - 0.02), 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = sim.centroid_vectors(df)
+    got = {(r["id1"], r["id2"]): r for r in
+           sim.semantic_dedup_pairs(df.select("vec_id", "embedding"), cents,
+                                    threshold=0.999).collect()}
+    from airline_data_warehouse_spark.operators.dedup import release_caches
+    release_caches()
+    assert (1, 2) in got and (5, 6) in got
+    assert (3, 4) not in got          # cos(0.02) > 0.999 but split across clusters
+    assert all(r["score"] >= 0.999 for r in got.values())
