@@ -159,7 +159,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     bigrams = F.zip_with(F.slice(toks, 1, n - 1),
                          F.slice(toks, 2, n - 1),
                          lambda a, b: F.concat(a, F.lit(" "), b))
+    cores = df.sparkSession.sparkContext.defaultParallelism
     per_bigram = (df.filter(F.size(_tokens(F.col(text_col))) >= 2)
+                    .repartition(cores * 2, F.col(id_col))
                     .select(F.col(id_col), F.explode(bigrams).alias("bigram"))
                     .groupBy(id_col, "bigram").agg(F.count("*").alias("cnt")))
     per_doc = (per_bigram.groupBy(id_col)
@@ -199,7 +201,12 @@ def ngram_overlap_join(corpus: DataFrame, benchmark: DataFrame,
     by true shingle collisions, the same argument as MinHash banding.
     """
     from airline_data_warehouse_spark.operators.hashing import hashed_shingle_set
-    c = (corpus.select(F.col(id_col),
+    # the corpus side carries the md5-heavy shingle cascade — repartition
+    # so parallelism tracks cores, not input splits (see dedup.shingled);
+    # the benchmark side is tiny by nature and stays as scanned
+    cores = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (corpus.repartition(cores * 2, F.col(id_col))
+               .select(F.col(id_col),
                        F.explode(hashed_shingle_set(F.col(text_col), k)).alias("sh")))
     b = (benchmark.select(F.col(bench_id_col),
                           F.explode(hashed_shingle_set(F.col(text_col), k)).alias("sh")))
@@ -276,7 +283,13 @@ def boilerplate_ngram_stats(df: DataFrame, text_col: str = "text",
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # repartition before the CPU-bound n-gram explode: parallelism must
+    # track cores, not input splits (a compact parquet scan is 1-2
+    # partitions and would pin the whole derivation on one task) — the
+    # same argument as dedup.shingled
+    cores = df.sparkSession.sparkContext.defaultParallelism
     exploded = (df.filter(F.size(_tokens(F.col(text_col))) >= n)
+                  .repartition(cores * 2, F.col(id_col))
                   .select(F.col(id_col), F.explode(grams).alias("ngram")))
     per_doc_gram = exploded.groupBy(id_col, "ngram").agg(F.count("*").alias("cnt"))
     docfreq = (per_doc_gram.groupBy("ngram")
@@ -311,7 +324,11 @@ def source_overlap_matrix(df: DataFrame, text_col: str = "text",
     all-pairs document comparison.
     """
     from airline_data_warehouse_spark.operators.hashing import hashed_shingle_set
-    sh = (df.select(F.col(source_col).alias("src"),
+    # cores-tracking repartition before the md5-heavy shingle cascade
+    # (compact scans are 1-2 partitions; see dedup.shingled)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    sh = (df.repartition(cores * 2)
+            .select(F.col(source_col).alias("src"),
                     F.explode(hashed_shingle_set(F.col(text_col), k)).alias("sh"))
             .distinct())
     a, b = sh.alias("a"), sh.alias("b")

@@ -73,6 +73,10 @@ _REVALIDATE: tuple[str, ...] = (
     "std_amount",
     # r03: probe fan-out rewritten data-driven (codegen-overflow fix)
     "string_similarity_join",
+    # r03: single-pass dots-array banded build (plan rewrite)
+    "dedup_embedding_cosine",
+    # r03: one-job rounds + depth-gated pointer doubling (loop rewrite)
+    "dedup_cluster_representatives",
 )
 
 
