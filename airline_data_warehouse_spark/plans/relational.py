@@ -1193,3 +1193,58 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unpivot(["l_orderkey", "l_linenumber"],
                      ["extendedprice", "discount", "tax"],
                      "measure", "value"))
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _sql_profile_one(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS col_name,
+         COUNT({c}) AS n,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         COUNT(DISTINCT {c}) AS n_distinct,
+         MIN(CAST({c} AS DOUBLE)) AS min_val,
+         MAX(CAST({c} AS DOUBLE)) AS max_val,
+         ROUND(CAST(SUM(CAST({c} AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT({c}), 6) AS mean_val,
+         ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.5), 6) AS p50
+  FROM lineitem"""
+
+
+@register(
+    "profile_numeric_columns",
+    oracle=" UNION ALL ".join(_sql_profile_one(c) for c in _PROFILE_COLS),
+    operators="PROFILE",
+    description="Data-profiling report: one row per numeric measure with "
+                "count / nulls / distinct / min / max / mean / exact median. "
+                "All stats for all columns come from ONE aggregate pass over "
+                "the scan (columnar agg expressions, then a 1-row stack) — "
+                "means accumulate in exact DECIMAL so the result is "
+                "aggregation-order-independent; the exact median is the one "
+                "deliberately non-map-combinable stat (swap for "
+                "approx_percentile at 100 TB, documented tradeoff).",
+)
+def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            F.round(F.sum(F.col(c).cast("decimal(28,10)")).cast("double")
+                    / F.count(F.col(c)), 6).alias(f"{c}__mean"),
+            F.round(F.expr(f"percentile(CAST({c} AS DOUBLE), 0.5)"), 6)
+             .alias(f"{c}__p50"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__mean, {c}__p50"
+        for c in _PROFILE_COLS)
+    return row.select(F.expr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n, n_null, n_distinct, min_val, max_val, mean_val, p50)"))

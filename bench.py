@@ -64,6 +64,7 @@ HEADLINE = [
     "text_model_quality",
     "exact_distinct_count",
     "dedup_semantic_ivf",
+    "profile_numeric_columns",
 ]
 
 
