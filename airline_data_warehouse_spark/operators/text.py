@@ -113,6 +113,40 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
               .select(F.col(id_col), fp.alias("fingerprint")))
 
 
+def vocab_table(df: DataFrame, text_col: str = "text", id_col: str | None = None,
+                min_count: int = 2, max_size: int | None = None) -> DataFrame:
+    """Vocabulary build — the tokenizer-training prep step: corpus-wide
+    token frequencies, a ``min_count`` floor, document frequency, and a
+    deterministic contiguous token id assigned by (count desc, token
+    asc). Returns (token_id, token, count, doc_freq).
+
+    Shape: one explode → one (token)-keyed aggregation computing both
+    total count and distinct-document count with map-side partials. The
+    id-assigning window is un-partitioned BUT runs over the post-cutoff
+    vocabulary, not the corpus — vocabulary size is bounded by max_size
+    (or by Heaps'-law sublinear growth), which is exactly why tokenizer
+    vocabularies are built this way at corpus scale.
+    """
+    from pyspark.sql import Window
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    doc = (F.col(id_col) if id_col
+           else F.monotonically_increasing_id())  # unique per input row
+    toks = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+              .repartition(cores * 2)
+              .select(doc.alias("_doc"),
+                      F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"))
+              .filter(F.col("token") != ""))
+    counts = (toks.groupBy("token")
+              .agg(F.count("*").alias("count"),
+                   F.countDistinct("_doc").alias("doc_freq"))
+              .filter(F.col("count") >= min_count))
+    w = Window.partitionBy().orderBy(F.col("count").desc(), F.col("token").asc())
+    out = (counts.withColumn("token_id",
+                             (F.row_number().over(w) - 1).cast("int"))
+                 .select("token_id", "token", "count", "doc_freq"))
+    return out.filter(F.col("token_id") < max_size) if max_size else out
+
+
 def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      top_n: int = 3) -> DataFrame:
     """TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-N terms per

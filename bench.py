@@ -65,6 +65,7 @@ HEADLINE = [
     "exact_distinct_count",
     "dedup_semantic_ivf",
     "profile_numeric_columns",
+    "vocab_frequency_table",
 ]
 
 

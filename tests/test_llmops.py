@@ -542,3 +542,18 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert (1, 2) in got and (5, 6) in got
     assert (3, 4) not in got          # cos(0.02) > 0.999 but split across clusters
     assert all(r["score"] >= 0.999 for r in got.values())
+
+
+def test_vocab_table_ids_and_cutoff(spark):
+    """Ids are contiguous by (count desc, token asc), min_count floors
+    rare tokens, doc_freq counts documents not occurrences."""
+    docs = spark.createDataFrame([
+        (1, "spark spark spark parquet shuffle"),
+        (2, "spark parquet rare"),
+    ], "doc_id long, text string")
+    got = {r["token"]: r for r in
+           tx.vocab_table(docs, id_col="doc_id", min_count=2).collect()}
+    assert "rare" not in got and "shuffle" not in got
+    assert got["spark"]["token_id"] == 0 and got["spark"]["count"] == 4
+    assert got["parquet"]["token_id"] == 1 and got["parquet"]["doc_freq"] == 2
+    assert got["spark"]["doc_freq"] == 2
