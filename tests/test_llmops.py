@@ -154,12 +154,17 @@ def test_frame_sampling(spark):
 
 def test_release_caches_leaves_no_persistent_rdds(spark, near_dup_docs):
     """Cache lifetime is one query: after an action + release_caches(),
-    no persisted RDDs remain in the session (VERDICT r01 leak fix)."""
+    no persisted RDDs beyond the pre-test baseline remain (VERDICT r01
+    leak fix). Delta-based because the session-scoped SparkSession may
+    still hold localCheckpoint blocks from earlier tests (CC/semantic
+    runs) that only the JVM ContextCleaner reclaims — those are outside
+    release_caches' ownership contract."""
     spark.catalog.clearCache()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
     dd.ngram_jaccard_pairs(near_dup_docs).collect()  # persists shingles + bands
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > base
     dd.release_caches()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
 
 
 def test_banded_near_dup_beats_single_table(spark):
