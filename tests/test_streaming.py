@@ -228,3 +228,54 @@ def test_kafka_contract_options_and_schema(spark):
         .withColumn("update_timestamp", F.to_timestamp("update_timestamp"))
     value = json.loads(st.to_kafka_wire(upd).collect()[0]["value"])
     assert set(value) == {"flight_key", "status", "delay_minutes", "update_timestamp"}
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """The curation operators are stream-compatible: a document stream is
+    exact-deduped (stateful dropDuplicates on the content hash) and
+    model-quality-filtered in ONE Structured Streaming job, and the
+    surviving set matches the batch operators run on the same data —
+    the pure-Column design is what makes the same code work in both
+    engines' modes. (Unbounded dedup state is fine for availableNow
+    replays; a production stream would bound it with a watermark, as
+    dedup_replayed_updates does.)"""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import text as tx
+
+    good = ("the history of the region and the growth of a city to the "
+            "north of the river and the role of the port in trade routes")
+    rows = [(1, good), (2, good),                      # exact dup pair
+            (3, "buy cheap deals discount sale now"),  # low quality -> filtered
+            (4, "the story of the harbour and the people of the coast and "
+                "the long years of the fishing trade in the cold north sea")]
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    with open(in_dir / "batch0.json", "w") as f:
+        for i, t in rows:
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    def curate(df):
+        deduped = (df.withColumn("text_hash", F.md5("text"))
+                     .dropDuplicates(["text_hash"]))
+        return (tx.model_quality_score(deduped)
+                .filter(F.col("verdict") == "keep"))
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+    out = str(tmp_path / "curated")
+    q = (curate(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_curate"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    streamed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch = {r["doc_id"] for r in
+             curate(spark.read.schema("doc_id long, text string")
+                    .json(str(in_dir))).collect()}
+    assert streamed == batch
+    assert 3 not in streamed                    # quality-filtered
+    assert len(streamed & {1, 2}) == 1          # dup collapsed to one
+    assert 4 in streamed
