@@ -123,3 +123,61 @@ def test_country_never_null_or_empty(spark):
             if raw.strip().lower() in ("us", "usa", "u.s.", "u.s.a.", "united states"):
                 assert out == "United States"
     check()
+
+
+def test_source_mixing_invariants(spark):
+    """For ANY source-size distribution: quotas are non-negative ints
+    summing exactly to the budget, and weights normalize to ~1."""
+    from airline_data_warehouse_spark.operators import sampling as sp
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=400),
+                    min_size=1, max_size=12),
+           st.integers(min_value=1, max_value=500))
+    def check(sizes, budget):
+        rows = [(f"s{si}_{i}", 10) for si, n in enumerate(sizes)
+                for i in range(n)]
+        df = spark.createDataFrame(
+            [(k.split("_")[0], t) for k, t in rows], "source string, n_tok long")
+        got = sp.source_mixing_plan(df, "source", "n_tok", budget).collect()
+        assert sum(r["quota_docs"] for r in got) == budget
+        assert all(r["quota_docs"] >= 0 for r in got)
+        assert abs(sum(r["mix_weight"] for r in got) - 1.0) < 1e-4
+        assert len(got) == len(sizes)
+
+    check()
+
+
+def test_token_budget_prefix_invariant(spark):
+    """For ANY token-length distribution: the kept set is a prefix of
+    the per-source hash order and never exceeds the budget; adding the
+    first excluded row would always overshoot."""
+    from airline_data_warehouse_spark.operators import sampling as sp
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=200),
+                    min_size=1, max_size=60),
+           st.integers(min_value=1, max_value=800))
+    def check(toks, budget):
+        df = spark.createDataFrame(
+            [(i, "s0", t) for i, t in enumerate(toks)],
+            "doc_id long, source string, n_tok long")
+        kept = sp.token_budget_sample(df, "source", "n_tok", "doc_id",
+                                      budget_tokens=budget).collect()
+        if kept:
+            assert max(r["cum_tokens"] for r in kept) <= budget
+        # reconstruct the deterministic order and check prefix-ness
+        from airline_data_warehouse_spark.operators.sampling import _keyed_hash
+        order = [r["doc_id"] for r in
+                 df.select("doc_id").withColumn(
+                     "_h", _keyed_hash("doc_id", "adw-budget"))
+                   .orderBy("_h", "doc_id").collect()]
+        kept_ids = {r["doc_id"] for r in kept}
+        seen_excluded = False
+        for did in order:
+            if did in kept_ids:
+                assert not seen_excluded  # a kept row after an excluded one
+            else:
+                seen_excluded = True
+
+    check()
