@@ -102,6 +102,15 @@ def source_mixing_plan(df: DataFrame, source_col: str, token_col: str,
     the remainder ranking run as exact DECIMAL arithmetic (a float sum is
     order-dependent and would break cross-engine determinism).
 
+    Quotas are computed from the UNROUNDED weight: rounding to 6dp first
+    (as displayed in ``mix_weight``) would let sum(floor(quota)) drift
+    from the budget by up to ~budget·n·5e-7 — visible from ~2e5-doc
+    budgets. With exact-double quotas the drift is a few ulps, and the
+    remainder distribution below is the generalized largest-remainder
+    form (base share ``floor(leftover/n)`` to every source, +1 to the
+    ``leftover mod n`` largest fractions) which sums exactly to the
+    budget for ANY leftover sign or magnitude, not just 0 ≤ leftover < n.
+
     Scale shape: one aggregation keyed on source collapses the corpus to
     |sources| rows; every window after that runs over that tiny frame,
     not corpus rows, so the un-partitioned windows are safe by
@@ -116,22 +125,25 @@ def source_mixing_plan(df: DataFrame, source_col: str, token_col: str,
     # divide as doubles (correctly rounded) over exact decimal operands —
     # decimal/decimal division scale rules differ across engines
     weight = F.col("_w").cast("double") / F.sum("_w").over(tot).cast("double")
-    quota_real = F.round(weight, 6) * budget_docs
+    quota_real = weight * budget_docs
     with_quota = (scored
                   .withColumn("mix_weight", F.round(weight, 6))
-                  .withColumn("_floor", F.floor(quota_real).cast("int"))
-                  .withColumn("_frac", F.round(quota_real - F.floor(quota_real), 6)))
+                  .withColumn("_floor", F.floor(quota_real).cast("long"))
+                  .withColumn("_frac", quota_real - F.floor(quota_real)))
     rank_w = Window.partitionBy().orderBy(F.col("_frac").desc(),
                                           F.col(source_col).asc())
     leftover = budget_docs - F.sum("_floor").over(tot)
+    n_src = F.count("*").over(tot)
+    base = F.floor(leftover.cast("double") / n_src).cast("long")
+    residue = leftover - base * n_src
     return (with_quota
             .withColumn("_rk", F.row_number().over(rank_w))
             .select(F.col(source_col).alias("source"),
                     F.col("n_docs").cast("int").alias("n_docs"),
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.col("mix_weight"),
-                    (F.col("_floor")
-                     + F.when(F.col("_rk") <= leftover, 1).otherwise(0))
+                    (F.col("_floor") + base
+                     + F.when(F.col("_rk") <= residue, 1).otherwise(0))
                     .cast("int").alias("quota_docs")))
 
 

@@ -69,18 +69,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # they sort into the validation window right after never-validated entries,
 # so the driver re-certifies the new plan.
 _REVALIDATE: tuple[str, ...] = (
-    # r03: output representation changed to DOUBLE (r02 hash-fail fix)
-    "std_amount",
-    # r03: probe fan-out rewritten data-driven (codegen-overflow fix)
-    "string_similarity_join",
-    # r03: single-pass dots-array banded build (plan rewrite)
-    "dedup_embedding_cosine",
-    # r03: one-job rounds + depth-gated pointer doubling (loop rewrite)
-    "dedup_cluster_representatives",
+    # r04: quotas now from the unrounded weight, generalized
+    # largest-remainder distribution (ADVICE r03 exactness fix)
+    "source_mixing_weights",
 )
 
 
-@functools.lru_cache(maxsize=1)
 def _driver_validated() -> frozenset[str]:
     """Names already holding a green (rows+schema+hash) row in a committed
     CORRECTNESS_r*.json. The driver validates a bounded prefix of the
@@ -92,18 +86,35 @@ def _driver_validated() -> frozenset[str]:
     only looked for under a directory that is verifiably this repo's
     checkout (marker: SURVEY.md + tests/ next to the artifacts). Installed
     as a site-package, the marker is absent and the set is empty — every
-    ordering tier collapses to plain registration order. Cached: the glob
-    + JSON parse runs once per process, not per all_queries() call."""
+    ordering tier collapses to plain registration order. Cached keyed on
+    the artifact (path, mtime, size) fingerprint — not for the bare
+    process lifetime — so a driver that writes a new CORRECTNESS_r*.json
+    and calls all_queries() again in the same process sees fresh
+    validation-priority ordering (ADVICE r03)."""
     import glob
-    import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if not (os.path.isfile(os.path.join(root, "SURVEY.md"))
             and os.path.isdir(os.path.join(root, "tests"))):
         return frozenset()
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    fingerprint = []
+    for p in paths:
+        try:
+            stat = os.stat(p)
+            fingerprint.append((p, stat.st_mtime_ns, stat.st_size))
+        except OSError:
+            continue
+    return _parse_validated(tuple(fingerprint))
+
+
+@functools.lru_cache(maxsize=4)
+def _parse_validated(fingerprint: tuple[tuple[str, int, int], ...]) -> frozenset[str]:
+    import json
+
     green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path, _mtime, _size in fingerprint:
         try:
             with open(path) as f:
                 data = json.load(f)

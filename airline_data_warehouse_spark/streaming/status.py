@@ -189,6 +189,39 @@ def eligibility_merge_batch(fact: DataFrame, status_batch: DataFrame) -> DataFra
                 .drop("_new_delay", "_new_status"))
 
 
+def _recover_partitions(spark, dest_root: str, partition_col: str) -> None:
+    """Roll back any partition stranded mid-swap by a crash.
+
+    `_swap_partitions` replaces a partition with two renames: dest →
+    hidden ``.name.replaced`` backup, then staging → dest. A crash in the
+    window between them leaves the partition's ONLY copy in the hidden
+    backup — invisible to Spark's reader, so a retry that reads the fact
+    before recovery would treat those rows as gone and could then delete
+    the staging dir holding their other copy. Run this before any read of
+    the fact that precedes a swap: a backup whose destination is missing
+    is renamed back (rollback to the old, complete partition); a backup
+    whose destination exists is a leftover from a crash after the second
+    rename and is safely deleted (dest already holds the new data).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(dest_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    prefix = "." + partition_col + "="
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)
+                and name.endswith(".replaced")):
+            continue
+        dest = hpath(dest_root, name[1:-len(".replaced")])
+        if fs.exists(dest):
+            fs.delete(status.getPath(), True)  # new data already in place
+        elif not fs.rename(status.getPath(), dest):
+            raise IOError(f"partition recovery: rename {name} -> {dest} failed")
+
+
 def _swap_partitions(spark, staging: str, dest_root: str, partition_col: str) -> None:
     """Per-partition near-atomic swap via the Hadoop FileSystem API: each
     fully-written staging partition directory replaces its destination twin
@@ -198,10 +231,15 @@ def _swap_partitions(spark, staging: str, dest_root: str, partition_col: str) ->
     instant each partition is either completely-old or completely-new —
     never half-replaced. A crash between partitions leaves a mixed but
     internally-consistent table, and the checkpointed retry of the
-    (idempotent) merge converges it. Object stores without atomic rename
-    (S3) should use a transactional format (Delta/Iceberg MERGE) instead;
-    this is the plain-parquet path for real filesystems.
+    (idempotent) merge converges it — provided the retry first rolls back
+    any partition caught between the two renames via
+    `_recover_partitions` (called at the top of the merge body and again
+    here, defensively, for direct callers).
+    Object stores without atomic rename (S3) should use a transactional
+    format (Delta/Iceberg MERGE) instead; this is the plain-parquet path
+    for real filesystems.
     """
+    _recover_partitions(spark, dest_root, partition_col)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(dest_root).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -248,6 +286,10 @@ def start_eligibility_merge(parsed: DataFrame, fact_path: str, checkpoint: str,
     """
     def _merge(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
+        if out_path is None:
+            # make the fact whole before reading it: a crashed prior swap
+            # may have left a partition only in its hidden backup dir
+            _recover_partitions(spark, fact_path, partition_col)
         fact = spark.read.parquet(fact_path)
         if out_path is not None:
             eligibility_merge_batch(fact, batch).write.mode("overwrite").parquet(out_path)

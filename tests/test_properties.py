@@ -148,6 +148,21 @@ def test_source_mixing_invariants(spark):
     check()
 
 
+def test_source_mixing_exact_at_large_budgets(spark):
+    """ADVICE r03: 6dp-rounded weights made sum(quota) drift from the
+    budget once budget·n·5e-7 exceeded 1 (budgets >= ~2e5). Quotas now
+    come from the unrounded weight with generalized largest-remainder
+    distribution — exact at any budget magnitude."""
+    from airline_data_warehouse_spark.operators import sampling as sp
+    sizes = [1, 3, 7, 13, 40, 81, 150, 211, 307, 390, 395, 400]
+    rows = [(f"s{si}", 10) for si, n in enumerate(sizes) for i in range(n)]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    for budget in (200_000, 5_000_000, 1_000_000_000):
+        got = sp.source_mixing_plan(df, "source", "n_tok", budget).collect()
+        assert sum(r["quota_docs"] for r in got) == budget
+        assert all(r["quota_docs"] >= 0 for r in got)
+
+
 def test_token_budget_prefix_invariant(spark):
     """For ANY token-length distribution: the kept set is a prefix of
     the per-source hash order and never exceeds the budget; adding the

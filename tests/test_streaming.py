@@ -103,6 +103,38 @@ def test_eligibility_merge_partition_scoped(spark, stream_dir, tmp_path):
     assert after == before  # 202401 directory never rewritten
 
 
+def test_eligibility_merge_recovers_crashed_swap(spark, stream_dir, tmp_path):
+    """A crash between _swap_partitions' two renames leaves a partition's
+    only copy in the hidden ``.name.replaced`` backup. The checkpointed
+    retry must roll it back BEFORE reading the fact — otherwise the month
+    is invisible to discovery and the swap machinery can drop it."""
+    import os
+    fact = spark.createDataFrame(
+        [("T1", "AA100", "scheduled", 0, False, 202306),
+         ("T9", "ZZ999", "scheduled", 0, False, 202401)],
+        "transaction_id string, flight_key string, flight_status string, "
+        "delay_minutes int, is_eligible_insurance boolean, sale_year_month int")
+    fact_path = str(tmp_path / "fact_crash")
+    fact.write.partitionBy("sale_year_month").parquet(fact_path)
+    # simulate the crash window: dest renamed to backup, staging never landed
+    os.rename(os.path.join(fact_path, "sale_year_month=202306"),
+              os.path.join(fact_path, ".sale_year_month=202306.replaced"))
+    # plus a stale backup whose destination DOES exist (crash after second
+    # rename, before backup delete) — recovery must delete, not roll back
+    os.makedirs(os.path.join(fact_path, ".sale_year_month=202401.replaced"))
+
+    parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
+    q = st.start_eligibility_merge(parsed, fact_path, str(tmp_path / "ckpt_crash"))
+    q.awaitTermination(60)
+
+    out = {r["transaction_id"]: r for r in spark.read.parquet(fact_path).collect()}
+    assert len(out) == 2  # the 202306 partition came back, nothing lost
+    assert out["T1"]["is_eligible_insurance"] and out["T1"]["delay_minutes"] == 300
+    assert not out["T9"]["is_eligible_insurance"]
+    leftovers = [f for f in os.listdir(fact_path) if f.endswith(".replaced")]
+    assert leftovers == []
+
+
 def test_eligibility_merge_flat_fallback(spark, stream_dir, tmp_path):
     """Unpartitioned fact: explicit out_path keeps the legacy full-rewrite
     path working."""
