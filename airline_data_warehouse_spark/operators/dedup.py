@@ -345,11 +345,16 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     per round.
 
     Labels only ever decrease, so sum(label) is strictly monotone until
-    the fixpoint — convergence is one cheap aggregate per round, no
-    self-join diffing. If max_iter rounds pass without reaching the
-    fixpoint the function raises (silently returning split clusters
-    would make downstream keep-one-per-cluster dedup keep duplicates
-    undetectably); pass a larger max_iter for adversarially long chains.
+    the fixpoint — convergence is one cheap aggregate, no self-join
+    diffing. The FIRST job materializes hops 1 and 2 together and
+    collects s_0/s_1/s_2 in one combined aggregate, so a diameter-1
+    graph (the overwhelming near-dup case: every cluster a star around
+    its keeper) converges in a single driver barrier instead of three;
+    deeper graphs continue one hop per job. If max_iter hops pass
+    without reaching the fixpoint the function raises (silently
+    returning split clusters would make downstream keep-one-per-cluster
+    dedup keep duplicates undetectably); pass a larger max_iter for
+    adversarially long chains.
 
     Driver involvement is one float per round (the convergence sum), not
     per-row data; each round is a distributed shuffle-join keyed on the
@@ -381,25 +386,22 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     labels = (vertices.select(F.col(id_col).alias("v"),
                               F.col(id_col).cast("long").alias("label"))
                       .localCheckpoint(eager=False))
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    converged = prev_sum is None  # empty vertex set is trivially converged
-    rounds = 0
-    # Pointer doubling engages only once plain hops have run 3 rounds
-    # without converging (a long-chain graph): near-dup components are
-    # overwhelmingly diameter 1-2, where the doubling self-join is a
-    # pure per-round cost that can never shortcut anything.
-    for _ in range(max_iter):
-        rounds += 1
+
+    def one_hop(cur: DataFrame, round_no: int) -> DataFrame:
         # 1-hop: per-vertex min over incoming neighbor labels, folded
         # into the vertex's own label with a left join + least
-        nbr_min = (edges.join(labels, edges["src"] == labels["v"])
+        nbr_min = (edges.join(cur, edges["src"] == cur["v"])
                         .groupBy("dst").agg(F.min("label").alias("_nl")))
-        hop = (labels.join(nbr_min, labels["v"] == nbr_min["dst"], "left")
-                     .select(F.col("v"),
-                             F.least(F.col("label"),
-                                     F.coalesce(F.col("_nl"), F.col("label")))
-                              .alias("label")))
-        if rounds > 3:
+        hop = (cur.join(nbr_min, cur["v"] == nbr_min["dst"], "left")
+                  .select(F.col("v"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("_nl"), F.col("label")))
+                           .alias("label")))
+        # Pointer doubling engages only once plain hops have run 3 rounds
+        # without converging (a long-chain graph): near-dup components are
+        # overwhelmingly diameter 1-2, where the doubling self-join is a
+        # pure per-round cost that can never shortcut anything.
+        if round_no > 3:
             # pointer doubling: v's label <- min(label, label(label)).
             # Every label is itself a vertex id, so the lookup is a
             # self-join — worth its shuffle only on deep chains.
@@ -410,10 +412,33 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                                     F.coalesce(F.col("y.label"),
                                                F.col("x.label")))
                              .alias("label")))
-        # lazy checkpoint: the convergence aggregate below is the action
-        # that materializes this round's blocks — one job per round, not
-        # a checkpoint job plus a sum job
-        new_labels = hop.localCheckpoint(eager=False)
+        return hop.localCheckpoint(eager=False)
+
+    # First job: TWO hops + three sums in one combined aggregate. A
+    # diameter-1 component graph — the overwhelming near-dup shape (each
+    # cluster a star around its keeper) — converges here in a single
+    # driver barrier: hop 1 propagates, hop 2 confirms, and s_0/s_1/s_2
+    # arrive together. Deeper graphs continue one hop per job below (a
+    # speculative second hop there would mostly compute a discarded
+    # doubling self-join).
+    hop1 = one_hop(labels, 1)
+    hop2 = one_hop(hop1, 2)
+    row = (hop1.agg(F.sum("label").alias("s_1"))
+               .crossJoin(hop2.agg(F.sum("label").alias("s_2")))
+               .crossJoin(labels.agg(F.sum("label").alias("s_0")))
+               .collect()[0])
+    converged = False
+    if row["s_0"] is None:  # empty vertex set: trivially converged
+        converged, rounds = True, 0
+    elif row["s_1"] == row["s_0"]:
+        labels, converged, rounds = hop1, True, 1
+    elif row["s_2"] == row["s_1"]:
+        labels, converged, rounds = hop2, True, 2
+    else:
+        labels, prev_sum, rounds = hop2, row["s_2"], 2
+    while rounds < max_iter and not converged:
+        rounds += 1
+        new_labels = one_hop(labels, rounds)
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:

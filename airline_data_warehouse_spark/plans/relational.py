@@ -1218,32 +1218,63 @@ def _sql_profile_one(c: str) -> str:
     operators="PROFILE",
     description="Data-profiling report: one row per numeric measure with "
                 "count / nulls / distinct / min / max / mean / exact median. "
-                "One column-pruned pass PER MEASURE, unioned — fusing all "
-                "measures into a single aggregate forces Spark's "
-                "multi-distinct EXPAND (rows × measures before any partial "
-                "agg; measured 10× slower), while per-measure passes read "
-                "the same total bytes with clean 2-phase aggregation. Means "
-                "accumulate in exact DECIMAL so results are aggregation-"
-                "order-independent; the exact median is the one deliberately "
-                "non-map-combinable stat (swap for approx_percentile at "
-                "100 TB, documented tradeoff).",
+                "One column-pruned HISTOGRAM pass per measure (groupBy "
+                "value → count), then every stat — including the exact "
+                "median, via cumulative counts over the value-ordered "
+                "histogram — is computed from the tiny distinct-value "
+                "frame, never the raw rows. Distinct is the histogram's "
+                "row count (no countDistinct EXPAND), and Spark's "
+                "percentile() buffer of ALL raw values in one aggregator "
+                "is gone: the only single-task structure left is the "
+                "median window over DISTINCT values, a strict subset. "
+                "Means accumulate in exact DECIMAL (order-independent). "
+                "At 100 TB swap the median for approx_percentile/t-digest "
+                "— documented tradeoff, the rest is 2-phase all the way.",
 )
 def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     parts = []
     for c in _PROFILE_COLS:
-        d = F.col(c).cast("double")
-        parts.append(li.select(c).agg(
+        h = (li.select(F.col(c).alias("v"))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
+        nn = h.filter(F.col("v").isNotNull())
+        w = (Window.orderBy("v")
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        tot = Window.partitionBy()
+        cum = (nn.withColumn("cum", F.sum("cnt").over(w))
+                 .withColumn("n", F.sum("cnt").over(tot)))
+        # exact percentile_cont(0.5): mean of the values at 0-indexed
+        # positions floor((n-1)/2) and ceil((n-1)/2). Each position lands
+        # in exactly one histogram bucket ([cum-cnt, cum) covers it), so
+        # the median is a SUM of per-bucket contributions — 0.5·v for
+        # each straddling bucket (or 1.0·v when both positions coincide).
+        # 0.5·a + 0.5·b == (a+b)/2 bit-exactly in IEEE (scaling by 0.5 is
+        # exact; the one rounding happens at the add in both forms).
+        k1 = F.floor((F.col("n") - 1) / 2)
+        k2 = F.ceil((F.col("n") - 1) / 2)
+        d = F.col("v").cast("double")
+        in_bucket = lambda k: (F.col("cum") - F.col("cnt") <= k) & (k < F.col("cum"))  # noqa: E731
+        med = (cum.withColumn(
+                   "contrib",
+                   F.when(in_bucket(k1),
+                          d * F.when(k1 == k2, F.lit(1.0)).otherwise(F.lit(0.5)))
+                    .otherwise(F.lit(0.0))
+                   + F.when(in_bucket(k2) & (k1 != k2), d * 0.5)
+                      .otherwise(F.lit(0.0)))
+               .agg(F.round(F.sum("contrib"), 6).alias("p50")))
+        not_null_cnt = F.sum(F.when(F.col("v").isNotNull(), F.col("cnt"))
+                              .otherwise(0))
+        stats = h.agg(
             F.lit(c).alias("col_name"),
-            F.count(F.col(c)).alias("n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
-            F.countDistinct(F.col(c)).alias("n_distinct"),
-            F.min(d).alias("min_val"),
-            F.max(d).alias("max_val"),
-            F.round(F.sum(F.col(c).cast("decimal(28,10)")).cast("double")
-                    / F.count(F.col(c)), 6).alias("mean_val"),
-            F.round(F.expr(f"percentile(CAST({c} AS DOUBLE), 0.5)"), 6)
-             .alias("p50")))
+            not_null_cnt.cast("long").alias("n"),
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+             .cast("long").alias("n_null"),
+            F.count(F.col("v")).alias("n_distinct"),
+            F.min(F.col("v").cast("double")).alias("min_val"),
+            F.max(F.col("v").cast("double")).alias("max_val"),
+            F.round(F.sum(F.col("v").cast("decimal(28,10)") * F.col("cnt"))
+                     .cast("double") / not_null_cnt, 6).alias("mean_val"))
+        parts.append(stats.crossJoin(med))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
