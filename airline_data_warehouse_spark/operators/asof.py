@@ -15,8 +15,15 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _us(c: Column) -> Column:
+    """unix_micros that tolerates TIMESTAMP_NTZ inputs (testdata parquet
+    sometimes reads as NTZ under Spark 4; session tz is pinned UTC so the
+    cast is value-identical)."""
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
@@ -63,13 +70,13 @@ def range_join_binned(left: DataFrame, right: DataFrame, key: str,
     partner is always in the same or adjacent bin, so three equi-join
     probes replace the inequality join."""
     tol_us = tolerance_seconds * 1_000_000
-    l = left.withColumn("_bin", (F.unix_micros(F.col(left_ts)) / tol_us).cast("long"))
+    l = left.withColumn("_bin", (_us(F.col(left_ts)) / tol_us).cast("long"))
     shifts = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
-    r = (right.withColumn("_rbin", (F.unix_micros(F.col(right_ts)) / tol_us).cast("long"))
+    r = (right.withColumn("_rbin", (_us(F.col(right_ts)) / tol_us).cast("long"))
               .withColumn("_shift", shifts)
               .withColumn("_bin", F.col("_rbin") + F.col("_shift"))
               .drop("_rbin", "_shift"))
     joined = l.join(r, [key, "_bin"])
-    in_range = (F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
+    in_range = (F.abs(_us(F.col(left_ts)) - _us(F.col(right_ts)))
                 <= tol_us)
     return joined.filter(in_range).drop("_bin")

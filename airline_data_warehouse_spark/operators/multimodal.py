@@ -76,10 +76,37 @@ def sniff_media_type(df: DataFrame, payload_col: str = "payload") -> DataFrame:
               .withColumn("head_hex", F.hex(head)))
 
 
+def _png_jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """Stdlib-only image dimensions: PNG IHDR (bytes 16..24 of the file)
+    or the first JPEG SOF0/SOF2 marker. Returns None for other formats
+    (where a full decoder is genuinely required)."""
+    import struct
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    if payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOFn: dims at +5
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return w, h
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+            else:
+                (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
+                i += 2 + seglen
+    return None
+
+
 def _decode_real(payload: bytes, media_type: str):
     """Real decoders, used when ``deterministic_fake=False``:
 
-    * image  — PIL, behind an import guard (not in every container);
+    * image  — PIL when installed; else a stdlib header parse (PNG IHDR /
+      JPEG SOF) that yields the same width/height this operator returns;
     * audio  — stdlib ``wave`` (real RIFF/WAV header decode, zero deps);
     * video  — pyav, behind an import guard.
 
@@ -94,8 +121,12 @@ def _decode_real(payload: bytes, media_type: str):
         try:
             from PIL import Image
         except ImportError as e:
-            raise NotImplementedError(
-                "image decode requires Pillow (pip install pillow)") from e
+            dims = _png_jpeg_dims(payload)
+            if dims is None:
+                raise NotImplementedError(
+                    "image decode beyond PNG/JPEG headers requires Pillow "
+                    "(pip install pillow)") from e
+            return dims[0], dims[1], None, checksum
         with Image.open(io.BytesIO(payload)) as im:
             return im.size[0], im.size[1], None, checksum
     if media_type == "audio":

@@ -62,6 +62,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Testdata regenerations have alternated between TIMESTAMP(NANOS),
+    # TIMESTAMP(MICROS, adjustedToUTC) and TIMESTAMP(MICROS, naive); the
+    # naive flavor reads as TIMESTAMP_NTZ under Spark 4, which breaks
+    # unix_micros()/watermarks downstream. Session tz is pinned UTC above,
+    # so casting NTZ→TIMESTAMP is value-identical and keeps every consumer
+    # (and the DuckDB oracles, which see naive UTC either way) in agreement.
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 
@@ -69,6 +78,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # they sort into the validation window right after never-validated entries,
 # so the driver re-certifies the new plan.
 _REVALIDATE: tuple[str, ...] = (
+    # r05: TIMESTAMP_NTZ normalization in load() + NTZ-tolerant
+    # unix_micros call sites (these two were analysis-time broken in r4)
+    "event_sessionization",
+    "range_join_events",
+    # r04 plan changes (histogram profiling, 2-hop-first connected
+    # components) that the r4 driver sample did not re-certify
+    "profile_numeric_columns",
+    "dedup_cluster_representatives",
     # r04: quotas now from the unrounded weight, generalized
     # largest-remainder distribution (ADVICE r03 exactness fix)
     "source_mixing_weights",

@@ -1225,11 +1225,14 @@ def _sql_profile_one(c: str) -> str:
                 "frame, never the raw rows. Distinct is the histogram's "
                 "row count (no countDistinct EXPAND), and Spark's "
                 "percentile() buffer of ALL raw values in one aggregator "
-                "is gone: the only single-task structure left is the "
-                "median window over DISTINCT values, a strict subset. "
-                "Means accumulate in exact DECIMAL (order-independent). "
-                "At 100 TB swap the median for approx_percentile/t-digest "
-                "— documented tradeoff, the rest is 2-phase all the way.",
+                "is gone. The cumulative count itself is TWO-PHASE: "
+                "distinct values are range-bucketed (min/max pre-pass, "
+                "1024 buckets), bucket-level offsets come from a window "
+                "over the 1024-row bucket frame, and the per-value "
+                "cumsum runs partitioned BY bucket — no global "
+                "Window.orderBy anywhere, so no single-task sort even "
+                "when distinct ≈ rows (l_extendedprice at 100 TB). "
+                "Means accumulate in exact DECIMAL (order-independent).",
 )
 def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1238,11 +1241,40 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = (li.select(F.col(c).alias("v"))
                .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
         nn = h.filter(F.col("v").isNotNull())
-        w = (Window.orderBy("v")
-                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        tot = Window.partitionBy()
-        cum = (nn.withColumn("cum", F.sum("cnt").over(w))
-                 .withColumn("n", F.sum("cnt").over(tot)))
+        # Two-phase cumulative count. Phase 0: min/max pre-pass gives
+        # 1024 equal-width value-range buckets (floor of a monotone
+        # affine map, so bucket order == value order and equal values
+        # share a bucket). Phase 1: per-bucket totals → a ≤1024-row
+        # frame whose exclusive-prefix-sum window is trivially cheap.
+        # Phase 2: the per-value cumsum windows PARTITIONED by bucket
+        # (parallel across buckets) and adds the broadcast offset.
+        n_buckets = 1024
+        rng = nn.agg(F.min("v").alias("_mn"), F.max("v").alias("_mx"))
+        span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
+        bkt = (F.when(span == 0, F.lit(0))
+                .otherwise(F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((F.col("v").cast("double")
+                             - F.col("_mn").cast("double"))
+                            / span * n_buckets))).cast("int"))
+        bucketed = (nn.crossJoin(F.broadcast(rng))
+                      .withColumn("_bkt", bkt).drop("_mn", "_mx"))
+        wb = (Window.orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+        offsets = (bucketed.groupBy("_bkt").agg(F.sum("cnt").alias("_bcnt"))
+                   .withColumn("_off", F.coalesce(F.sum("_bcnt").over(wb),
+                                                  F.lit(0)))
+                   .withColumn("n", F.sum("_bcnt").over(
+                       Window.rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)))
+                   .drop("_bcnt"))
+        wv = (Window.partitionBy("_bkt").orderBy("v")
+                    .rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))
+        cum = (bucketed.join(F.broadcast(offsets), "_bkt")
+                       .withColumn("cum",
+                                   F.col("_off") + F.sum("cnt").over(wv))
+                       .drop("_bkt", "_off"))
         # exact percentile_cont(0.5): mean of the values at 0-indexed
         # positions floor((n-1)/2) and ceil((n-1)/2). Each position lands
         # in exactly one histogram bucket ([cum-cnt, cum) covers it), so

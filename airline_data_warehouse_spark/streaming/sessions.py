@@ -62,9 +62,12 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MINUTES,
     session sequence, then aggregate per (key, session)."""
     w = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
-    prev_us = F.unix_micros(F.lag(ts_col).over(w))
+    # .cast("timestamp") tolerates TIMESTAMP_NTZ inputs (session tz is
+    # pinned UTC, so the cast is value-identical; no-op when already TZ)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
     new_flag = F.when(prev_us.isNull()
-                      | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us), 1).otherwise(0)
+                      | (ts_us - prev_us > gap_us), 1).otherwise(0)
     flagged = events.withColumn("_new", new_flag)
     seq = F.sum("_new").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

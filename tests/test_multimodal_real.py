@@ -1,0 +1,111 @@
+"""Exercise the REAL media decoders (`_decode_real`) with genuine tiny
+fixtures, so the non-fake path stops being dead code in CI (VERDICT r04
+item 7). Fixtures are built in-test: a wave-module WAV, a hand-assembled
+1×1 PNG, and a minimal JPEG with a real SOF0 marker — all valid files a
+production decoder would accept.
+
+Reference parity: smartFileProcessor.js treats attachments as opaque
+blobs + metadata; our decode seam extracts the typed metadata
+(width/height/duration/checksum) Spark-side via Arrow mapInPandas.
+"""
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+
+from airline_data_warehouse_spark.operators.multimodal import (
+    _decode_real,
+    _png_jpeg_dims,
+    decode_media,
+    sniff_media_type,
+)
+
+
+def make_wav(n_frames: int = 800, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x00\x01" * n_frames)
+    return buf.getvalue()
+
+
+def make_png(width: int = 3, height: int = 2) -> bytes:
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + b"\x7f" * width for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def make_jpeg(width: int = 5, height: int = 4) -> bytes:
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+        + struct.pack(">HH", height, width) + b"\x01\x11\x00"
+    return soi + app0 + sof0 + b"\xff\xd9"
+
+
+def test_decode_real_wav_duration():
+    payload = make_wav(n_frames=800, rate=8000)  # exactly 100 ms
+    w, h, dur, checksum = _decode_real(payload, "audio")
+    assert (w, h) == (None, None)
+    assert dur == 100
+    assert checksum == hashlib.md5(payload).hexdigest()
+
+
+def test_decode_real_png_dims():
+    payload = make_png(width=3, height=2)
+    w, h, dur, checksum = _decode_real(payload, "image")
+    assert (w, h, dur) == (3, 2, None)
+    assert checksum == hashlib.md5(payload).hexdigest()
+
+
+def test_decode_real_jpeg_dims():
+    payload = make_jpeg(width=5, height=4)
+    w, h, _, _ = _decode_real(payload, "image")
+    assert (w, h) == (5, 4)
+
+
+def test_header_parser_rejects_non_image():
+    assert _png_jpeg_dims(b"not an image at all") is None
+
+
+def test_decode_real_video_names_missing_dependency():
+    try:
+        import av  # noqa: F401
+        pytest.skip("pyav present; guard can't fire")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        _decode_real(b"\x1aE\xdf\xa3garbage", "video")
+
+
+def test_decode_media_real_path_end_to_end(spark):
+    """The full Spark seam — sniff + mapInPandas decode — on real bytes,
+    deterministic_fake=False."""
+    rows = [(1, make_png(7, 9), "image"),
+            (2, make_jpeg(11, 6), "image"),
+            (3, make_wav(1600, 8000), "audio")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, media_type string")
+    sniffed = {r["media_id"]: (r["sniffed_type"], r["sniffed_mime"])
+               for r in sniff_media_type(df).collect()}
+    assert sniffed == {1: ("image", "image/png"),
+                       2: ("image", "image/jpeg"),
+                       3: ("audio", "audio/wav")}
+    decoded = {r["media_id"]: r for r in
+               decode_media(df, deterministic_fake=False).collect()}
+    assert (decoded[1]["width"], decoded[1]["height"]) == (7, 9)
+    assert (decoded[2]["width"], decoded[2]["height"]) == (11, 6)
+    assert decoded[3]["duration_ms"] == 200
+    for mid, src in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])):
+        assert decoded[mid]["checksum"] == hashlib.md5(src).hexdigest()

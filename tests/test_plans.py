@@ -118,3 +118,20 @@ def test_no_query_collects_to_driver(registry):
         src = inspect.getsource(qd.builder)
         assert ".collect()" not in src, f"{name} collects driver-side"
         assert ".toPandas()" not in src, f"{name} collects driver-side"
+
+
+def test_profile_median_cumsum_is_partitioned(spark, sf_dir, registry):
+    """The round-4 perf weakness: the exact-median cumulative count ran in
+    a global Window.orderBy (single-task sort over all distinct values —
+    distinct ≈ rows for l_extendedprice). The two-phase rewrite must keep
+    every window that orders by the value column partitioned by the range
+    bucket; the only permitted unpartitioned windows are over the
+    ≤1024-row bucket-offset frame (keyed on _bkt, never on v)."""
+    df = registry["profile_numeric_columns"].builder(spark, sf_dir)
+    plan = plan_of(df)
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if re.search(r"\bv#\d+", spec):
+            assert "_bkt" in spec, (
+                "value-ordered window lost its bucket partitioning "
+                "(single-task sort regression): " + spec)
