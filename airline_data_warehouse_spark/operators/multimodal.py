@@ -91,9 +91,14 @@ def _png_jpeg_dims(payload: bytes) -> tuple[int, int] | None:
                 i += 1
                 continue
             marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1  # legal fill byte before a marker, not a marker itself
+                continue
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOFn: dims at +5
                 h, w = struct.unpack(">HH", payload[i + 5:i + 9])
                 return w, h
+            if marker == 0xDA:
+                return None  # SOS: entropy-coded data follows; SOF must precede it
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length field
             else:

@@ -122,10 +122,16 @@ def vocab_table(df: DataFrame, text_col: str = "text", id_col: str | None = None
 
     Shape: one explode → one (token)-keyed aggregation computing both
     total count and distinct-document count with map-side partials. The
-    id-assigning window is un-partitioned BUT runs over the post-cutoff
-    vocabulary, not the corpus — vocabulary size is bounded by max_size
-    (or by Heaps'-law sublinear growth), which is exactly why tokenizer
-    vocabularies are built this way at corpus scale.
+    contiguous id is assigned TWO-PHASE (same pattern as the exact
+    median): tokens are bucketed by (count, 2-char token prefix) — a key
+    monotone with the global (count desc, token asc) order, since equal
+    counts sort by token and fixed-length prefixes order consistently
+    with full strings — bucket offsets come from an exclusive prefix-sum
+    window over the small distinct-(count,prefix) frame, and the
+    row_number runs PARTITIONED by bucket. No window ever sorts the full
+    vocabulary on one task; the only unpartitioned window is over the
+    per-bucket totals (≈ distinct counts × seen prefixes — tiny, Zipf
+    collapses the count dimension).
     """
     from pyspark.sql import Window
     cores = df.sparkSession.sparkContext.defaultParallelism
@@ -139,10 +145,19 @@ def vocab_table(df: DataFrame, text_col: str = "text", id_col: str | None = None
     counts = (toks.groupBy("token")
               .agg(F.count("*").alias("count"),
                    F.countDistinct("_doc").alias("doc_freq"))
-              .filter(F.col("count") >= min_count))
-    w = Window.partitionBy().orderBy(F.col("count").desc(), F.col("token").asc())
-    out = (counts.withColumn("token_id",
-                             (F.row_number().over(w) - 1).cast("int"))
+              .filter(F.col("count") >= min_count)
+              .withColumn("_pfx", F.substring("token", 1, 2)))
+    wb = (Window.orderBy(F.col("count").desc(), F.col("_pfx").asc())
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts.groupBy("count", "_pfx")
+               .agg(F.count(F.lit(1)).alias("_bcnt"))
+               .withColumn("_off", F.coalesce(F.sum("_bcnt").over(wb), F.lit(0)))
+               .drop("_bcnt"))
+    wv = Window.partitionBy("count", "_pfx").orderBy(F.col("token").asc())
+    out = (counts.join(F.broadcast(offsets), ["count", "_pfx"])
+                 .withColumn("token_id",
+                             (F.col("_off") + F.row_number().over(wv) - 1)
+                             .cast("int"))
                  .select("token_id", "token", "count", "doc_freq"))
     return out.filter(F.col("token_id") < max_size) if max_size else out
 

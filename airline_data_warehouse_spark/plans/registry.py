@@ -78,26 +78,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # they sort into the validation window right after never-validated entries,
 # so the driver re-certifies the new plan.
 _REVALIDATE: tuple[str, ...] = (
-    # r05: TIMESTAMP_NTZ normalization in load() + NTZ-tolerant
-    # unix_micros call sites (these two were analysis-time broken in r4)
-    "event_sessionization",
-    "range_join_events",
-    # r04 plan changes (histogram profiling, 2-hop-first connected
-    # components) that the r4 driver sample did not re-certify
+    # r06: NaN-safe range bucketing in the two-phase exact median
+    # (min/max pre-pass now excludes NaN; NaNs pinned to last bucket)
     "profile_numeric_columns",
-    "dedup_cluster_representatives",
-    # r04: quotas now from the unrounded weight, generalized
-    # largest-remainder distribution (ADVICE r03 exactness fix)
-    "source_mixing_weights",
+    # r06: two-phase contiguous-id assignment (window-audit fix — the
+    # full-vocabulary single-task row_number is gone)
+    "vocab_frequency_table",
 )
 
 
-def _driver_validated() -> frozenset[str]:
-    """Names already holding a green (rows+schema+hash) row in a committed
-    CORRECTNESS_r*.json. The driver validates a bounded prefix of the
-    registry per round, so ordering is validation *priority*: entries
-    without a green row yet come first, letting successive rounds cover
-    the whole registry.
+def _driver_validated() -> dict[str, int]:
+    """Map of name → LAST round holding a green (rows+schema+hash) row in
+    a committed CORRECTNESS_r*.json. The driver validates a bounded prefix
+    of the registry per round, so ordering is validation *priority*:
+    entries without a green row yet come first, then entries whose plans
+    changed (_REVALIDATE), then everything else OLDEST-CERTIFIED-FIRST —
+    so certification staleness burns down round over round instead of the
+    same prefix being re-checked forever (VERDICT r05 item 1).
 
     This is a dev-harness nicety, not library behavior: the artifacts are
     only looked for under a directory that is verifiably this repo's
@@ -114,7 +111,7 @@ def _driver_validated() -> frozenset[str]:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if not (os.path.isfile(os.path.join(root, "SURVEY.md"))
             and os.path.isdir(os.path.join(root, "tests"))):
-        return frozenset()
+        return {}
     paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     fingerprint = []
     for p in paths:
@@ -127,11 +124,14 @@ def _driver_validated() -> frozenset[str]:
 
 
 @functools.lru_cache(maxsize=4)
-def _parse_validated(fingerprint: tuple[tuple[str, int, int], ...]) -> frozenset[str]:
+def _parse_validated(fingerprint: tuple[tuple[str, int, int], ...]) -> dict[str, int]:
     import json
+    import re
 
-    green: set[str] = set()
+    last_green: dict[str, int] = {}
     for path, _mtime, _size in fingerprint:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -142,17 +142,21 @@ def _parse_validated(fingerprint: tuple[tuple[str, int, int], ...]) -> frozenset
                 continue
             if row.get("rows_match") and row.get("schema_match") is not False \
                     and row.get("hash_match") is not False:
-                green.add(name)
-    return frozenset(green)
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green
 
 
 def all_queries() -> dict[str, QueryDef]:
     # import for side effects: module-level @register calls
     from airline_data_warehouse_spark.plans import llmops, relational, scalars  # noqa: F401
-    validated = _driver_validated() - set(_REVALIDATE)
+    last_green = _driver_validated()
 
-    def priority(name: str) -> int:
-        return 1 if name in validated else 0
+    def priority(name: str) -> tuple[int, int]:
+        if name not in last_green:
+            return (0, 0)          # never driver-certified: first
+        if name in _REVALIDATE:
+            return (1, 0)          # plan changed since its last green row
+        return (2, last_green[name])  # certified: stalest first
 
     ordered = sorted(_REGISTRY, key=priority)  # stable: registration order within tiers
     return {name: _REGISTRY[name] for name in ordered}

@@ -1230,8 +1230,14 @@ def _sql_profile_one(c: str) -> str:
                 "1024 buckets), bucket-level offsets come from a window "
                 "over the 1024-row bucket frame, and the per-value "
                 "cumsum runs partitioned BY bucket — no global "
-                "Window.orderBy anywhere, so no single-task sort even "
-                "when distinct ≈ rows (l_extendedprice at 100 TB). "
+                "Window.orderBy, so no single-task sort even when "
+                "distinct ≈ rows (l_extendedprice at 100 TB). NaNs are "
+                "excluded from the min/max pre-pass and pinned to the "
+                "last bucket (a NaN span would collapse bucketing). "
+                "Buckets are equal-width: an extremely skewed value "
+                "distribution degrades toward fewer effective buckets "
+                "(worst case = the old single-partition cumsum), still "
+                "over distinct values only, never raw rows. "
                 "Means accumulate in exact DECIMAL (order-independent).",
 )
 def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1249,13 +1255,23 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Phase 2: the per-value cumsum windows PARTITIONED by bucket
         # (parallel across buckets) and adds the broadcast offset.
         n_buckets = 1024
-        rng = nn.agg(F.min("v").alias("_mn"), F.max("v").alias("_mx"))
+        # NaN guard (ADVICE r05): a NaN poisons max() → span=NaN → every
+        # row collapses into one bucket, silently restoring the
+        # single-task sort. Pre-pass min/max over non-NaN values only and
+        # pin NaNs to the last bucket, matching Spark's sort order (NaN
+        # greatest). Buckets are equal-WIDTH, so a pathologically skewed
+        # value distribution still concentrates rows in few buckets —
+        # acceptable because phase-2 work is per DISTINCT value, and the
+        # all-one-bucket worst case is exactly the pre-rewrite plan.
+        vd = F.col("v").cast("double")
+        rng = (nn.filter(~F.isnan(vd))
+                 .agg(F.min("v").alias("_mn"), F.max("v").alias("_mx")))
         span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
-        bkt = (F.when(span == 0, F.lit(0))
+        bkt = (F.when(F.isnan(vd), F.lit(n_buckets - 1))
+                .when(span == 0, F.lit(0))
                 .otherwise(F.least(
                     F.lit(n_buckets - 1),
-                    F.floor((F.col("v").cast("double")
-                             - F.col("_mn").cast("double"))
+                    F.floor((vd - F.col("_mn").cast("double"))
                             / span * n_buckets))).cast("int"))
         bucketed = (nn.crossJoin(F.broadcast(rng))
                       .withColumn("_bkt", bkt).drop("_mn", "_mx"))

@@ -46,13 +46,19 @@ def make_png(width: int = 3, height: int = 2) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-def make_jpeg(width: int = 5, height: int = 4) -> bytes:
+def make_jpeg(width: int = 5, height: int = 4, fill_bytes: int = 0) -> bytes:
+    """Minimal JPEG with real SOF0 *and* SOS segments: Pillow's open()
+    parses markers up to SOS (it only validates scan data on load()), so
+    the fixture is accepted on both the PIL and the stdlib-header path.
+    ``fill_bytes`` inserts legal 0xFF padding before SOF0 (JPEG B.1.1.2)."""
     soi = b"\xff\xd8"
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
     sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
         + struct.pack(">HH", height, width) + b"\x01\x11\x00"
-    return soi + app0 + sof0 + b"\xff\xd9"
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    scan = b"\x00" * 4
+    return soi + app0 + b"\xff" * fill_bytes + sof0 + sos + scan + b"\xff\xd9"
 
 
 def test_decode_real_wav_duration():
@@ -78,6 +84,21 @@ def test_decode_real_jpeg_dims():
 
 def test_header_parser_rejects_non_image():
     assert _png_jpeg_dims(b"not an image at all") is None
+
+
+def test_header_parser_skips_jpeg_fill_bytes():
+    # 0xFF padding before a marker is legal (JPEG B.1.1.2); the scanner
+    # must skip it rather than read a bogus length field (ADVICE r05)
+    assert _png_jpeg_dims(make_jpeg(5, 4, fill_bytes=3)) == (5, 4)
+
+
+def test_header_parser_stops_at_sos():
+    # SOF must precede SOS; a stream whose first tables-marker is SOS has
+    # no parseable dims and must return None, not scan entropy-coded data
+    soi_sos_only = (b"\xff\xd8\xff\xda" + struct.pack(">H", 8)
+                    + b"\x01\x01\x00\x00\x3f\x00" + b"\xff\xc0\x99\x99"
+                    + b"\xff\xd9")
+    assert _png_jpeg_dims(soi_sos_only) is None
 
 
 def test_decode_real_video_names_missing_dependency():

@@ -130,8 +130,30 @@ def test_profile_median_cumsum_is_partitioned(spark, sf_dir, registry):
     df = registry["profile_numeric_columns"].builder(spark, sf_dir)
     plan = plan_of(df)
     import re
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        if re.search(r"\bv#\d+", spec):
-            assert "_bkt" in spec, (
-                "value-ordered window lost its bucket partitioning "
-                "(single-task sort regression): " + spec)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    value_specs = [s for s in specs if re.search(r"\bv#\d+", s)]
+    # the capture stops at the first ')' (inside the nested frame spec);
+    # that's fine while partition/order columns precede the frame, but a
+    # plan-format change must fail HERE, not make the tripwire vacuous
+    assert value_specs, (
+        "no value-ordered windowspecdefinition matched — Spark plan-text "
+        "format drifted; update the regex so this guard keeps biting")
+    for spec in value_specs:
+        assert "_bkt" in spec, (
+            "value-ordered window lost its bucket partitioning "
+            "(single-task sort regression): " + spec)
+
+
+def test_no_unpartitioned_windows(spark, sf_dir, registry):
+    """Mechanized single-task-sort tripwire over the WHOLE registry
+    (VERDICT r05 item 4): every windowspecdefinition in every registered
+    query's physical plan must carry at least one partition column,
+    unless the query is allowlisted with a documented bounded-frame
+    reason (tools/explain_audit.py::WINDOW_ALLOWLIST)."""
+    import tools.explain_audit as ea
+    violations = ea.window_violations(spark, sf_dir, registry)
+    assert not violations, (
+        "unpartitioned ordered windows (single-task sort at scale): "
+        + "; ".join(f"{n}: {s[0][:120]}" for n, s in violations.items()))
+    # the allowlist must not rot: every allowlisted query still exists
+    assert set(ea.WINDOW_ALLOWLIST) <= set(registry)

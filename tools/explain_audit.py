@@ -4,7 +4,18 @@ broadcast joins on dims, pushed filters, pruned scans, whole-stage
 codegen. Run after plan changes; tests/test_plans.py asserts the
 critical ones.
 
+Also the SINGLE-TASK-SORT tripwire (`--windows` / window_violations()):
+parses every windowspecdefinition out of every registered query's
+physical plan (balanced-paren scan, immune to the nested
+specifiedwindowframe) and fails on any window with ordering but no
+partition columns over a possibly-unbounded input — the plan shape that
+serializes onto one task at 100 TB. Queries whose unpartitioned windows
+run over provably tiny frames are allowlisted by name with the bound
+written next to them (WINDOW_ALLOWLIST); pytest wires this over the
+whole registry (tests/test_plans.py::test_no_unpartitioned_windows).
+
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
+       python tools/explain_audit.py --windows [sf_dir]
 """
 
 from __future__ import annotations
@@ -35,7 +46,114 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+# Queries allowed to keep an unpartitioned (single-partition) Window,
+# each with the reason its frame is bounded — NOT "it's fast today":
+WINDOW_ALLOWLIST = {
+    # distinct country names from nation ⋈ customer: bounded by the
+    # world's country count (~200 rows) — relational.py country_hierarchy
+    "country_hierarchy_dim": "distinct countries ≤ ~200 rows",
+    # two-phase median: the only unpartitioned windows run over the
+    # ≤1024-row per-measure bucket frame (offsets + grand total); the
+    # per-value cumsum is partitioned by _bkt (asserted separately by
+    # test_profile_median_cumsum_is_partitioned)
+    "profile_numeric_columns": "1024-row bucket-offset frame",
+    # every window runs over the per-SOURCE aggregate (|sources| rows —
+    # tens, by construction of a source-mixing config), never corpus rows
+    "source_mixing_weights": "|sources|-row per-source aggregate",
+    # two-phase id assignment: the big row_number is partitioned by
+    # (count, prefix); the only unpartitioned window is the offsets
+    # prefix-sum over the distinct-(count,prefix) frame (Zipf-small)
+    "vocab_frequency_table": "distinct-(count,prefix) offsets frame",
+}
+
+
+def _balanced_specs(plan: str, token: str = "windowspecdefinition(") -> list[str]:
+    """Every windowspecdefinition argument list, balanced-paren extracted
+    (the regex-to-first-')' shortcut truncates inside the nested
+    specifiedwindowframe — ADVICE r05)."""
+    out = []
+    i = 0
+    while True:
+        j = plan.find(token, i)
+        if j < 0:
+            return out
+        k = j + len(token)
+        depth = 1
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(plan[j + len(token):k - 1])
+        i = k
+
+
+def _top_level_args(spec: str) -> list[str]:
+    args, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """Window specs whose argument list contains ordering columns but no
+    partition columns (→ Spark moves ALL rows to a single partition).
+    In plan text, partition columns are plain expressions; ordering
+    columns carry an ASC/DESC direction."""
+    import re
+    bad = []
+    for spec in _balanced_specs(plan):
+        args = [a for a in _top_level_args(spec)
+                if not a.startswith("specifiedwindowframe(")]
+        if not args:
+            continue  # no partition, no order: degenerate constant frame
+        has_partition = any(not re.search(r"\b(ASC|DESC)\b", a) for a in args)
+        if not has_partition:
+            bad.append(spec)
+    return bad
+
+
+def window_violations(spark, sf_dir: str, registry) -> dict[str, list[str]]:
+    """name → offending specs, for every non-allowlisted registry query."""
+    violations: dict[str, list[str]] = {}
+    for name, qd in registry.items():
+        if name in WINDOW_ALLOWLIST:
+            continue
+        bad = unpartitioned_window_specs(plan_of(qd.builder(spark, sf_dir)))
+        if bad:
+            violations[name] = bad
+    return violations
+
+
 def main() -> None:
+    if "--windows" in sys.argv:
+        argv = [a for a in sys.argv[1:] if a != "--windows"]
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+        from airline_data_warehouse_spark.plans.registry import all_queries
+        from airline_data_warehouse_spark.session import get_spark
+        spark = get_spark(app_name="window-audit")
+        spark.sparkContext.setLogLevel("ERROR")
+        violations = window_violations(spark, sf_dir, all_queries())
+        for name, specs in violations.items():
+            print(f"VIOLATION {name}:")
+            for s in specs:
+                print(f"    {s[:160]}")
+        print(f"\n{len(violations)} violations "
+              f"({len(WINDOW_ALLOWLIST)} allowlisted)")
+        sys.exit(1 if violations else 0)
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or AUDITED
     from airline_data_warehouse_spark.plans.registry import all_queries
