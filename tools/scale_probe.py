@@ -41,6 +41,10 @@ PROBE_QUERIES = [
     "text_repetition_filter",
     "token_budget_sample",
     "deterministic_shuffle",
+    # r06: plans rewritten/resurrected since the last SCALING.md refresh
+    "profile_numeric_columns",
+    "range_join_events",
+    "vocab_frequency_table",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
