@@ -84,6 +84,8 @@ _REVALIDATE: tuple[str, ...] = (
     # r06: two-phase contiguous-id assignment (window-audit fix — the
     # full-vocabulary single-task row_number is gone)
     "vocab_frequency_table",
+    # r06: cores-tracking id-repartition before the plane-dot projection
+    "dedup_embedding_cosine",
 )
 
 

@@ -6,7 +6,9 @@ Replication remaps keys per copy so join fan-out and group cardinality
 scale realistically (copy i shifts ids by i*10^9 for facts; dimension
 tables stay fixed, as they would at 100 TB).
 
-Usage: python tools/scale_probe.py [factor]  (default 8)
+Usage: python tools/scale_probe.py [factor] [query ...]  (default 8, all)
+       --keep      leave the scaled parquet in /tmp for re-probing
+       --reuse     skip the build if the scaled dir already exists
 """
 
 from __future__ import annotations
@@ -86,44 +88,53 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
         copies.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     from airline_data_warehouse_spark.plans.registry import all_queries
     from airline_data_warehouse_spark.operators.dedup import release_caches
     reg = all_queries()
     out = {}
-    for name in PROBE_QUERIES:
-        t0 = time.time()
-        reg[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 2)
-        # operators persist signature-sized intermediates for their own
-        # self-joins; release between queries so one measurement never
-        # pays (or benefits from) another query's cache
-        release_caches()
+    for name in names or PROBE_QUERIES:
+        samples = []
+        for _ in range(3):  # median-of-3: single-run container noise
+            t0 = time.time()  # swamped ratios by ±60% in r06 measurements
+            reg[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            # operators persist signature-sized intermediates for their
+            # own self-joins; release between runs so one measurement
+            # never pays (or benefits from) another's cache
+            release_caches()
+        out[name] = round(sorted(samples)[1], 2)
     return out
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    keep = "--keep" in sys.argv
+    reuse = "--reuse" in sys.argv
+    argv = [a for a in sys.argv[1:] if a not in ("--keep", "--reuse")]
+    factor = int(argv[0]) if argv else 8
+    names = argv[1:] or PROBE_QUERIES
     out_dir = f"/tmp/adw_scale_{factor}x"
     from airline_data_warehouse_spark.session import get_spark
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    build_scaled(spark, factor, out_dir)
-    base = time_queries(spark, BASE)        # warm-up pass (JVM/codegen/footers)
-    base = time_queries(spark, BASE)
-    scaled = time_queries(spark, out_dir)   # warm-up pass for the scaled files
-    scaled = time_queries(spark, out_dir)
+    if not (reuse and os.path.isdir(out_dir)):
+        build_scaled(spark, factor, out_dir)
+    base = time_queries(spark, BASE, names)  # warm-up pass (JVM/codegen/footers)
+    base = time_queries(spark, BASE, names)
+    scaled = time_queries(spark, out_dir, names)  # warm-up for the scaled files
+    scaled = time_queries(spark, out_dir, names)
     report = {
         "factor": factor,
         "queries": {
             name: {"base_s": base[name], "scaled_s": scaled[name],
                    "ratio": round(scaled[name] / max(base[name], 1e-6), 2)}
-            for name in PROBE_QUERIES
+            for name in names
         },
     }
     print(json.dumps(report, indent=2))
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
