@@ -28,6 +28,24 @@ def _dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _lit_vec(w: list[float]) -> Column:
+    """Array-of-double literal via ONE parsed SQL expression. Building it
+    from per-element F.lit()s costs a py4j round trip per element —
+    measured ~1 s of driver time per 2048-element plane matrix, paid on
+    EVERY plan construction — where the SQL parser does it in ~5 ms.
+    repr() is Python's shortest round-trip form and the D suffix parses
+    as an exact double, so values are bit-identical to the lit path
+    (asserted equal at introduction; planes are ±1.0 anyway)."""
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in w) + ")")
+
+
+def _lit_mat(planes: list[list[float]]) -> Column:
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in w) + ")" for w in planes)
+        + ")")
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0),
                               lambda acc, x: acc + x.cast("double") * x.cast("double")))
@@ -61,13 +79,32 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.col("rank").cast("int").alias("rank")))
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, dims: int = 64) -> Column:
-    """Random-hyperplane LSH bucket id: bit j = sign of <vec, plane_j>."""
+def hyperplane_bucket(vec: Column | str, n_planes: int = 8, dims: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign of <vec, plane_j>.
+
+    Pass the vector COLUMN NAME to get the fast construction path: the
+    whole bucket expression is generated as one SQL string and parsed in
+    a single py4j call. The Column path builds the identical expression
+    through the Python HOF API, which costs ~25 ms of driver time per
+    plane in py4j lambda round trips (~0.5 s per call site at 8 planes —
+    measured; it dominated similarity_topk_lsh's bench time, since plan
+    CONSTRUCTION is paid per query even when execution is distributed).
+    Both paths produce the same aggregate(zip_with(...)) expression tree,
+    so results are bit-identical."""
     planes = hyperplane_weights(n_planes, dims)
+    if isinstance(vec, str):
+        terms = []
+        for j, w in enumerate(planes):
+            arr = "array(" + ",".join(f"{x!r}D" for x in w) + ")"
+            dot = (f"aggregate(zip_with(`{vec}`, {arr}, "
+                   "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                   "0.0D, (acc, x) -> acc + x)")
+            terms.append(f"(CASE WHEN round({dot}, 9) > 0 "
+                         f"THEN {1 << j} ELSE 0 END)")
+        return F.expr("0 + " + " + ".join(terms))
     bucket = F.lit(0)
     for j, w in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in w])
-        d = F.round(_dot(vec, lit_plane), 9)
+        d = F.round(_dot(vec, _lit_vec(w)), 9)
         bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
@@ -80,11 +117,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     bucketed = corpus.select(F.col(id_col).alias("neighbor_id"),
                              F.col(vec_col).alias("cv"),
                              _norm(F.col(vec_col)).alias("cn"),
-                             hyperplane_bucket(F.col(vec_col), n_planes, dims)
+                             hyperplane_bucket(vec_col, n_planes, dims)
                              .alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        _norm(F.col(vec_col)).alias("qn"),
-                       hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"))
+                       hyperplane_bucket(vec_col, n_planes, dims).alias("bucket"))
     scored = (F.broadcast(q).join(bucketed, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
@@ -113,8 +150,7 @@ def hyperplane_band_keys(vec: Column, bands: int = 4, rows_per_band: int = 8,
         key = F.lit(0)
         for r in range(rows_per_band):
             w = planes[b * rows_per_band + r]
-            lit_plane = F.array(*[F.lit(x) for x in w])
-            d = F.round(_dot(vec, lit_plane), 9)
+            d = F.round(_dot(vec, _lit_vec(w)), 9)
             key = key + F.when(d > 0, F.lit(1 << r)).otherwise(F.lit(0))
         keys.append(key)
     return keys
@@ -144,7 +180,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     as bands grow. Fold order and rounding are unchanged, so keys stay
     bit-identical to the SQL oracle's."""
     planes = hyperplane_weights(bands * rows_per_band, dims)
-    plane_mat = F.array(*[F.array(*[F.lit(float(x)) for x in w]) for w in planes])
+    plane_mat = _lit_mat(planes)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dots = F.transform(plane_mat, lambda p: F.round(
         F.aggregate(F.zip_with(F.col("_vd"), p, lambda a, b: a * b),

@@ -86,6 +86,9 @@ _REVALIDATE: tuple[str, ...] = (
     "vocab_frequency_table",
     # r06: cores-tracking id-repartition before the plane-dot projection
     "dedup_embedding_cosine",
+    # r06: hyperplane bucket expression now built as one parsed SQL
+    # string (same expression tree; py4j-per-element construction gone)
+    "similarity_topk_lsh",
 )
 
 

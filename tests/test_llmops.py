@@ -76,6 +76,20 @@ def test_lsh_bucket_stable_under_scaling(spark):
     assert buckets[1] == buckets[2]  # hyperplane signs are scale-invariant
 
 
+def test_lsh_bucket_sql_and_column_paths_agree(spark):
+    """The SQL-string fast path (one parsed expression) and the Column
+    HOF path must produce identical buckets for arbitrary vectors —
+    they're the same expression tree built two ways."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = df.select("vec_id",
+                    sim.hyperplane_bucket("embedding").alias("fast"),
+                    sim.hyperplane_bucket(F.col("embedding")).alias("slow")).collect()
+    assert all(r["fast"] == r["slow"] for r in got)
+
+
 def test_lang_id_markers(spark):
     docs = spark.createDataFrame([
         (1, "the cat and the dog of the house is big"),

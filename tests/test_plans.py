@@ -157,3 +157,13 @@ def test_no_unpartitioned_windows(spark, sf_dir, registry):
         + "; ".join(f"{n}: {s[0][:120]}" for n, s in violations.items()))
     # the allowlist must not rot: every allowlisted query still exists
     assert set(ea.WINDOW_ALLOWLIST) <= set(registry)
+
+
+def test_no_cartesian_products(spark, sf_dir, registry):
+    """Registry-wide all-pairs-join tripwire: intended cross joins are
+    all against broadcast tiny frames (→ BroadcastNestedLoopJoin), so a
+    CartesianProduct in any plan means a lost broadcast hint — quadratic
+    shuffle-free work at scale. No allowlist on purpose."""
+    import tools.explain_audit as ea
+    bad = ea.cartesian_violations(spark, sf_dir, registry)
+    assert not bad, f"CartesianProduct in: {bad}"

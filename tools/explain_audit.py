@@ -137,6 +137,17 @@ def window_violations(spark, sf_dir: str, registry) -> dict[str, list[str]]:
     return violations
 
 
+def cartesian_violations(spark, sf_dir: str, registry) -> list[str]:
+    """Queries whose physical plan contains a CartesianProduct — the
+    shuffle-free all-pairs join that is quadratic at any scale. Every
+    intended cross join in this codebase is against a broadcast 1-row /
+    centroid / query-set frame and therefore compiles to
+    BroadcastNestedLoopJoin, so the allowlist is EMPTY by design; a
+    CartesianProduct appearing means a broadcast hint was lost."""
+    return [name for name, qd in registry.items()
+            if "CartesianProduct" in plan_of(qd.builder(spark, sf_dir))]
+
+
 def main() -> None:
     if "--windows" in sys.argv:
         argv = [a for a in sys.argv[1:] if a != "--windows"]
