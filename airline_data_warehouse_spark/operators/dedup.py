@@ -249,13 +249,18 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     sh = shingled(df, text_col, id_col, k)
     ex = sh.select(F.col(id_col),
                    F.explode(F.transform(F.col("hs"), rehash60)).alias("h60"))
-    ones = [F.sum(F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
-            for j in range(SIMHASH_BITS)]
-    votes = ex.groupBy(id_col).agg(F.count("*").alias("_n"), *ones)
-    sig = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"_b{j}") * 2 > F.col("_n"),
-                           F.lit(1 << j)).otherwise(F.lit(0))
+    # the 60 bit-count sums (one struct-of-aggregates) and the 60-branch
+    # signature assembly are generated as TWO parsed SQL strings: built
+    # expression-object-by-object they cost ~8 py4j round trips per bit
+    # (~2 s of driver time per plan construction, measured r06) for the
+    # identical expression tree
+    ones = F.expr("struct(" + ",".join(
+        f"sum(shiftright(h60, {j}) & 1) AS _b{j}"
+        for j in range(SIMHASH_BITS)) + ") AS _bs")
+    votes = ex.groupBy(id_col).agg(F.count("*").alias("_n"), ones)
+    sig = F.expr("cast(0 AS BIGINT) + " + " + ".join(
+        f"(CASE WHEN _bs._b{j} * 2 > _n THEN {1 << j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS)))
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 

@@ -72,14 +72,15 @@ def edit_distance_join(probe: DataFrame, canon: DataFrame,
     # --- probe side: (2k+1)^2*(k+1) keys from an exploded constant array -
     # One struct column per (dl, seg_idx, shift) triple would regenerate the
     # r02 codegen blow-up; instead explode the parameter triples and compute
-    # the single substr from the exploded ints.
-    p_params = F.array(*[
-        F.struct(F.lit(dl).alias("dl"), F.lit(i).alias("seg_idx"),
-                 F.lit(shift).alias("shift"))
+    # the single substr from the exploded ints. The constant array is one
+    # parsed SQL expression — 75 struct/lit Column objects cost ~450 py4j
+    # round trips (~1 s of driver time per plan construction, measured r06).
+    p_params = F.expr("array(" + ",".join(
+        f"named_struct('dl', {dl}, 'seg_idx', {i}, 'shift', {shift})"
         for dl in range(-k, k + 1)          # hypothetical canonical length
         for i in range(parts)
         for shift in range(-k, k + 1)       # segment position drift <= k
-    ])
+    ) + ")")
     p_len = F.length(p_col).cast("int")
     p_banded = probe.withColumn("_p", F.explode(p_params))
     tlen = (p_len + F.col("_p.dl")).cast("int")
