@@ -1218,112 +1218,113 @@ def _sql_profile_one(c: str) -> str:
     operators="PROFILE",
     description="Data-profiling report: one row per numeric measure with "
                 "count / nulls / distinct / min / max / mean / exact median. "
-                "One column-pruned HISTOGRAM pass per measure (groupBy "
-                "value → count), then every stat — including the exact "
-                "median, via cumulative counts over the value-ordered "
-                "histogram — is computed from the tiny distinct-value "
-                "frame, never the raw rows. Distinct is the histogram's "
-                "row count (no countDistinct EXPAND), and Spark's "
-                "percentile() buffer of ALL raw values in one aggregator "
-                "is gone. The cumulative count itself is TWO-PHASE: "
-                "distinct values are range-bucketed (min/max pre-pass, "
-                "1024 buckets), bucket-level offsets come from a window "
-                "over the 1024-row bucket frame, and the per-value "
-                "cumsum runs partitioned BY bucket — no global "
-                "Window.orderBy, so no single-task sort even when "
-                "distinct ≈ rows (l_extendedprice at 100 TB). NaNs are "
-                "excluded from the min/max pre-pass and pinned to the "
-                "last bucket (a NaN span would collapse bucketing). "
+                "ONE column-pruned scan: the measures UNPIVOT to "
+                "(col_name, v) rows and a single HISTOGRAM aggregation "
+                "(groupBy measure+value → count) feeds every stat — "
+                "including the exact median, via cumulative counts over "
+                "the value-ordered histogram — from the tiny "
+                "distinct-value frame, never the raw rows (the r05 "
+                "plan-per-measure version scanned lineitem 8×). Distinct "
+                "is the histogram's row count (no countDistinct EXPAND), "
+                "and Spark's percentile() buffer of ALL raw values in "
+                "one aggregator is gone. The cumulative count is "
+                "TWO-PHASE: distinct values are range-bucketed per "
+                "measure (min/max pre-pass, 1024 buckets), bucket-level "
+                "offsets come from a window over the ≤1024-rows-per-"
+                "measure bucket frame (partitioned by measure), and the "
+                "per-value cumsum runs partitioned by (measure, bucket) "
+                "— no global Window.orderBy, so no single-task sort even "
+                "when distinct ≈ rows (l_extendedprice at 100 TB). NaNs "
+                "are excluded from the min/max pre-pass and pinned to "
+                "the last bucket (a NaN span would collapse bucketing). "
                 "Buckets are equal-width: an extremely skewed value "
                 "distribution degrades toward fewer effective buckets "
-                "(worst case = the old single-partition cumsum), still "
-                "over distinct values only, never raw rows. "
+                "(worst case = one cumsum task per measure), still over "
+                "distinct values only, never raw rows. "
                 "Means accumulate in exact DECIMAL (order-independent).",
 )
 def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    parts = []
-    for c in _PROFILE_COLS:
-        h = (li.select(F.col(c).alias("v"))
-               .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
-        nn = h.filter(F.col("v").isNotNull())
-        # Two-phase cumulative count. Phase 0: min/max pre-pass gives
-        # 1024 equal-width value-range buckets (floor of a monotone
-        # affine map, so bucket order == value order and equal values
-        # share a bucket). Phase 1: per-bucket totals → a ≤1024-row
-        # frame whose exclusive-prefix-sum window is trivially cheap.
-        # Phase 2: the per-value cumsum windows PARTITIONED by bucket
-        # (parallel across buckets) and adds the broadcast offset.
-        n_buckets = 1024
-        # NaN guard (ADVICE r05): a NaN poisons max() → span=NaN → every
-        # row collapses into one bucket, silently restoring the
-        # single-task sort. Pre-pass min/max over non-NaN values only and
-        # pin NaNs to the last bucket, matching Spark's sort order (NaN
-        # greatest). Buckets are equal-WIDTH, so a pathologically skewed
-        # value distribution still concentrates rows in few buckets —
-        # acceptable because phase-2 work is per DISTINCT value, and the
-        # all-one-bucket worst case is exactly the pre-rewrite plan.
-        vd = F.col("v").cast("double")
-        rng = (nn.filter(~F.isnan(vd))
-                 .agg(F.min("v").alias("_mn"), F.max("v").alias("_mx")))
-        span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
-        bkt = (F.when(F.isnan(vd), F.lit(n_buckets - 1))
-                .when(span == 0, F.lit(0))
-                .otherwise(F.least(
-                    F.lit(n_buckets - 1),
-                    F.floor((vd - F.col("_mn").cast("double"))
-                            / span * n_buckets))).cast("int"))
-        bucketed = (nn.crossJoin(F.broadcast(rng))
-                      .withColumn("_bkt", bkt).drop("_mn", "_mx"))
-        wb = (Window.orderBy("_bkt")
-                    .rowsBetween(Window.unboundedPreceding, -1))
-        offsets = (bucketed.groupBy("_bkt").agg(F.sum("cnt").alias("_bcnt"))
-                   .withColumn("_off", F.coalesce(F.sum("_bcnt").over(wb),
-                                                  F.lit(0)))
-                   .withColumn("n", F.sum("_bcnt").over(
-                       Window.rowsBetween(Window.unboundedPreceding,
-                                          Window.unboundedFollowing)))
-                   .drop("_bcnt"))
-        wv = (Window.partitionBy("_bkt").orderBy("v")
-                    .rowsBetween(Window.unboundedPreceding,
-                                 Window.currentRow))
-        cum = (bucketed.join(F.broadcast(offsets), "_bkt")
-                       .withColumn("cum",
-                                   F.col("_off") + F.sum("cnt").over(wv))
-                       .drop("_bkt", "_off"))
-        # exact percentile_cont(0.5): mean of the values at 0-indexed
-        # positions floor((n-1)/2) and ceil((n-1)/2). Each position lands
-        # in exactly one histogram bucket ([cum-cnt, cum) covers it), so
-        # the median is a SUM of per-bucket contributions — 0.5·v for
-        # each straddling bucket (or 1.0·v when both positions coincide).
-        # 0.5·a + 0.5·b == (a+b)/2 bit-exactly in IEEE (scaling by 0.5 is
-        # exact; the one rounding happens at the add in both forms).
-        k1 = F.floor((F.col("n") - 1) / 2)
-        k2 = F.ceil((F.col("n") - 1) / 2)
-        d = F.col("v").cast("double")
-        in_bucket = lambda k: (F.col("cum") - F.col("cnt") <= k) & (k < F.col("cum"))  # noqa: E731
-        med = (cum.withColumn(
-                   "contrib",
-                   F.when(in_bucket(k1),
-                          d * F.when(k1 == k2, F.lit(1.0)).otherwise(F.lit(0.5)))
-                    .otherwise(F.lit(0.0))
-                   + F.when(in_bucket(k2) & (k1 != k2), d * 0.5)
-                      .otherwise(F.lit(0.0)))
-               .agg(F.round(F.sum("contrib"), 6).alias("p50")))
-        not_null_cnt = F.sum(F.when(F.col("v").isNotNull(), F.col("cnt"))
-                              .otherwise(0))
-        stats = h.agg(
-            F.lit(c).alias("col_name"),
-            not_null_cnt.cast("long").alias("n"),
-            F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
-             .cast("long").alias("n_null"),
-            F.count(F.col("v")).alias("n_distinct"),
-            F.min(F.col("v").cast("double")).alias("min_val"),
-            F.max(F.col("v").cast("double")).alias("max_val"),
-            F.round(F.sum(F.col("v").cast("decimal(28,10)") * F.col("cnt"))
-                     .cast("double") / not_null_cnt, 6).alias("mean_val"))
-        parts.append(stats.crossJoin(med))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    n_buckets = 1024
+    # One scan: unpivot the measures, then ONE histogram aggregation
+    # keyed on (col_name, v). Everything downstream runs per measure by
+    # partitioning/grouping on col_name — the per-measure plans of the
+    # r05 version were 4 independent scans × (histogram + stats).
+    h = (li.unpivot([], list(_PROFILE_COLS), "col_name", "v")
+           .groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt")))
+    nn = h.filter(F.col("v").isNotNull())
+    # Two-phase cumulative count. Phase 0: per-measure min/max pre-pass
+    # gives 1024 equal-width value-range buckets (floor of a monotone
+    # affine map, so bucket order == value order and equal values share
+    # a bucket). Phase 1: per-(measure, bucket) totals → a ≤1024-rows-
+    # per-measure frame whose exclusive-prefix-sum window is trivially
+    # cheap. Phase 2: the per-value cumsum windows PARTITIONED by
+    # (measure, bucket) and adds the broadcast offset.
+    #
+    # NaN guard (ADVICE r05): a NaN poisons max() → span=NaN → every row
+    # collapses into one bucket, silently restoring the single-task
+    # sort. Pre-pass min/max over non-NaN values only and pin NaNs to
+    # the last bucket, matching Spark's sort order (NaN greatest).
+    vd = F.col("v").cast("double")
+    rng = (nn.filter(~F.isnan(vd))
+             .groupBy("col_name")
+             .agg(F.min("v").alias("_mn"), F.max("v").alias("_mx")))
+    span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
+    bkt = (F.when(F.isnan(vd), F.lit(n_buckets - 1))
+            .when(span == 0, F.lit(0))
+            .otherwise(F.least(
+                F.lit(n_buckets - 1),
+                F.floor((vd - F.col("_mn").cast("double"))
+                        / span * n_buckets))).cast("int"))
+    bucketed = (nn.join(F.broadcast(rng), "col_name")
+                  .withColumn("_bkt", bkt).drop("_mn", "_mx"))
+    wb = (Window.partitionBy("col_name").orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (bucketed.groupBy("col_name", "_bkt")
+               .agg(F.sum("cnt").alias("_bcnt"))
+               .withColumn("_off", F.coalesce(F.sum("_bcnt").over(wb),
+                                              F.lit(0)))
+               .withColumn("n", F.sum("_bcnt").over(
+                   Window.partitionBy("col_name")
+                         .rowsBetween(Window.unboundedPreceding,
+                                      Window.unboundedFollowing)))
+               .drop("_bcnt"))
+    wv = (Window.partitionBy("col_name", "_bkt").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (bucketed.join(F.broadcast(offsets), ["col_name", "_bkt"])
+                   .withColumn("cum", F.col("_off") + F.sum("cnt").over(wv))
+                   .drop("_bkt", "_off"))
+    # exact percentile_cont(0.5): mean of the values at 0-indexed
+    # positions floor((n-1)/2) and ceil((n-1)/2). Each position lands
+    # in exactly one histogram bucket ([cum-cnt, cum) covers it), so
+    # the median is a SUM of per-bucket contributions — 0.5·v for
+    # each straddling bucket (or 1.0·v when both positions coincide).
+    # 0.5·a + 0.5·b == (a+b)/2 bit-exactly in IEEE (scaling by 0.5 is
+    # exact; the one rounding happens at the add in both forms).
+    k1 = F.floor((F.col("n") - 1) / 2)
+    k2 = F.ceil((F.col("n") - 1) / 2)
+    d = F.col("v").cast("double")
+    in_bucket = lambda k: (F.col("cum") - F.col("cnt") <= k) & (k < F.col("cum"))  # noqa: E731
+    med = (cum.withColumn(
+               "contrib",
+               F.when(in_bucket(k1),
+                      d * F.when(k1 == k2, F.lit(1.0)).otherwise(F.lit(0.5)))
+                .otherwise(F.lit(0.0))
+               + F.when(in_bucket(k2) & (k1 != k2), d * 0.5)
+                  .otherwise(F.lit(0.0)))
+           .groupBy("col_name")
+           .agg(F.round(F.sum("contrib"), 6).alias("p50")))
+    not_null_cnt = F.sum(F.when(F.col("v").isNotNull(), F.col("cnt"))
+                          .otherwise(0))
+    stats = h.groupBy("col_name").agg(
+        not_null_cnt.cast("long").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+         .cast("long").alias("n_null"),
+        F.count(F.col("v")).alias("n_distinct"),
+        F.min(F.col("v").cast("double")).alias("min_val"),
+        F.max(F.col("v").cast("double")).alias("max_val"),
+        F.round(F.sum(F.col("v").cast("decimal(28,10)") * F.col("cnt"))
+                 .cast("double") / not_null_cnt, 6).alias("mean_val"))
+    # left join: an all-null measure has no histogram rows → no median
+    # row; it must still report (with p50 null), as quantile_cont does
+    return stats.join(F.broadcast(med), "col_name", "left")
