@@ -159,6 +159,56 @@ def test_no_unpartitioned_windows(spark, sf_dir, registry):
     assert set(ea.WINDOW_ALLOWLIST) <= set(registry)
 
 
+def test_profile_median_with_nan_and_null_columns(spark, tmp_path, registry):
+    """The ADVICE r05 NaN guard, exercised end-to-end: a NaN in a
+    profiled double column must neither poison the range buckets (the
+    pre-guard behavior collapsed every row into bucket 0) nor corrupt
+    the median of the non-NaN mass. Builds a tiny lineitem with NaN,
+    nulls, a constant column, and a well-spread column, and checks the
+    profile against hand-computed truth."""
+    import math
+
+    rows = []
+    for i in range(101):  # l_quantity: 0..100 → median 50
+        rows.append((i, 1, float(i),
+                     float("nan") if i == 7 else float(i) * 2,  # NaN mix
+                     None if i % 2 else 5.0,                    # nulls
+                     1.25))                                     # constant
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["col_name"]: r for r in
+           registry["profile_numeric_columns"].builder(
+               spark, str(tmp_path)).collect()}
+    assert out["l_quantity"]["p50"] == 50.0
+    assert out["l_tax"]["p50"] == 1.25 and out["l_tax"]["n_distinct"] == 1
+    assert out["l_discount"]["n_null"] == 50 and out["l_discount"]["p50"] == 5.0
+    # NaN counts as a value (not null); Spark sorts it greatest, so the
+    # 101-value median is position 50 of [0,2,...,12,16,...,198,NaN]
+    # (14 became the NaN) → 102.0
+    q = out["l_extendedprice"]
+    assert q["n_null"] == 0 and q["n"] == 101
+    assert q["p50"] == 102.0
+    assert math.isnan(q["max_val"])  # max over values includes the NaN
+
+
+def test_vocab_ids_contiguous_across_prefix_buckets(spark):
+    """Two-phase id assignment: ids must be exactly 0..n-1 in (count
+    desc, token asc) order even when ties span prefix buckets."""
+    from airline_data_warehouse_spark.operators.text import vocab_table
+    docs = spark.createDataFrame(
+        [(1, "aa ab ba bb aa ab ba bb"),   # 4 tokens × count 2
+         (2, "aa zz zz zz")],              # aa→3, zz→3
+        "doc_id long, text string")
+    got = [(r["token_id"], r["token"], r["count"]) for r in
+           vocab_table(docs, id_col="doc_id", min_count=2)
+           .orderBy("token_id").collect()]
+    assert [t for t, _, _ in got] == list(range(len(got)))
+    assert got == [(0, "aa", 3), (1, "zz", 3),
+                   (2, "ab", 2), (3, "ba", 2), (4, "bb", 2)]
+
+
 def test_no_cartesian_products(spark, sf_dir, registry):
     """Registry-wide all-pairs-join tripwire: intended cross joins are
     all against broadcast tiny frames (→ BroadcastNestedLoopJoin), so a
