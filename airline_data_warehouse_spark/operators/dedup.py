@@ -135,7 +135,7 @@ def minhash_band_table(shingle_sets: DataFrame, id_col: str = "doc_id") -> DataF
     never rescans corpus text."""
     sig = shingle_sets.select(
         id_col, *[c.alias(f"h{i}") for i, c in
-                  enumerate(minhash_signature(F.col("hs")))])
+                  enumerate(minhash_signature("hs"))])
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"h{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)]

@@ -70,8 +70,19 @@ def hashed_shingle_set(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     return F.array_distinct(F.transform(char_shingles(text, k), base_hash))
 
 
-def minhash_signature(hashed: Column) -> list[Column]:
-    """One min-hash per (a,b) param over a pre-hashed shingle array."""
+def minhash_signature(hashed: Column | str) -> list[Column]:
+    """One min-hash per (a,b) param over a pre-hashed shingle array.
+
+    Pass the COLUMN NAME for the fast construction path (each permutation
+    generated as one parsed SQL expression instead of a Python-HOF lambda
+    costing ~12 ms of py4j round trips). Both paths build the same
+    expression tree: the base hash is BIGINT (base_hash casts to long),
+    so the L-suffixed literals match the Column path's int-lit-promoted-
+    to-long arithmetic exactly."""
+    if isinstance(hashed, str):
+        return [F.expr(f"array_min(transform(`{hashed}`, "
+                       f"h -> ({a}L * h + {b}L) % {MERSENNE_P}L))")
+                for a, b in MINHASH_PARAMS]
     sig = []
     for a, b in MINHASH_PARAMS:
         def perm(h, a=a, b=b):  # plain expression closure, not a Spark HOF lambda

@@ -89,11 +89,13 @@ _REVALIDATE: tuple[str, ...] = (
     # r06: hyperplane bucket expression now built as one parsed SQL
     # string (same expression tree; py4j-per-element construction gone)
     "similarity_topk_lsh",
-    # r06: simhash vote sums/signature assembly and the edit-distance
-    # probe fan-out array likewise moved to parsed SQL strings
+    # r06: simhash vote sums/signature assembly, the edit-distance
+    # probe fan-out array, and the minhash permutations likewise moved
+    # to parsed SQL strings
     "dedup_simhash",
     "dedup_simhash_multiprobe",
     "string_similarity_join",
+    "dedup_minhash_lsh",
 )
 
 
