@@ -217,3 +217,22 @@ def test_no_cartesian_products(spark, sf_dir, registry):
     import tools.explain_audit as ea
     bad = ea.cartesian_violations(spark, sf_dir, registry)
     assert not bad, f"CartesianProduct in: {bad}"
+
+
+def test_no_row_udfs_or_rdd_api_in_package():
+    """Source-level slow-path tripwire: the engine's contract is zero
+    Python row-at-a-time UDFs (Arrow mapInPandas / applyInPandasWithState
+    are the only Python seams) and zero RDD API (Catalyst can't optimize
+    through an RDD boundary). A match here means someone reached for the
+    10-100× slower path."""
+    import pathlib
+    import re
+    pkg = pathlib.Path(__file__).parent.parent / "airline_data_warehouse_spark"
+    banned = re.compile(r"F\.udf\(|@udf\b|pandas_udf\(|\.rdd\b|\.toLocalIterator\(|"
+                        r"sparkContext\.parallelize\(|mapPartitions\(")
+    hits = []
+    for py in sorted(pkg.rglob("*.py")):
+        for ln, line in enumerate(py.read_text().splitlines(), 1):
+            if banned.search(line.split("#")[0]):
+                hits.append(f"{py.name}:{ln}: {line.strip()[:80]}")
+    assert not hits, "slow-path API usage:\n" + "\n".join(hits)
