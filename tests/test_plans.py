@@ -219,6 +219,28 @@ def test_no_cartesian_products(spark, sf_dir, registry):
     assert not bad, f"CartesianProduct in: {bad}"
 
 
+def test_registry_orders_stalest_certified_last_green_first(monkeypatch):
+    """The driver validates a bounded registry prefix per round, so
+    ordering IS the recertification schedule (VERDICT r05 item 1):
+    never-certified first, then _REVALIDATE (plan changed), then
+    certified entries oldest-round-first."""
+    from airline_data_warehouse_spark.plans import registry as reg
+
+    names = list(reg.all_queries())  # also triggers @register imports
+    fake_rounds = {n: (i % 5) + 1 for i, n in enumerate(sorted(names))}
+    never = next(n for n in names if n not in reg._REVALIDATE)
+    del fake_rounds[never]
+    monkeypatch.setattr(reg, "_driver_validated", lambda: fake_rounds)
+    ordered = list(reg.all_queries())
+    assert ordered[0] == never
+    reval = [n for n in ordered if n in reg._REVALIDATE]
+    assert ordered[1:1 + len(reval)] == reval
+    tail = [n for n in ordered[1 + len(reval):]]
+    tail_rounds = [fake_rounds[n] for n in tail]
+    assert tail_rounds == sorted(tail_rounds), \
+        "certified entries must sort oldest-certified-first"
+
+
 def test_no_row_udfs_or_rdd_api_in_package():
     """Source-level slow-path tripwire: the engine's contract is zero
     Python row-at-a-time UDFs (Arrow mapInPandas / applyInPandasWithState
