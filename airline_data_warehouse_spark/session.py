@@ -31,6 +31,12 @@ _DEFAULTS: dict[str, str] = {
     # raw values, never on parse-time coercion).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.ansi.enabled": "false",
+    # PySpark 4 captures the Python call site for EVERY DataFrame/Column
+    # API call (an extra py4j round trip each) to enrich error messages.
+    # Across this engine's expression-heavy plan builders that's ~20-30%
+    # of plan-construction time (measured r06); errors still carry the
+    # full JVM analysis message without it.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
