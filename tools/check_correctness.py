@@ -57,9 +57,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from airline_data_warehouse_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="correctness-check")
+    # PLAIN session, deliberately NOT session.get_spark: the external
+    # driver imports the entry module with its own vanilla SparkSession,
+    # so every config a query needs must be set inside registry.load()
+    # (nanosAsLong, UTC, ANSI off). Running the gate under the tuned
+    # factory would mask config-dependence bugs — the r4 TIMESTAMP_NTZ
+    # crash was exactly this class.
+    spark = (SparkSession.builder.appName("correctness-check")
+             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+             .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
