@@ -6,9 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes end-to-end via the `noop` sink (full plan runs, no
 driver-side collection skew). A small warm-up action amortizes JVM/codegen
 startup out of the first measurement, and each query is timed
-$SPARK_GRAFT_BENCH_RUNS times (default 3) with the MEDIAN reported —
-single-shot sub-second timings on a shared box are dominated by scheduler
-noise, which made round-over-round comparison untrustworthy.
+$SPARK_GRAFT_BENCH_RUNS times (default 5) with the MEDIAN reported —
+single-shot sub-second timings on a shared box are dominated by
+scheduler noise (r06 measured ±12% swings between back-to-back
+median-of-3 sweeps of identical code; ambient host load arrives in
+multi-second spikes, so 5 samples are needed for the median to reliably
+dodge one).
 """
 
 from __future__ import annotations
@@ -93,7 +96,7 @@ def main() -> None:
             pass  # warm-up must never sink the measurement run
         release_caches()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
