@@ -414,3 +414,48 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
                      redacted.alias("redacted_text"),
                      n_emails.alias("n_emails"),
                      n_phones.alias("n_phones"))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_chars: int = 500,
+                    overlap_chars: int = 50) -> DataFrame:
+    """Fixed-size overlapping character chunks — the pretraining-prep
+    step between cleaning and sequence packing: long documents split
+    into window-sized pieces, consecutive chunks sharing
+    ``overlap_chars`` so no span is ever cut without context.
+
+    One row per (doc, chunk): (id, chunk_idx, chunk_start 1-based,
+    chunk_len, chunk_hash). Chunk k starts at k·(C−O)+1 and is emitted
+    iff k = 0 or it contains at least one character beyond the previous
+    chunk's coverage (k·(C−O)+O < len) — so a doc of exactly C chars is
+    ONE chunk, not one plus a fully-redundant tail.
+
+    Fully distributed: sequence+explode fan-out (no UDF, no shuffle —
+    chunking is a map), substring per chunk, md5 for a compact
+    verifiable payload. At 100 TB the explode multiplies rows ~L/(C−O)×
+    but each stays a narrow projection; downstream packing/tokenization
+    reads chunks at scan parallelism.
+
+    Reference parity: the reference has no chunker (its docs are rows);
+    this is part of the LLM-pipeline extension suite (SURVEY §6).
+    """
+    step = chunk_chars - overlap_chars
+    if step <= 0:
+        raise ValueError("chunk_chars must exceed overlap_chars")
+    text = F.col(text_col)
+    n = F.length(text)
+    out = (df.filter(n > 0)
+             .withColumn("chunk_idx",
+                         F.explode(F.sequence(
+                             F.lit(0),
+                             F.floor((n - 1) / step).cast("int"))))
+             .filter((F.col("chunk_idx") == 0)
+                     | (F.col("chunk_idx") * step + overlap_chars < n)))
+    start = F.col("chunk_idx") * step + 1
+    piece = text.substr(start, F.lit(chunk_chars))
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("chunk_start"),
+        F.length(piece).cast("int").alias("chunk_len"),
+        F.md5(piece).alias("chunk_hash"))

@@ -69,6 +69,8 @@ HEADLINE = [
     "dedup_semantic_ivf",
     "profile_numeric_columns",
     "vocab_frequency_table",
+    # r06 addition
+    "chunk_documents",
 ]
 
 

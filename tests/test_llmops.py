@@ -576,3 +576,23 @@ def test_vocab_table_ids_and_cutoff(spark):
     assert got["spark"]["token_id"] == 0 and got["spark"]["count"] == 4
     assert got["parquet"]["token_id"] == 1 and got["parquet"]["doc_freq"] == 2
     assert got["spark"]["doc_freq"] == 2
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk fan-out edge cases: exactly one window → one chunk (no
+    redundant tail); one char past the window → two chunks; overlap
+    start positions correct; short docs → single chunk; empty dropped."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 501), (3, "c" * 10), (4, "")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in
+            tx.chunk_documents(docs).collect()}
+    by_doc = {}
+    for (d, _k), r in rows.items():
+        by_doc.setdefault(d, []).append(r)
+    assert len(by_doc[1]) == 1 and rows[(1, 0)]["chunk_len"] == 500
+    assert len(by_doc[2]) == 2
+    assert rows[(2, 1)]["chunk_start"] == 451  # 500 - 50 overlap + 1
+    assert rows[(2, 1)]["chunk_len"] == 51     # chars 451..501
+    assert len(by_doc[3]) == 1 and rows[(3, 0)]["chunk_len"] == 10
+    assert 4 not in by_doc
