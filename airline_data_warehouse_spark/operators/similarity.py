@@ -342,3 +342,45 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_probe: int = 3
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "score",
                           F.col("rank").cast("int").alias("rank")))
+
+
+def quantize_embeddings_int8(corpus: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the compression
+    step a 100 TB embedding store runs before ANN serving (4× smaller
+    than float32, 8× than float64; IVF/LSH recall loss is typically
+    <1 % at 8 bits).
+
+    scale = max(|x|)/127 (rounded 9 dp), code_i = round(x_i/scale) ∈
+    [−127, 127]. Output: (id, scale, n_dims, codes_hash, mse) — the md5
+    over the comma-joined codes makes the full code vector verifiable
+    without shipping it; mse is the reconstruction error. All-zero
+    vectors quantize to all-zero codes with scale 0 (guarded division).
+    Pure map over the corpus: no shuffle, no UDF, codegen-friendly
+    array expressions.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    tmp = (corpus.select(F.col(id_col), vd.alias("_vd"))
+           .withColumn("_scale",
+                       F.round(F.array_max(F.transform(F.col("_vd"), F.abs))
+                               / F.lit(127.0), 9))
+           .withColumn("_codes",
+                       F.when(F.col("_scale") == 0,
+                              F.transform(F.col("_vd"),
+                                          lambda x: F.lit(0)))
+                        .otherwise(F.transform(
+                            F.col("_vd"),
+                            lambda x: F.round(x / F.col("_scale"), 0)
+                                       .cast("int")))))
+    sq_err = F.zip_with(F.col("_vd"), F.col("_codes"),
+                        lambda x, c: (x - c.cast("double") * F.col("_scale"))
+                                     * (x - c.cast("double") * F.col("_scale")))
+    return tmp.select(
+        F.col(id_col),
+        F.col("_scale").alias("scale"),
+        F.size("_vd").cast("int").alias("n_dims"),
+        F.md5(F.array_join(F.transform(F.col("_codes"),
+                                       lambda c: c.cast("string")), ","))
+         .alias("codes_hash"),
+        F.round(F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("_vd"), 9).alias("mse"))

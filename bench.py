@@ -69,8 +69,9 @@ HEADLINE = [
     "dedup_semantic_ivf",
     "profile_numeric_columns",
     "vocab_frequency_table",
-    # r06 addition
+    # r06 additions
     "chunk_documents",
+    "embedding_quantize_int8",
 ]
 
 

@@ -596,3 +596,26 @@ def test_chunk_documents_boundaries(spark):
     assert rows[(2, 1)]["chunk_len"] == 51     # chars 451..501
     assert len(by_doc[3]) == 1 and rows[(3, 0)]["chunk_len"] == 10
     assert 4 not in by_doc
+
+
+def test_int8_quantization_properties(spark):
+    """Quantization invariants: all-zero vector → scale 0, zero codes,
+    zero error; a known vector reconstructs within scale/2 per dim; max
+    |code| is exactly 127 for the extreme dim."""
+    import hashlib
+    rows = [(1, [0.0] * 4),
+            (2, [1.0, -0.5, 0.25, 0.0]),
+            (3, [127.0, -127.0, 63.5, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           sim.quantize_embeddings_int8(df).collect()}
+    z = got[1]
+    assert z["scale"] == 0.0 and z["mse"] == 0.0
+    assert z["codes_hash"] == hashlib.md5(b"0,0,0,0").hexdigest()
+    q = got[2]  # scale = round(1/127, 9) — slightly BELOW 1/127, so
+    # -0.5/scale = -63.49999… rounds HALF_UP to -63 (not -64)
+    assert q["codes_hash"] == hashlib.md5(b"127,-63,32,0").hexdigest()
+    assert q["mse"] <= (q["scale"] / 2) ** 2
+    e = got[3]  # scale = 1.0; codes are the values rounded
+    assert e["scale"] == 1.0
+    assert e["codes_hash"] == hashlib.md5(b"127,-127,64,1").hexdigest()
