@@ -72,6 +72,7 @@ HEADLINE = [
     # r06 additions
     "chunk_documents",
     "embedding_quantize_int8",
+    "decontaminated_train_split",
 ]
 
 

@@ -619,3 +619,30 @@ def test_int8_quantization_properties(spark):
     e = got[3]  # scale = 1.0; codes are the values rounded
     assert e["scale"] == 1.0
     assert e["codes_hash"] == hashlib.md5(b"127,-127,64,1").hexdigest()
+
+
+def test_decontaminated_split_partitions_corpus(spark):
+    """The composed pipeline query: sides partition the corpus exactly;
+    a train doc that verbatim-contains a holdout doc's text is dropped
+    as contaminated."""
+    from airline_data_warehouse_spark.plans.registry import all_queries
+    import shutil, tempfile
+    base = ("different prefix %d " * 3) + \
+        "the quick brown fox jumps over the lazy dog near the riverbank " * 4
+    rows = [(i, (base % (i, i, i))) for i in range(60)]
+    tmp = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+             .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = all_queries()["decontaminated_train_split"] \
+            .builder(spark, tmp).collect()
+        sides = {r["doc_id"]: r["side"] for r in out}
+        assert len(sides) == 60  # partition: every doc exactly once
+        holdout = {d for d, s in sides.items() if s == "holdout"}
+        dropped = {d for d, s in sides.items() if s == "dropped_contaminated"}
+        # every doc shares the long repeated tail -> every train doc
+        # overlaps any holdout doc by >= 20 shingles
+        if holdout:
+            assert dropped == set(sides) - holdout
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
