@@ -311,3 +311,51 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     assert 3 not in streamed                    # quality-filtered
     assert len(streamed & {1, 2}) == 1          # dup collapsed to one
     assert 4 in streamed
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    """Streaming ingest dedup: duplicate payloads arriving in LATER
+    micro-batches (within the watermark) are dropped; the kept set
+    equals the batch keep-first replay on the same input."""
+    import json as jsonlib
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        dedup_batch_exact,
+        dedup_stream_exact,
+    )
+
+    rows = [  # (doc_id, ts, text) — 1/2 dup within batch, 4 dups 1 across
+        (1, "2024-01-01 10:00:00", "alpha payload"),
+        (2, "2024-01-01 10:00:30", "alpha payload"),
+        (3, "2024-01-01 10:01:00", "beta payload"),
+        (4, "2024-01-01 10:02:00", "alpha payload"),
+        (5, "2024-01-01 10:03:00", "gamma payload"),
+    ]
+    in_dir = tmp_path / "dedup_in"
+    in_dir.mkdir()
+    batches = [rows[:3], rows[3:]]
+    src = (spark.readStream
+           .schema("doc_id long, ts timestamp, text string")
+           .option("maxFilesPerTrigger", 1)
+           .json(str(in_dir)))
+    q = (dedup_stream_exact(src, watermark="10 minutes")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+         .start())
+    try:
+        for i, batch in enumerate(batches):
+            with open(in_dir / f"b{i}.json", "w") as f:
+                for d, ts, tx_ in batch:
+                    f.write(jsonlib.dumps(
+                        {"doc_id": d, "ts": ts, "text": tx_}) + "\n")
+            q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    finally:
+        q.stop()
+    assert got == {1, 3, 5}  # 2 dropped in-batch, 4 dropped across batches
+
+    batch_df = spark.createDataFrame(rows, "doc_id long, ts string, text string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    replay = {r["doc_id"] for r in dedup_batch_exact(batch_df).collect()}
+    assert replay == got
