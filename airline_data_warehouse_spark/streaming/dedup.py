@@ -52,3 +52,88 @@ def dedup_batch_exact(df: DataFrame, text_col: str = "text",
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn"))
+
+
+def start_neardup_ingest(stream: DataFrame, store_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         checkpoint_dir: str | None = None,
+                         threshold: float = 0.6):
+    """Continuous near-duplicate ingest: every micro-batch is MinHash-
+    banded and joined against the ACCUMULATED corpus band store, flagged
+    near-dups are appended to ``{store_dir}/pairs``, and the batch's own
+    bands are appended to ``{store_dir}/bands`` — the
+    ``incremental_minhash_pairs`` daily-ingest shape run continuously
+    via foreachBatch.
+
+    The store is the persisted signature state the batch operators
+    describe (minhash_band_table docstring): ``bands`` (LSH_BANDS rows ×
+    ~50 bytes per document) for candidate generation and ``shingles``
+    (the 31-bit hash sets) for the exact-Jaccard verify — both orders of
+    magnitude smaller than text, plain parquet that a 100 TB deployment
+    swaps for a Delta/Iceberg table (append semantics are identical).
+    The join is band-keyed — per-batch cost scales with |batch| ×
+    collision rate, never corpus² — and only band-collision candidates
+    ever touch the shingle sets.
+
+    Exactly-once note: foreachBatch gives at-least-once sinks on
+    retry; the pairs/bands appends are idempotent-by-content (dedup on
+    read via DISTINCT, or MERGE on a transactional table). Batch-side
+    near-dups WITHIN one micro-batch are reported by the batch
+    ``ngram_jaccard_pairs`` over the silver table, matching the batch
+    operator's contract.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators.dedup import (
+        minhash_band_table,
+        release_caches,
+        shingled,
+    )
+
+    bands_dir = os.path.join(store_dir, "bands")
+    shingles_dir = os.path.join(store_dir, "shingles")
+    pairs_dir = os.path.join(store_dir, "pairs")
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh = shingled(batch_df, text_col, id_col).persist()
+        new_bands = minhash_band_table(sh, id_col).persist()
+        try:
+            try:
+                corpus_bands = spark.read.parquet(bands_dir)
+            except Exception:  # first batch: no store yet
+                corpus_bands = None
+            if corpus_bands is not None:
+                cand = (new_bands.alias("i")
+                        .join(corpus_bands.alias("c"), ["band", "band_key"])
+                        .filter(F.col(f"i.{id_col}") != F.col(f"c.{id_col}"))
+                        .select(F.col(f"i.{id_col}").alias("inc_id"),
+                                F.col(f"c.{id_col}").alias("corpus_id"))
+                        .distinct())
+                s1 = sh.select(F.col(id_col).alias("inc_id"),
+                               F.col("hs").alias("sh1"))
+                s2 = (spark.read.parquet(shingles_dir)
+                      .select(F.col(id_col).alias("corpus_id"),
+                              F.col("hs").alias("sh2")))
+                inter = F.size(F.array_intersect("sh1", "sh2"))
+                union = F.size("sh1") + F.size("sh2") - inter
+                verified = (cand.join(s1, "inc_id").join(s2, "corpus_id")
+                            .withColumn("jaccard",
+                                        F.round(inter.cast("double") / union, 6))
+                            .filter(F.col("jaccard") >= threshold)
+                            .select("inc_id", "corpus_id", "jaccard"))
+                (verified.withColumn("batch_id", F.lit(batch_id))
+                         .write.mode("append").parquet(pairs_dir))
+            new_bands.write.mode("append").parquet(bands_dir)
+            sh.write.mode("append").parquet(shingles_dir)
+        finally:
+            new_bands.unpersist()
+            sh.unpersist()
+            release_caches()
+
+    writer = stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

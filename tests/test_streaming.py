@@ -359,3 +359,58 @@ def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
         .withColumn("ts", F.to_timestamp("ts"))
     replay = {r["doc_id"] for r in dedup_batch_exact(batch_df).collect()}
     assert replay == got
+
+
+def test_stream_neardup_ingest_matches_batch_incremental(spark, tmp_path):
+    """Continuous near-dup ingest: docs arriving in later micro-batches
+    that near-duplicate earlier corpus docs are flagged with the same
+    (pair, jaccard) results the batch incremental operator produces for
+    the same corpus/increment split; increment-internal dups are not
+    reported (contract parity)."""
+    import json as jsonlib
+
+    from airline_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_neardup_ingest,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the market "
+            "data pipeline keeps shuffling partitions across cluster nodes")
+    other = ("completely different content about airline insurance claims "
+             "and kafka streaming updates for delayed flights at airports")
+    b1 = [(1, base), (2, other)]
+    b2 = [(3, base + " tail"), (4, "unrelated short doc text here padded")]
+    b3 = [(5, base.replace("quick", "rapid")), (6, base + " tail")]
+
+    in_dir = tmp_path / "nd_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "nd_store")
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_neardup_ingest(src, store,
+                             checkpoint_dir=str(tmp_path / "nd_ckpt"))
+    try:
+        for i, batch in enumerate([b1, b2, b3]):
+            with open(in_dir / f"b{i}.json", "w") as f:
+                for d, tx_ in batch:
+                    f.write(jsonlib.dumps({"doc_id": d, "text": tx_}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["inc_id"], r["corpus_id"]): r["jaccard"]
+           for r in spark.read.parquet(f"{store}/pairs").collect()}
+    # doc 3 (batch 2) near-dups doc 1 (batch 1); docs 5 and 6 (batch 3)
+    # near-dup docs 1 and 3; 6 is an exact dup of 3
+    assert (3, 1) in got and (5, 1) in got and (6, 3) in got
+    assert got[(6, 3)] == 1.0
+    assert not any(i == 4 or c == 4 for i, c in got)
+    # batch-operator parity on the final increment: batch 3 vs corpus 1+2
+    corpus = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    inc = spark.createDataFrame(b3, "doc_id long, text string")
+    expect = {(r["inc_id"], r["corpus_id"]): r["jaccard"]
+              for r in incremental_minhash_pairs(corpus, inc).collect()}
+    got_b3 = {k: v for k, v in got.items() if k[0] in (5, 6)}
+    assert got_b3 == expect
