@@ -73,6 +73,7 @@ HEADLINE = [
     "chunk_documents",
     "embedding_quantize_int8",
     "decontaminated_train_split",
+    "materialize_mixture",
 ]
 
 

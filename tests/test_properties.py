@@ -196,3 +196,34 @@ def test_token_budget_prefix_invariant(spark):
                 seen_excluded = True
 
     check()
+
+
+def test_chunks_tile_documents_with_exact_overlap(spark):
+    """Property: for random doc lengths, chunk k starts at k·(C−O)+1,
+    consecutive chunks overlap by exactly O chars (except a shorter
+    final chunk), chunks cover every character, and no chunk is fully
+    contained in its predecessor."""
+    import random
+
+    from airline_data_warehouse_spark.operators.text import chunk_documents
+
+    rng = random.Random(13)
+    C, O = 100, 20
+    lens = [rng.randint(1, 450) for _ in range(40)] + [C, C + 1, C - O, 2 * (C - O) + O]
+    docs = spark.createDataFrame(
+        [(i, "x" * n) for i, n in enumerate(lens)], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_chars=C, overlap_chars=O).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lens):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert chunks[0]["chunk_start"] == 1
+        covered = 0
+        for r in chunks:
+            assert r["chunk_start"] == r["chunk_idx"] * (C - O) + 1
+            end = r["chunk_start"] + r["chunk_len"] - 1
+            assert r["chunk_len"] <= C
+            assert end > covered  # strictly new content (no redundant tail)
+            covered = max(covered, end)
+        assert covered == n  # every char covered, nothing past the end

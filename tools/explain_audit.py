@@ -60,6 +60,10 @@ WINDOW_ALLOWLIST = {
     # every window runs over the per-SOURCE aggregate (|sources| rows —
     # tens, by construction of a source-mixing config), never corpus rows
     "source_mixing_weights": "|sources|-row per-source aggregate",
+    # reuses source_mixing_plan's quota arithmetic: same bounded
+    # |sources|-row windows; the per-document rank IS partitioned (by
+    # source)
+    "materialize_mixture": "|sources|-row quota frame (rank is partitioned)",
     # two-phase id assignment: the big row_number is partitioned by
     # (count, prefix); the only unpartitioned window is the offsets
     # prefix-sum over the distinct-(count,prefix) frame (Zipf-small)
