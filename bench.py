@@ -74,6 +74,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "decontaminated_train_split",
     "materialize_mixture",
+    "chunked_packing_pipeline",
 ]
 
 
