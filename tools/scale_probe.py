@@ -47,6 +47,12 @@ PROBE_QUERIES = [
     "profile_numeric_columns",
     "range_join_events",
     "vocab_frequency_table",
+    # r06: new pipeline operators
+    "chunk_documents",
+    "embedding_quantize_int8",
+    "decontaminated_train_split",
+    "materialize_mixture",
+    "chunked_packing_pipeline",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
