@@ -12,6 +12,7 @@ this module too (added incrementally). Design rules for 100 TB:
 
 from __future__ import annotations
 
+import logging
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window
@@ -28,6 +29,8 @@ from airline_data_warehouse_spark.operators.hashing import (
 )
 
 SIMHASH_MAX_HAMMING = 3  # default near-dup budget (Manku et al. use 3 on 64 bits)
+
+_LOG = logging.getLogger(__name__)
 
 # DataFrames persisted by operators in this module, so long-lived sessions
 # (bench loops, driver sweeps) can release executor memory between queries.
@@ -55,7 +58,10 @@ def release_caches() -> None:
         try:
             _LIVE_CACHES.pop().unpersist()
         except Exception:
-            pass
+            # best-effort teardown (session may already be stopped), but
+            # never silent: a live-session unpersist failure is a leak
+            _LOG.warning("unpersist failed during release_caches",
+                         exc_info=True)
 
 
 @contextmanager
@@ -81,7 +87,8 @@ def cache_scope():
             try:
                 df.unpersist()
             except Exception:
-                pass
+                _LOG.warning("unpersist failed during cache_scope exit",
+                             exc_info=True)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

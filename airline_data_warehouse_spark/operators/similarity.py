@@ -351,27 +351,34 @@ def quantize_embeddings_int8(corpus: DataFrame, id_col: str = "vec_id",
     than float32, 8× than float64; IVF/LSH recall loss is typically
     <1 % at 8 bits).
 
-    scale = max(|x|)/127 (rounded 9 dp), code_i = round(x_i/scale) ∈
-    [−127, 127]. Output: (id, scale, n_dims, codes_hash, mse) — the md5
-    over the comma-joined codes makes the full code vector verifiable
-    without shipping it; mse is the reconstruction error. All-zero
-    vectors quantize to all-zero codes with scale 0 (guarded division).
-    Pure map over the corpus: no shuffle, no UDF, codegen-friendly
-    array expressions.
+    scale = max(|x|)/127 (exact — NOT decimal-rounded: rounding the
+    scale collapsed vectors with max|x| < ~6.35e-8 to all-zero codes
+    and could push |code| past 127 near scale ≈ 1e-9; a raw IEEE
+    division is also bit-identical across engines, ADVICE r06),
+    code_i = clamp(round(x_i/scale), −127, 127). Output: (id, scale,
+    n_dims, codes_hash, mse) — the md5 over the comma-joined codes
+    makes the full code vector verifiable without shipping it; mse is
+    the reconstruction error (0.0 for empty vectors — guarded
+    divisor). All-zero vectors quantize to all-zero codes with scale 0
+    (guarded division). Pure map over the corpus: no shuffle, no UDF,
+    codegen-friendly array expressions.
     """
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     tmp = (corpus.select(F.col(id_col), vd.alias("_vd"))
            .withColumn("_scale",
-                       F.round(F.array_max(F.transform(F.col("_vd"), F.abs))
-                               / F.lit(127.0), 9))
+                       F.coalesce(F.array_max(F.transform(F.col("_vd"), F.abs)),
+                                  F.lit(0.0)) / F.lit(127.0))
            .withColumn("_codes",
                        F.when(F.col("_scale") == 0,
                               F.transform(F.col("_vd"),
                                           lambda x: F.lit(0)))
                         .otherwise(F.transform(
                             F.col("_vd"),
-                            lambda x: F.round(x / F.col("_scale"), 0)
-                                       .cast("int")))))
+                            lambda x: F.greatest(
+                                F.lit(-127),
+                                F.least(F.lit(127),
+                                        F.round(x / F.col("_scale"), 0)
+                                         .cast("int")))))))
     sq_err = F.zip_with(F.col("_vd"), F.col("_codes"),
                         lambda x, c: (x - c.cast("double") * F.col("_scale"))
                                      * (x - c.cast("double") * F.col("_scale")))
@@ -382,5 +389,7 @@ def quantize_embeddings_int8(corpus: DataFrame, id_col: str = "vec_id",
         F.md5(F.array_join(F.transform(F.col("_codes"),
                                        lambda c: c.cast("string")), ","))
          .alias("codes_hash"),
-        F.round(F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
-                / F.size("_vd"), 9).alias("mse"))
+        F.when(F.size("_vd") == 0, F.lit(0.0))
+         .otherwise(F.round(F.aggregate(sq_err, F.lit(0.0),
+                                        lambda acc, x: acc + x)
+                            / F.size("_vd"), 9)).alias("mse"))

@@ -76,26 +76,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # Queries whose physical plan changed since their last driver-green round:
 # they sort into the validation window right after never-validated entries,
-# so the driver re-certifies the new plan.
+# so the driver re-certifies the new plan. (The r06 cohort — median NaN
+# bucketing, contiguous-id vocab, SQL-string signature fast paths — all
+# hash-matched in CORRECTNESS_r06 and was cleared.)
 _REVALIDATE: tuple[str, ...] = (
-    # r06: NaN-safe range bucketing in the two-phase exact median
-    # (min/max pre-pass now excludes NaN; NaNs pinned to last bucket)
+    # r07: quantization scale no longer rounded to 9 dp (relative
+    # rounding instead), codes clamped to int8 range, empty-array guard
+    "embedding_quantize_int8",
+    # r07: mean now propagates NaN when the column holds NaN values
+    # (matches DuckDB avg), instead of silently dropping NaN from the
+    # numerator only
     "profile_numeric_columns",
-    # r06: two-phase contiguous-id assignment (window-audit fix — the
-    # full-vocabulary single-task row_number is gone)
-    "vocab_frequency_table",
-    # r06: cores-tracking id-repartition before the plane-dot projection
-    "dedup_embedding_cosine",
-    # r06: hyperplane bucket expression now built as one parsed SQL
-    # string (same expression tree; py4j-per-element construction gone)
-    "similarity_topk_lsh",
-    # r06: simhash vote sums/signature assembly, the edit-distance
-    # probe fan-out array, and the minhash permutations likewise moved
-    # to parsed SQL strings
-    "dedup_simhash",
-    "dedup_simhash_multiprobe",
-    "string_similarity_join",
-    "dedup_minhash_lsh",
 )
 
 

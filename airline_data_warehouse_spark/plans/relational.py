@@ -1316,6 +1316,13 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.round(F.sum("contrib"), 6).alias("p50")))
     not_null_cnt = F.sum(F.when(F.col("v").isNotNull(), F.col("cnt"))
                           .otherwise(0))
+    # NaN-bearing measure → mean is NaN (avg semantics, matching the
+    # DuckDB oracle's avg): the decimal cast in the exact-sum numerator
+    # maps NaN→NULL, which would silently DROP NaNs from the numerator
+    # while not_null_cnt still counts them (ADVICE r06). The exact
+    # decimal accumulation is unchanged on NaN-free data.
+    has_nan = F.max(F.when(F.isnan(F.col("v").cast("double")), F.lit(True))
+                     .otherwise(F.lit(False)))
     stats = h.groupBy("col_name").agg(
         not_null_cnt.cast("long").alias("n"),
         F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
@@ -1323,8 +1330,10 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("v")).alias("n_distinct"),
         F.min(F.col("v").cast("double")).alias("min_val"),
         F.max(F.col("v").cast("double")).alias("max_val"),
-        F.round(F.sum(F.col("v").cast("decimal(28,10)") * F.col("cnt"))
-                 .cast("double") / not_null_cnt, 6).alias("mean_val"))
+        F.when(has_nan, F.lit(float("nan")).cast("double"))
+         .otherwise(
+             F.round(F.sum(F.col("v").cast("decimal(28,10)") * F.col("cnt"))
+                      .cast("double") / not_null_cnt, 6)).alias("mean_val"))
     # left join: an all-null measure has no histogram rows → no median
     # row; it must still report (with p50 null), as quantile_cont does
     return stats.join(F.broadcast(med), "col_name", "left")

@@ -96,15 +96,26 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
     shingles_dir = os.path.join(store_dir, "shingles")
     pairs_dir = os.path.join(store_dir, "pairs")
 
+    def store_exists(spark) -> bool:
+        # Explicit existence probe via the Hadoop FileSystem API, instead
+        # of read-and-swallow: a transient/corrupt-store READ failure must
+        # fail the micro-batch (structured streaming retries it) rather
+        # than silently skipping near-dup detection for the whole batch
+        # while still appending its bands — which would lose that batch's
+        # pairs permanently (ADVICE r06).
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(bands_dir)
+        return path.getFileSystem(conf).exists(path)
+
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sh = shingled(batch_df, text_col, id_col).persist()
         new_bands = minhash_band_table(sh, id_col).persist()
         try:
-            try:
-                corpus_bands = spark.read.parquet(bands_dir)
-            except Exception:  # first batch: no store yet
-                corpus_bands = None
+            # first batch: no store yet → skip the corpus join only then
+            corpus_bands = (spark.read.parquet(bands_dir)
+                            if store_exists(spark) else None)
             if corpus_bands is not None:
                 cand = (new_bands.alias("i")
                         .join(corpus_bands.alias("c"), ["band", "band_key"])

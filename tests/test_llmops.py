@@ -601,24 +601,35 @@ def test_chunk_documents_boundaries(spark):
 def test_int8_quantization_properties(spark):
     """Quantization invariants: all-zero vector → scale 0, zero codes,
     zero error; a known vector reconstructs within scale/2 per dim; max
-    |code| is exactly 127 for the extreme dim."""
+    |code| is exactly 127 for the extreme dim; tiny-magnitude vectors
+    (max|x| ≈ 6.35e-8, which the old 9-dp scale rounding collapsed to
+    all-zero) quantize faithfully; empty vectors are guarded."""
     import hashlib
     rows = [(1, [0.0] * 4),
             (2, [1.0, -0.5, 0.25, 0.0]),
-            (3, [127.0, -127.0, 63.5, 1.0])]
+            (3, [127.0, -127.0, 63.5, 1.0]),
+            (4, [6.35e-8, -6.35e-8 / 2]),
+            (5, [])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r["vec_id"]: r for r in
            sim.quantize_embeddings_int8(df).collect()}
     z = got[1]
     assert z["scale"] == 0.0 and z["mse"] == 0.0
     assert z["codes_hash"] == hashlib.md5(b"0,0,0,0").hexdigest()
-    q = got[2]  # scale = round(1/127, 9) — slightly BELOW 1/127, so
-    # -0.5/scale = -63.49999… rounds HALF_UP to -63 (not -64)
-    assert q["codes_hash"] == hashlib.md5(b"127,-63,32,0").hexdigest()
+    q = got[2]  # scale = 1/127 exactly (no decimal rounding), so
+    # -0.5/scale = -63.5 exactly, rounding HALF_UP (away from 0) to -64
+    assert q["scale"] == 1.0 / 127.0
+    assert q["codes_hash"] == hashlib.md5(b"127,-64,32,0").hexdigest()
     assert q["mse"] <= (q["scale"] / 2) ** 2
     e = got[3]  # scale = 1.0; codes are the values rounded
     assert e["scale"] == 1.0
     assert e["codes_hash"] == hashlib.md5(b"127,-127,64,1").hexdigest()
+    t = got[4]  # old code: scale rounded to 0 → all-zero codes; now exact
+    assert t["scale"] > 0
+    assert t["codes_hash"] == hashlib.md5(b"127,-64").hexdigest()
+    em = got[5]  # empty vector: no divide-by-zero mse, zero dims
+    assert em["n_dims"] == 0 and em["scale"] == 0.0 and em["mse"] == 0.0
+    assert em["codes_hash"] == hashlib.md5(b"").hexdigest()
 
 
 def test_decontaminated_split_partitions_corpus(spark):

@@ -191,6 +191,14 @@ def test_profile_median_with_nan_and_null_columns(spark, tmp_path, registry):
     assert q["n_null"] == 0 and q["n"] == 101
     assert q["p50"] == 102.0
     assert math.isnan(q["max_val"])  # max over values includes the NaN
+    # mean over a NaN-bearing column propagates NaN (avg semantics,
+    # ADVICE r06) — it must not silently drop the NaN from the
+    # numerator while counting it in the denominator
+    assert math.isnan(q["mean_val"])
+    # NaN-free columns keep the exact decimal-accumulated mean
+    assert out["l_quantity"]["mean_val"] == 50.0
+    assert out["l_tax"]["mean_val"] == 1.25
+    assert out["l_discount"]["mean_val"] == 5.0
 
 
 def test_vocab_ids_contiguous_across_prefix_buckets(spark):
