@@ -45,6 +45,15 @@ def register(name: str, oracle: str | None, operators: str, description: str = "
     return deco
 
 
+def set_oracle(name: str, oracle: str) -> None:
+    """Attach/replace the oracle SQL of an already-registered query — for
+    oracles assembled from SQL-fragment helpers defined later in the
+    registering module (e.g. the composed curation_pipeline, whose
+    decontamination stage reuses the keyed-hash/shingle-set helpers)."""
+    import dataclasses
+    _REGISTRY[name] = dataclasses.replace(_REGISTRY[name], oracle=oracle)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table. Some tables carry parquet TIMESTAMP(NANOS)
     columns, which Spark's vectorized reader refuses; read them as raw
@@ -87,6 +96,9 @@ _REVALIDATE: tuple[str, ...] = (
     # (matches DuckDB avg), instead of silently dropping NaN from the
     # numerator only
     "profile_numeric_columns",
+    # r07: extended through the r6 stages — decontaminated split,
+    # chunking, and (shard, bin, offset) packing grafted into the DAG
+    "curation_pipeline",
 )
 
 

@@ -632,6 +632,61 @@ def test_int8_quantization_properties(spark):
     assert em["codes_hash"] == hashlib.md5(b"").hexdigest()
 
 
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """The r07 composed curation DAG on a corpus where every stage's
+    effect is predictable: an exact-dup pair collapses, a low-quality doc
+    is gated out, holdout docs never reach the chunk output, and the
+    packing layout is a valid exclusive-prefix-sum per shard. Docs are
+    mutually distinct (no 20-shingle overlap), so decontamination drops
+    nothing — its drop path is pinned by
+    test_decontaminated_split_partitions_corpus."""
+    import hashlib
+
+    from airline_data_warehouse_spark.operators.hashing import MERSENNE_P
+    from airline_data_warehouse_spark.operators.sampling import _keyed_hash
+    from airline_data_warehouse_spark.plans.registry import all_queries
+
+    rows = []
+    for i in range(30):  # 30 distinct good docs, >= 20 tokens, stopworded;
+        # every token embeds the doc id so no cross-doc 9-gram window
+        # repeats outside the tiny shared stopword tail (< 20 shingles)
+        body = " ".join(f"d{i:02d}w{j:02d}" for j in range(24))
+        rows.append((i, f"the {body} of and to a"))
+    rows.append((100, rows[0][1]))        # exact dup of doc 0 -> collapses
+    rows.append((101, "short junk"))      # fails the >=20-token gate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = all_queries()["curation_pipeline"].builder(
+        spark, str(tmp_path)).collect()
+
+    # which curated ids the 5% salted-hash split sends to holdout
+    cut = int(0.05 * MERSENNE_P)
+    side = {r["doc_id"]: r["h"] < cut for r in
+            docs.select("doc_id", _keyed_hash("doc_id", "adw-split")
+                        .alias("h")).collect()}
+    expect_train = {i for i in range(30) if not side[i]}
+    assert {r["doc_id"] for r in out} == expect_train  # 100, 101, holdout gone
+
+    by_text = dict(rows)
+    for r in out:
+        assert r["n_tokens"] == len(by_text[r["doc_id"]].split())
+        assert r["text_hash"] == hashlib.md5(
+            by_text[r["doc_id"]].encode()).hexdigest()
+        assert 0 <= r["offset"] < 512 and r["bin"] >= 0
+
+    # packing: per shard, starts are the exclusive prefix sums of
+    # chunk_len, so the furthest chunk end equals the shard's total mass
+    from collections import defaultdict
+    per_shard = defaultdict(list)
+    for r in out:
+        per_shard[r["shard"]].append(r)
+    for chunks in per_shard.values():
+        total = sum(c["chunk_len"] for c in chunks)
+        assert max(c["bin"] * 512 + c["offset"] + c["chunk_len"]
+                   for c in chunks) == total
+
+
 def test_decontaminated_split_partitions_corpus(spark):
     """The composed pipeline query: sides partition the corpus exactly;
     a train doc that verbatim-contains a holdout doc's text is dropped
