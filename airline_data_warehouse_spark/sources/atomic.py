@@ -1,0 +1,163 @@
+"""Crash-safe plain-parquet table mutation: partition-scoped
+stage-then-swap, shared by the streaming eligibility merge
+(streaming/status.py) and the generalized batch upsert below.
+
+Protocol (per partition directory): the replacement is fully written to
+a SIBLING staging directory while the destination is still only being
+read, then swapped in with two renames — dest → hidden
+``.name.replaced`` backup, staging → dest. Renames are atomic on HDFS
+and local filesystems and dot-prefixed directories are invisible to
+Spark's parquet reader, so at every instant each partition is either
+completely-old or completely-new. `recover_partitions` rolls back any
+partition a crash stranded between the two renames; mutation bodies are
+idempotent, so a checkpointed/driver retry after recovery converges.
+Object stores without atomic rename (S3) should use a transactional
+format (Delta/Iceberg MERGE) instead — these helpers are the
+plain-parquet path for real filesystems, and a Delta MERGE drops in
+where they are called.
+
+Reference parity: the reference upserts through PostgREST with
+per-table conflict columns (smartFileProcessor.js:167-174,
+getConflictColumn :202-211) — Postgres gives it atomicity for free;
+this module is what the same guarantee costs on raw parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    return hpath, hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def recover_partitions(spark: SparkSession, dest_root: str,
+                       partition_col: str) -> None:
+    """Roll back any partition stranded mid-swap by a crash.
+
+    A crash in the window between `swap_partitions`' two renames leaves
+    the partition's ONLY copy in the hidden backup — invisible to
+    Spark's reader, so a retry that reads the table before recovery
+    would treat those rows as gone. Run this before any read that
+    precedes a swap: a backup whose destination is missing is renamed
+    back (rollback to the old, complete partition); a backup whose
+    destination exists is a leftover from a crash after the second
+    rename and is safely deleted (dest already holds the new data).
+    Rollback is CONSERVATIVE for deletions too: a partition the crashed
+    run had emptied comes back whole, and the idempotent retry
+    re-empties it.
+    """
+    hpath, fs = _fs(spark, dest_root)
+    root = hpath(dest_root)
+    if not fs.exists(root):
+        return
+    prefix = "." + partition_col + "="
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)
+                and name.endswith(".replaced")):
+            continue
+        dest = hpath(dest_root, name[1:-len(".replaced")])
+        if fs.exists(dest):
+            fs.delete(status.getPath(), True)  # new data already in place
+        elif not fs.rename(status.getPath(), dest):
+            raise IOError(f"partition recovery: rename {name} -> {dest} failed")
+
+
+def swap_partitions(spark: SparkSession, staging: str, dest_root: str,
+                    partition_col: str,
+                    drop_partitions: list[str] | None = None) -> None:
+    """Swap every fully-written staging partition directory into the
+    destination (two atomic renames each, see module docstring), then
+    remove ``drop_partitions`` (directory names like ``col=value``) that
+    the mutation emptied — same backup-then-delete protocol, so a crash
+    mid-removal is rolled back conservatively by `recover_partitions`.
+    A crash between partitions leaves a mixed but internally-consistent
+    table which the idempotent retry converges.
+    """
+    recover_partitions(spark, dest_root, partition_col)
+    hpath, fs = _fs(spark, dest_root)
+    prefix = partition_col + "="
+    seen = set()
+    for status in fs.listStatus(hpath(staging)):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue  # _SUCCESS and friends
+        seen.add(name)
+        dest = hpath(dest_root, name)
+        backup = hpath(dest_root, f".{name}.replaced")
+        if fs.exists(backup):
+            fs.delete(backup, True)  # leftover from a crashed prior swap
+        if fs.exists(dest) and not fs.rename(dest, backup):
+            raise IOError(f"partition swap: rename {dest} -> {backup} failed")
+        if not fs.rename(status.getPath(), dest):
+            raise IOError(f"partition swap: rename into {dest} failed")
+        fs.delete(backup, True)
+    for name in drop_partitions or []:
+        if name in seen or not name.startswith(prefix):
+            continue
+        dest = hpath(dest_root, name)
+        backup = hpath(dest_root, f".{name}.replaced")
+        if fs.exists(backup):
+            fs.delete(backup, True)
+        if fs.exists(dest):
+            if not fs.rename(dest, backup):
+                raise IOError(f"partition drop: rename {dest} -> {backup} failed")
+            fs.delete(backup, True)
+    fs.delete(hpath(staging), True)
+
+
+def upsert_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
+                   key: str, partition_col: str,
+                   sort_within: list[str] | None = None) -> None:
+    """Crash-safe generalized keyed upsert into a partitioned parquet
+    table: MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT with
+    source-wins, the durable twin of `sinks.upsert` (which returns the
+    merged DataFrame and leaves persistence to the caller).
+
+    Partition-scoped: only partitions that hold a matched key or
+    receive a source row are re-derived — (target rows there whose key
+    is NOT in the source) ∪ (all source rows) — staged to a sibling
+    directory, and swapped in per partition. A key whose partition
+    value CHANGES is handled: its old partition is affected (holds the
+    matched key, so it is rewritten without the row — or dropped
+    outright if that empties it) and its new partition receives it. A
+    100 TB fact takes a few directory rewrites per delta, not a table
+    rewrite, and the table stays readable and whole at every instant.
+    Crash at any point → `recover_partitions` (run here before reading)
+    rolls the table back to a consistent state and the idempotent retry
+    converges.
+    """
+    def _sorted(df: DataFrame) -> DataFrame:
+        return df.sortWithinPartitions(*sort_within) if sort_within else df
+
+    hpath, fs = _fs(spark, dest_path)
+    recover_partitions(spark, dest_path, partition_col)
+    if not fs.exists(hpath(dest_path)):
+        _sorted(source).write.partitionBy(partition_col).parquet(dest_path)
+        return
+    target = spark.read.parquet(dest_path)
+    source = source.select(*target.columns)
+    keys = source.select(key).distinct()
+    affected = (target.join(F.broadcast(keys), key, "left_semi")
+                      .select(partition_col)
+                      .unionByName(source.select(partition_col))
+                      .distinct())
+    affected_vals = [r[0] for r in affected.collect()]
+    if not affected_vals:
+        return
+    surviving = (target
+                 .join(F.broadcast(affected), partition_col, "left_semi")
+                 .join(F.broadcast(keys), key, "left_anti"))
+    merged = surviving.unionByName(source)
+    staging = f"{dest_path.rstrip('/')}__upsert_staging"
+    if fs.exists(hpath(staging)):
+        fs.delete(hpath(staging), True)  # crashed prior attempt, pre-swap
+    (_sorted(merged).write.mode("overwrite")
+                    .partitionBy(partition_col).parquet(staging))
+    drop = [f"{partition_col}={v}" for v in affected_vals]
+    swap_partitions(spark, staging, dest_path, partition_col,
+                    drop_partitions=drop)

@@ -17,13 +17,20 @@ from pyspark.sql import functions as F
 
 from airline_data_warehouse_spark.schemas import PRIMARY_KEYS
 
+# Durable crash-safe twin of `upsert` for partitioned parquet tables:
+# partition-scoped stage-then-swap MERGE (see sources/atomic.py).
+from airline_data_warehouse_spark.sources.atomic import upsert_parquet  # noqa: F401
+
 
 def upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     """S7 — insert-or-update by key, source wins on conflict.
 
     target rows whose key collides are dropped via a single anti-join
     (broadcast when the source is small, AQE decides), then the source is
-    appended. One shuffle max; no driver-side row handling.
+    appended. One shuffle max; no driver-side row handling. This returns
+    the merged plan and leaves persistence to the caller; `upsert_parquet`
+    is the durable stage-then-swap twin that writes the merge
+    crash-safely into a partitioned parquet table.
     """
     source = source.select(*target.columns)
     kept = target.join(source.select(key), on=key, how="left_anti")

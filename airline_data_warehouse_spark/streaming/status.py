@@ -35,6 +35,13 @@ from pyspark.sql import functions as F
 from airline_data_warehouse_spark.functions.cleaning import INSURANCE_DELAY_MINUTES
 from airline_data_warehouse_spark.schemas import STATUS_MESSAGE
 
+# stage-then-swap machinery generalized to sources/atomic.py (r07) —
+# shared with the batch upsert_parquet; aliased for the merge body here
+from airline_data_warehouse_spark.sources.atomic import (
+    recover_partitions as _recover_partitions,
+    swap_partitions as _swap_partitions,
+)
+
 TOPIC = "flight-status-updates"
 GROUP_ID = "flight-status-group"
 
@@ -189,75 +196,6 @@ def eligibility_merge_batch(fact: DataFrame, status_batch: DataFrame) -> DataFra
                 .drop("_new_delay", "_new_status"))
 
 
-def _recover_partitions(spark, dest_root: str, partition_col: str) -> None:
-    """Roll back any partition stranded mid-swap by a crash.
-
-    `_swap_partitions` replaces a partition with two renames: dest →
-    hidden ``.name.replaced`` backup, then staging → dest. A crash in the
-    window between them leaves the partition's ONLY copy in the hidden
-    backup — invisible to Spark's reader, so a retry that reads the fact
-    before recovery would treat those rows as gone and could then delete
-    the staging dir holding their other copy. Run this before any read of
-    the fact that precedes a swap: a backup whose destination is missing
-    is renamed back (rollback to the old, complete partition); a backup
-    whose destination exists is a leftover from a crash after the second
-    rename and is safely deleted (dest already holds the new data).
-    """
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    root = hpath(dest_root)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return
-    prefix = "." + partition_col + "="
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if not (status.isDirectory() and name.startswith(prefix)
-                and name.endswith(".replaced")):
-            continue
-        dest = hpath(dest_root, name[1:-len(".replaced")])
-        if fs.exists(dest):
-            fs.delete(status.getPath(), True)  # new data already in place
-        elif not fs.rename(status.getPath(), dest):
-            raise IOError(f"partition recovery: rename {name} -> {dest} failed")
-
-
-def _swap_partitions(spark, staging: str, dest_root: str, partition_col: str) -> None:
-    """Per-partition near-atomic swap via the Hadoop FileSystem API: each
-    fully-written staging partition directory replaces its destination twin
-    with two renames (dest → hidden ``.name.replaced``, staging → dest).
-    Renames are atomic on HDFS and local filesystems, and dot-prefixed
-    directories are invisible to Spark's parquet reader, so at every
-    instant each partition is either completely-old or completely-new —
-    never half-replaced. A crash between partitions leaves a mixed but
-    internally-consistent table, and the checkpointed retry of the
-    (idempotent) merge converges it — provided the retry first rolls back
-    any partition caught between the two renames via
-    `_recover_partitions` (called at the top of the merge body and again
-    here, defensively, for direct callers).
-    Object stores without atomic rename (S3) should use a transactional
-    format (Delta/Iceberg MERGE) instead; this is the plain-parquet path
-    for real filesystems.
-    """
-    _recover_partitions(spark, dest_root, partition_col)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(dest_root).getFileSystem(spark._jsc.hadoopConfiguration())
-    prefix = partition_col + "="
-    for status in fs.listStatus(hpath(staging)):
-        name = status.getPath().getName()
-        if not (status.isDirectory() and name.startswith(prefix)):
-            continue  # _SUCCESS and friends
-        dest = hpath(dest_root, name)
-        backup = hpath(dest_root, f".{name}.replaced")
-        if fs.exists(backup):
-            fs.delete(backup, True)  # leftover from a crashed prior swap
-        if fs.exists(dest) and not fs.rename(dest, backup):
-            raise IOError(f"partition swap: rename {dest} -> {backup} failed")
-        if not fs.rename(status.getPath(), dest):
-            raise IOError(f"partition swap: rename into {dest} failed")
-        fs.delete(backup, True)
-    fs.delete(hpath(staging), True)
 
 
 def start_eligibility_merge(parsed: DataFrame, fact_path: str, checkpoint: str,

@@ -53,32 +53,23 @@ class Warehouse:
         """Incremental fact maintenance: merge new/changed rows into ONLY
         the months they touch, leaving every other partition untouched.
 
-        Dynamic partition overwrite rewrites just the affected
-        directories — at 100 TB a daily load touches a handful of month
-        partitions, not the table. Within those months the merge is the
-        standard anti-join + union (source wins on transaction_id).
+        Crash-safe stage-then-swap (sources/atomic.py upsert_parquet,
+        r07 — previously dynamic partition overwrite, which deletes
+        destination directories mid-job): affected months are re-derived
+        to a sibling staging dir while the fact stays readable and
+        whole, then swapped in one atomic rename pair per partition. At
+        100 TB a daily load touches a handful of month directories, not
+        the table, and a crash at any point leaves every month either
+        completely-old or completely-new. A transaction whose month
+        CHANGES is migrated, not duplicated (its old month is rewritten
+        without it).
         """
+        from airline_data_warehouse_spark.sources.atomic import upsert_parquet
         staged = new_rows.withColumn(
             "sale_year_month", (F.col("date_key") / 100).cast("int"))
-        months = staged.select("sale_year_month").distinct()
-        existing_path = self.path("fact_sales")
-        if os.path.isdir(existing_path):
-            current = (spark.read.parquet(existing_path)
-                       .join(F.broadcast(months), "sale_year_month", "left_semi"))
-            kept = current.join(staged.select("transaction_id"),
-                                "transaction_id", "left_anti")
-            merged = kept.unionByName(staged.select(*kept.columns))
-        else:
-            merged = staged
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (merged.sortWithinPartitions("flight_key", "transaction_id")
-                   .write.mode("overwrite")
-                   .partitionBy("sale_year_month")
-                   .parquet(existing_path))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        upsert_parquet(spark, staged, self.path("fact_sales"),
+                       key="transaction_id", partition_col="sale_year_month",
+                       sort_within=["flight_key", "transaction_id"])
 
     def append_status_updates(self, updates: DataFrame) -> None:
         (updates

@@ -72,6 +72,83 @@ def test_incremental_fact_upsert_touches_only_affected_partitions(spark, tmp_pat
     assert after_mtime == before_mtime
 
 
+def test_upsert_parquet_crash_recovery(spark, tmp_path):
+    """Generalized crash-safe upsert (r07): every crash window the
+    stage-then-swap protocol can leave behind — a partition stranded in
+    its hidden backup (crash between the two renames), a stale backup
+    whose destination exists (crash after the second rename), and an
+    orphaned staging directory (crash mid-staging-write) — must be
+    healed by the retry, which then converges to the merged table."""
+    import os
+
+    from airline_data_warehouse_spark.sources.atomic import upsert_parquet
+
+    base = spark.createDataFrame(
+        [("K1", 10, "A"), ("K2", 20, "A"), ("K3", 30, "B")],
+        "k string, v int, p string")
+    dest = str(tmp_path / "t")
+    base.write.partitionBy("p").parquet(dest)
+
+    # crash window 1: partition p=A's only copy is in the hidden backup
+    os.rename(os.path.join(dest, "p=A"), os.path.join(dest, ".p=A.replaced"))
+    # crash window 2: stale backup whose destination DOES exist
+    os.makedirs(os.path.join(dest, ".p=B.replaced"))
+    # crash window 3: orphaned staging dir from a crashed pre-swap attempt
+    os.makedirs(os.path.join(dest + "__upsert_staging", "p=Z"))
+
+    src = spark.createDataFrame([("K2", 99, "A"), ("K4", 40, "B")],
+                                "k string, v int, p string")
+    upsert_parquet(spark, src, dest, key="k", partition_col="p")
+
+    rows = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(dest).collect()}
+    assert rows == {"K1": (10, "A"), "K2": (99, "A"),
+                    "K3": (30, "B"), "K4": (40, "B")}
+    assert [f for f in os.listdir(str(tmp_path)) if "staging" in f] == []
+    assert [f for f in os.listdir(dest) if f.endswith(".replaced")] == []
+
+
+def test_upsert_parquet_migrates_key_across_partitions(spark, tmp_path):
+    """A key whose partition value changes must MOVE, not duplicate: its
+    old partition is rewritten without it — and dropped outright when
+    that empties it — while the new partition receives it."""
+    import os
+
+    from airline_data_warehouse_spark.sources.atomic import upsert_parquet
+
+    base = spark.createDataFrame(
+        [("K1", 1, "A"), ("K2", 2, "B"), ("K3", 3, "B")],
+        "k string, v int, p string")
+    dest = str(tmp_path / "t")
+    base.write.partitionBy("p").parquet(dest)
+
+    src = spark.createDataFrame([("K1", 11, "C")], "k string, v int, p string")
+    upsert_parquet(spark, src, dest, key="k", partition_col="p")
+
+    rows = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(dest).collect()}
+    assert rows == {"K1": (11, "C"), "K2": (2, "B"), "K3": (3, "B")}
+    # p=A held only K1 -> emptied -> its directory is gone, not stale
+    assert not os.path.isdir(os.path.join(dest, "p=A"))
+    assert os.path.isdir(os.path.join(dest, "p=C"))
+
+
+def test_upsert_parquet_retry_is_idempotent(spark, tmp_path):
+    """Running the same delta twice (the checkpoint-retry shape) leaves
+    the table identical — the convergence property the crash-recovery
+    protocol relies on."""
+    from airline_data_warehouse_spark.sources.atomic import upsert_parquet
+
+    base = spark.createDataFrame([("K1", 1, "A"), ("K2", 2, "B")],
+                                 "k string, v int, p string")
+    dest = str(tmp_path / "t")
+    base.write.partitionBy("p").parquet(dest)
+    src = spark.createDataFrame([("K1", 9, "A"), ("K9", 90, "B")],
+                                "k string, v int, p string")
+    upsert_parquet(spark, src, dest, key="k", partition_col="p")
+    first = sorted(tuple(r) for r in spark.read.parquet(dest).collect())
+    upsert_parquet(spark, src, dest, key="k", partition_col="p")
+    assert sorted(tuple(r) for r in spark.read.parquet(dest).collect()) == first
+
+
 def test_jsonl_fallback_sink(spark, tmp_path):
     from airline_data_warehouse_spark.sources.sinks import append_jsonl
     dirty = spark.createDataFrame([("passengers", "{}", "Invalid passenger key")],
