@@ -109,24 +109,70 @@ def hyperplane_bucket(vec: Column | str, n_planes: int = 8, dims: int = 64) -> C
     return bucket
 
 
+def hyperplane_band_keys_sql(vec: str, bands: int, rows_per_band: int,
+                             dims: int = 64) -> list[Column]:
+    """Per-band hyperplane keys built as parsed SQL strings — the fast
+    construction path (one py4j call per band instead of ~25 ms of
+    lambda round trips per plane; same expression tree and rounding as
+    `hyperplane_band_keys`, so keys are bit-identical)."""
+    planes = hyperplane_weights(bands * rows_per_band, dims)
+    keys = []
+    for b in range(bands):
+        terms = []
+        for r in range(rows_per_band):
+            w = planes[b * rows_per_band + r]
+            arr = "array(" + ",".join(f"{x!r}D" for x in w) + ")"
+            dot = (f"aggregate(zip_with(`{vec}`, {arr}, "
+                   "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                   "0.0D, (acc, x) -> acc + x)")
+            terms.append(f"(CASE WHEN round({dot}, 9) > 0 "
+                         f"THEN {1 << r} ELSE 0 END)")
+        keys.append(F.expr("0 + " + " + ".join(terms)))
+    return keys
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 8, dims: int = 64) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to the query's
-    hyperplane bucket. Recall trades against bucket size via n_planes."""
-    bucketed = corpus.select(F.col(id_col).alias("neighbor_id"),
-                             F.col(vec_col).alias("cv"),
-                             _norm(F.col(vec_col)).alias("cn"),
-                             hyperplane_bucket(vec_col, n_planes, dims)
-                             .alias("bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       _norm(F.col(vec_col)).alias("qn"),
-                       hyperplane_bucket(vec_col, n_planes, dims).alias("bucket"))
-    scored = (F.broadcast(q).join(bucketed, "bucket")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      F.round(_dot(F.col("qv"), F.col("cv"))
-                              / (F.col("qn") * F.col("cn")), 6).alias("score")))
+             bands: int = 8, rows_per_band: int = 4,
+             dims: int = 64) -> DataFrame:
+    """Approximate top-k via BANDED (multi-table) hyperplane LSH: a
+    corpus vector is a candidate for a query iff ANY of the ``bands``
+    band keys collide (OR-of-ANDs), then exact cosine ranks the
+    candidate set.
+
+    r07 rewrite: the original single-table design (one 2^8-bucket
+    signature, candidates = the query's own bucket) measured recall@5
+    of only 0.04 against brute force at sf0.1 — a 256-way partition of
+    64-dim space almost never co-locates true neighbors. Banding is the
+    standard amplification (same shape as `embedding_near_dup_pairs`,
+    measured pair recall 1.0): recall comes from the band count, while
+    per-query candidate mass ≈ bands × n / 2^rows_per_band — at larger
+    corpus sizes raise ``rows_per_band`` (buckets grow 2^R, candidates
+    shrink) and add bands to hold recall. Candidate ids are deduped
+    across bands BEFORE vectors are joined back, so the exact-cosine
+    stage never rescores a pair per collision."""
+    keys = hyperplane_band_keys_sql(vec_col, bands, rows_per_band, dims)
+    banded_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"))
+    banded_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"))
+    cand = (F.broadcast(banded_q).join(banded_c, ["band", "band_key"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qv"),
+                          _norm(F.col(vec_col)).alias("qn"))
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("cv"),
+                         _norm(F.col(vec_col)).alias("cn"))
+    scored = (cand.join(F.broadcast(qvec), "query_id")
+                  .join(cvec, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(_dot(F.col("qv"), F.col("cv"))
+                                  / (F.col("qn") * F.col("cn")), 6)
+                           .alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

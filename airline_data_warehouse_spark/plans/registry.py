@@ -99,6 +99,9 @@ _REVALIDATE: tuple[str, ...] = (
     # r07: extended through the r6 stages — decontaminated split,
     # chunking, and (shard, bin, offset) packing grafted into the DAG
     "curation_pipeline",
+    # r07: banded OR-amplification rewrite (recall@5 was 0.04 vs brute
+    # force under the single-bucket design; see similarity.lsh_topk)
+    "similarity_topk_lsh",
 )
 
 

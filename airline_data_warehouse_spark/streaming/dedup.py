@@ -54,10 +54,55 @@ def dedup_batch_exact(df: DataFrame, text_col: str = "text",
             .drop("_rn"))
 
 
+def _recover_store_dir(spark, dest: str) -> None:
+    """Heal a store directory stranded by a crash mid-compaction swap.
+
+    Compaction replaces the whole store dir with two renames (dest →
+    hidden ``.name.replaced`` sibling, staging → dest). A backup whose
+    destination is missing is the store's only copy — rename it back; a
+    backup whose destination exists is a post-swap leftover — delete it.
+    Same protocol as sources/atomic.py, at directory granularity."""
+    import os
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    parent, name = os.path.split(dest.rstrip("/"))
+    backup = hpath(parent, f".{name}.replaced")
+    fs = backup.getFileSystem(conf)
+    if not fs.exists(backup):
+        return
+    dpath = hpath(dest)
+    if fs.exists(dpath):
+        fs.delete(backup, True)
+    elif not fs.rename(backup, dpath):
+        raise IOError(f"store recovery: rename {backup} -> {dest} failed")
+
+
+def _swap_store_dir(spark, staging: str, dest: str) -> None:
+    import os
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    parent, name = os.path.split(dest.rstrip("/"))
+    fs = hpath(dest).getFileSystem(conf)
+    backup = hpath(parent, f".{name}.replaced")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if fs.exists(hpath(dest)) and not fs.rename(hpath(dest), backup):
+        raise IOError(f"store swap: rename {dest} -> {backup} failed")
+    if not fs.rename(hpath(staging), hpath(dest)):
+        raise IOError(f"store swap: rename {staging} -> {dest} failed")
+    fs.delete(backup, True)
+
+
 def start_neardup_ingest(stream: DataFrame, store_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          checkpoint_dir: str | None = None,
-                         threshold: float = 0.6):
+                         threshold: float = 0.6,
+                         retention_batches: int | None = None,
+                         compact_every: int | None = 16):
     """Continuous near-duplicate ingest: every micro-batch is MinHash-
     banded and joined against the ACCUMULATED corpus band store, flagged
     near-dups are appended to ``{store_dir}/pairs``, and the batch's own
@@ -77,10 +122,32 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
 
     Exactly-once note: foreachBatch gives at-least-once sinks on
     retry; the pairs/bands appends are idempotent-by-content (dedup on
-    read via DISTINCT, or MERGE on a transactional table). Batch-side
+    read via DISTINCT, or MERGE on a transactional table) and retry
+    duplicates are physically removed at the next compaction. Batch-side
     near-dups WITHIN one micro-batch are reported by the batch
     ``ngram_jaccard_pairs`` over the silver table, matching the batch
     operator's contract.
+
+    State story (r07, measured in SCALING.md "Streaming near-dup
+    state"): every store row carries its ``batch_id``, and two knobs
+    bound the two growth axes —
+
+    * ``retention_batches``: only bands/shingles from the last N
+      batches are matched against AND retained at compaction. This is
+      the same trade ``dedup_stream_exact``'s watermark makes: state
+      becomes O(rate × horizon) instead of O(corpus), and near-dups
+      are only detected against the horizon. ``None`` (default) keeps
+      the full corpus — the store is signatures, orders of magnitude
+      smaller than text, so full-corpus state is usually the RIGHT
+      trade; the real per-batch latency driver is file count, which
+      compaction bounds independently.
+    * ``compact_every``: every N batches the bands/shingles stores are
+      rewritten — retention-filtered, retry-duplicate-deduped, and
+      coalesced into a few files — and swapped in atomically (two
+      renames with a hidden backup; `_recover_store_dir` heals a crash
+      between them before the next read). Without it, one parquet file
+      per partition per batch makes the corpus-side read cost grow
+      linearly in BATCH COUNT even when state bytes are flat.
     """
     import os
 
@@ -108,13 +175,29 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
         path = jvm.org.apache.hadoop.fs.Path(bands_dir)
         return path.getFileSystem(conf).exists(path)
 
+    def retained(df: DataFrame, batch_id: int) -> DataFrame:
+        if retention_batches is None:
+            return df
+        return df.filter(F.col("batch_id") > batch_id - retention_batches)
+
+    def compact(spark, path: str, batch_id: int) -> None:
+        # retention-filter + drop retry duplicates + coalesce the
+        # per-batch append files; stage to a sibling, swap atomically
+        store = retained(spark.read.parquet(path), batch_id).dropDuplicates()
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+        staging = f"{path.rstrip('/')}__compacting"
+        store.coalesce(n_files).write.mode("overwrite").parquet(staging)
+        _swap_store_dir(spark, staging, path)
+
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sh = shingled(batch_df, text_col, id_col).persist()
         new_bands = minhash_band_table(sh, id_col).persist()
         try:
+            _recover_store_dir(spark, bands_dir)
+            _recover_store_dir(spark, shingles_dir)
             # first batch: no store yet → skip the corpus join only then
-            corpus_bands = (spark.read.parquet(bands_dir)
+            corpus_bands = (retained(spark.read.parquet(bands_dir), batch_id)
                             if store_exists(spark) else None)
             if corpus_bands is not None:
                 cand = (new_bands.alias("i")
@@ -125,7 +208,7 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
                         .distinct())
                 s1 = sh.select(F.col(id_col).alias("inc_id"),
                                F.col("hs").alias("sh1"))
-                s2 = (spark.read.parquet(shingles_dir)
+                s2 = (retained(spark.read.parquet(shingles_dir), batch_id)
                       .select(F.col(id_col).alias("corpus_id"),
                               F.col("hs").alias("sh2")))
                 inter = F.size(F.array_intersect("sh1", "sh2"))
@@ -137,8 +220,19 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
                             .select("inc_id", "corpus_id", "jaccard"))
                 (verified.withColumn("batch_id", F.lit(batch_id))
                          .write.mode("append").parquet(pairs_dir))
-            new_bands.write.mode("append").parquet(bands_dir)
-            sh.write.mode("append").parquet(shingles_dir)
+            # coalesce the appends: a micro-batch's signatures are small,
+            # and writing one file per shuffle partition per batch is
+            # where baseline file-count growth (and with it corpus-read
+            # latency) came from in the 50-batch probe. The coalesce
+            # reads the PERSISTED frames, so the corpus join above keeps
+            # its full parallelism.
+            (new_bands.withColumn("batch_id", F.lit(batch_id))
+                      .coalesce(4).write.mode("append").parquet(bands_dir))
+            (sh.withColumn("batch_id", F.lit(batch_id))
+               .coalesce(4).write.mode("append").parquet(shingles_dir))
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact(spark, bands_dir, batch_id)
+                compact(spark, shingles_dir, batch_id)
         finally:
             new_bands.unpersist()
             sh.unpersist()

@@ -414,3 +414,95 @@ def test_stream_neardup_ingest_matches_batch_incremental(spark, tmp_path):
               for r in incremental_minhash_pairs(corpus, inc).collect()}
     got_b3 = {k: v for k, v in got.items() if k[0] in (5, 6)}
     assert got_b3 == expect
+
+
+def test_stream_neardup_retention_and_compaction(spark, tmp_path):
+    """The r07 bounded-state knobs: with retention_batches=2, a doc from
+    batch 0 is no longer matched by batch 3 (outside the horizon), and
+    compaction physically drops its bands/shingles from the store while
+    coalescing the per-batch append files. A store dir stranded mid-
+    compaction-swap (only copy in the hidden backup) is healed before
+    the next batch reads it."""
+    import json as jsonlib
+    import os
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_neardup_ingest,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the market "
+            "data pipeline keeps shuffling partitions across cluster nodes")
+    filler = [
+        "totally unrelated filler text about warehouse inventory counts",
+        "another unrelated filler document mentioning quarterly reports",
+    ]
+    batches = [[(1, base)], [(2, filler[0])], [(3, filler[1])],
+               [(4, base + " tail")]]  # near-dups doc 1, but 3 batches later
+
+    in_dir = tmp_path / "ret_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "ret_store")
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_neardup_ingest(src, store,
+                             checkpoint_dir=str(tmp_path / "ret_ckpt"),
+                             retention_batches=2, compact_every=2)
+    try:
+        for i, batch in enumerate(batches):
+            if i == 3:
+                # strand the bands store mid-swap: only copy in backup
+                os.rename(os.path.join(store, "bands"),
+                          os.path.join(store, ".bands.replaced"))
+            with open(in_dir / f"b{i}.json", "w") as f:
+                for d, tx_ in batch:
+                    f.write(jsonlib.dumps({"doc_id": d, "text": tx_}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = {(r["inc_id"], r["corpus_id"])
+             for r in spark.read.parquet(f"{store}/pairs").collect()}
+    assert pairs == set()  # doc 1 fell outside the 2-batch horizon
+    # compaction at batch 2 dropped batch-0 state (retention filter)
+    bands = spark.read.parquet(f"{store}/bands")
+    assert bands.filter("doc_id = 1").count() == 0
+    assert bands.filter("doc_id = 4").count() > 0  # recovery kept the store
+    assert not os.path.exists(os.path.join(store, ".bands.replaced"))
+
+
+def test_stream_neardup_full_corpus_state_by_default(spark, tmp_path):
+    """Default knobs keep full-corpus matching: the same 3-batches-later
+    near-dup IS flagged when retention is unbounded, and compaction
+    leaves matching behavior unchanged (it only rewrites files)."""
+    import json as jsonlib
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_neardup_ingest,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the market "
+            "data pipeline keeps shuffling partitions across cluster nodes")
+    batches = [[(1, base)],
+               [(2, "totally unrelated filler text about inventory counts")],
+               [(3, "another unrelated filler mentioning quarterly reports")],
+               [(4, base + " tail")]]
+    in_dir = tmp_path / "full_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "full_store")
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_neardup_ingest(src, store,
+                             checkpoint_dir=str(tmp_path / "full_ckpt"),
+                             compact_every=2)
+    try:
+        for i, batch in enumerate(batches):
+            with open(in_dir / f"b{i}.json", "w") as f:
+                for d, tx_ in batch:
+                    f.write(jsonlib.dumps({"doc_id": d, "text": tx_}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = {(r["inc_id"], r["corpus_id"])
+             for r in spark.read.parquet(f"{store}/pairs").collect()}
+    assert (4, 1) in pairs

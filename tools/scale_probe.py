@@ -113,10 +113,101 @@ def time_queries(spark, sf_dir: str, names: list[str] | None = None) -> dict[str
     return out
 
 
+def recall_probe(spark, sf_dir: str, sample_docs: int = 300,
+                 sample_vecs: int = 400) -> dict[str, float]:
+    """Quality tracking for the approximate family (VERDICT r06 item 6):
+    time alone can't catch band/probe parameter drift, so measure recall
+    against exact ground truth at each scale.
+
+    * ANN recall@5: LSH / IVF top-k neighbor sets vs the brute-force
+      cosine top-k over the full corpus (registry queries, same 20-query
+      workload the correctness gate certifies).
+    * Near-dup pair recall: the production LSH-candidates→exact-verify
+      pipelines vs ALL-PAIRS exact truth on a deterministic ~sample_docs
+      subset (all-pairs on the full corpus is the quadratic the
+      production path exists to avoid; the sample keeps truth O(s²) and
+      includes each sampled doc's perturbed twin so true pairs exist at
+      every scale).
+    """
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import dedup as dd
+    from airline_data_warehouse_spark.operators import similarity as sim
+    from airline_data_warehouse_spark.plans.registry import all_queries, load
+
+    reg = all_queries()
+    out: dict[str, float] = {}
+
+    # --- ANN recall@5 vs brute force (full corpus, registry workload) ---
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in reg["similarity_topk_bruteforce"].builder(spark, sf_dir).collect()}
+    for key, label in [("similarity_topk_lsh", "ann_lsh_recall_at5"),
+                       ("similarity_topk_ivf", "ann_ivf_recall_at5")]:
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in reg[key].builder(spark, sf_dir).collect()}
+        out[label] = round(len(approx & truth) / max(len(truth), 1), 3)
+
+    # --- MinHash near-dup pair recall vs exact Jaccard (sampled) ---
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    step = max(1, n_docs // sample_docs)
+    sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(step)) == 0)
+    pert = (sample.filter(F.length("text") >= 100)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.expr("substr(text, 1, (length(text) * 9) div 10)")
+                     .alias("text")))
+    corpus = sample.unionByName(pert)
+    sh = dd.shingled(corpus, "text", "doc_id").select("doc_id", "hs")
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("hs").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("hs").alias("h2"))
+    inter = F.size(F.array_intersect("h1", "h2"))
+    uni = F.size("h1") + F.size("h2") - inter
+    truth_pairs = {(r["id1"], r["id2"]) for r in
+                   (a.join(b, F.col("id1") < F.col("id2"))
+                     .withColumn("j", inter.cast("double") / uni)
+                     .filter(F.col("j") >= 0.6)
+                     .select("id1", "id2")).collect()}
+    got_pairs = {(r["id1"], r["id2"]) for r in
+                 dd.ngram_jaccard_pairs(corpus, threshold=0.6).collect()}
+    dd.release_caches()
+    out["minhash_pair_recall"] = round(
+        len(got_pairs & truth_pairs) / max(len(truth_pairs), 1), 3)
+    out["minhash_truth_pairs"] = len(truth_pairs)
+
+    # --- Embedding near-dup pair recall vs exact cosine (sampled) ---
+    emb = load(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    vstep = max(1, n_vecs // sample_vecs)
+    vs = (emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(vstep)) == 0)
+             .select("vec_id", F.col("embedding").cast("array<double>")
+                     .alias("embedding")))
+    vpert = vs.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.array(F.element_at("embedding", 1) + 0.05),
+                 F.slice(F.col("embedding"), 2, 63)).alias("embedding"))
+    vcorp = vs.unionByName(vpert)
+    va = vcorp.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    vb = vcorp.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    cos = sim.cosine(F.col("v1"), F.col("v2"))
+    vtruth = {(r["id1"], r["id2"]) for r in
+              (va.join(vb, F.col("id1") < F.col("id2"))
+                 .withColumn("c", cos).filter(F.col("c") >= 0.99)
+                 .select("id1", "id2")).collect()}
+    vgot = {(r["id1"], r["id2"]) for r in
+            sim.embedding_near_dup_pairs(vcorp, threshold=0.99).collect()}
+    dd.release_caches()
+    out["embedding_pair_recall"] = round(
+        len(vgot & vtruth) / max(len(vtruth), 1), 3)
+    out["embedding_truth_pairs"] = len(vtruth)
+    return out
+
+
 def main() -> None:
     keep = "--keep" in sys.argv
     reuse = "--reuse" in sys.argv
-    argv = [a for a in sys.argv[1:] if a not in ("--keep", "--reuse")]
+    recall = "--recall" in sys.argv
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--keep", "--reuse", "--recall")]
     factor = int(argv[0]) if argv else 8
     names = argv[1:] or PROBE_QUERIES
     out_dir = f"/tmp/adw_scale_{factor}x"
@@ -126,6 +217,14 @@ def main() -> None:
 
     if not (reuse and os.path.isdir(out_dir)):
         build_scaled(spark, factor, out_dir)
+    if recall:
+        report = {"factor": factor,
+                  "recall_base": recall_probe(spark, BASE),
+                  "recall_scaled": recall_probe(spark, out_dir)}
+        print(json.dumps(report, indent=2))
+        if not keep:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        return
     base = time_queries(spark, BASE, names)  # warm-up pass (JVM/codegen/footers)
     base = time_queries(spark, BASE, names)
     scaled = time_queries(spark, out_dir, names)  # warm-up for the scaled files

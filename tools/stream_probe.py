@@ -1,0 +1,134 @@
+"""Streaming near-dup ingest state probe (VERDICT r06 item 3): replay
+the sf0.1 documents table as ~50 micro-batches through
+start_neardup_ingest and measure, per batch, wall-clock latency and the
+bands/shingles store's size (files + bytes) — once per knob
+configuration, so the growth story is measured rather than asserted:
+
+  baseline   no compaction, unbounded retention (the r06 behavior)
+  compact    compact_every=10, unbounded retention (full-corpus match,
+             file count bounded)
+  retained   compact_every=10, retention_batches=10 (horizon match,
+             state bounded — the watermark-style trade)
+
+Usage: python tools/stream_probe.py [n_batches] [sf_dir]
+Prints per-batch CSV-ish lines and one JSON summary line per config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    files = bytes_ = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                files += 1
+                bytes_ += os.path.getsize(os.path.join(root, n))
+    return files, bytes_
+
+
+def run_config(spark, docs_json: list[str], label: str, workdir: str,
+               compact_every: int | None,
+               retention_batches: int | None) -> dict:
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_neardup_ingest,
+    )
+
+    in_dir = os.path.join(workdir, f"{label}_in")
+    store = os.path.join(workdir, f"{label}_store")
+    os.makedirs(in_dir)
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(in_dir))
+    q = start_neardup_ingest(
+        src, store, checkpoint_dir=os.path.join(workdir, f"{label}_ckpt"),
+        compact_every=compact_every, retention_batches=retention_batches)
+    per_batch = []
+    try:
+        for i, payload in enumerate(docs_json):
+            with open(os.path.join(in_dir, f"b{i:03d}.json"), "w") as f:
+                f.write(payload)
+            t0 = time.time()
+            q.processAllAvailable()
+            dt = time.time() - t0
+            files, nbytes = dir_stats(os.path.join(store, "bands"))
+            sfiles, sbytes = dir_stats(os.path.join(store, "shingles"))
+            per_batch.append({"batch": i, "sec": round(dt, 3),
+                              "band_files": files,
+                              "state_mb": round((nbytes + sbytes) / 1e6, 2)})
+            if i % 10 == 0 or i == len(docs_json) - 1:
+                print(f"{label} b{i:03d}: {dt:.2f}s "
+                      f"files={files + sfiles} "
+                      f"state={per_batch[-1]['state_mb']}MB", flush=True)
+    finally:
+        q.stop()
+    pairs_dir = os.path.join(store, "pairs")
+    n_pairs = (spark.read.parquet(pairs_dir).count()
+               if os.path.isdir(pairs_dir) else 0)
+    last10 = [b["sec"] for b in per_batch[-10:]]
+    first10 = [b["sec"] for b in per_batch[1:11]]
+    return {"config": label, "n_batches": len(per_batch),
+            "first10_avg_sec": round(sum(first10) / len(first10), 3),
+            "last10_avg_sec": round(sum(last10) / len(last10), 3),
+            "final_band_files": per_batch[-1]["band_files"],
+            "final_state_mb": per_batch[-1]["state_mb"],
+            "n_pairs": n_pairs,
+            "per_batch": per_batch}
+
+
+def main() -> int:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+
+    from airline_data_warehouse_spark.plans.registry import load
+
+    spark = (SparkSession.builder.appName("stream-probe")
+             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = (load(spark, sf_dir, "documents")
+            .select("doc_id", "text").collect())
+    per = max(1, len(rows) // n_batches)
+    docs_json = []
+    for i in range(0, len(rows), per):
+        docs_json.append("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+            for r in rows[i:i + per]))
+    docs_json = docs_json[:n_batches]
+    print(f"{len(docs_json)} batches x ~{per} docs from {sf_dir}", flush=True)
+
+    workdir = tempfile.mkdtemp(prefix="stream_probe_")
+    try:
+        out = []
+        for label, ce, rb in [("baseline", None, None),
+                              ("compact", 10, None),
+                              ("retained", 10, 10)]:
+            out.append(run_config(spark, docs_json, label, workdir, ce, rb))
+        for summary in out:
+            slim = {k: v for k, v in summary.items() if k != "per_batch"}
+            print(json.dumps(slim))
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "stream_probe_results.json"),
+                "w") as f:
+            json.dump(out, f, indent=1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
