@@ -75,6 +75,9 @@ HEADLINE = [
     "decontaminated_train_split",
     "materialize_mixture",
     "chunked_packing_pipeline",
+    # r07: the fully-composed curation DAG (quality gate -> dedup ->
+    # decontaminated split -> chunk -> pack)
+    "curation_pipeline",
 ]
 
 
