@@ -76,8 +76,10 @@ HEADLINE = [
     "materialize_mixture",
     "chunked_packing_pipeline",
     # r07: the fully-composed curation DAG (quality gate -> dedup ->
-    # decontaminated split -> chunk -> pack)
+    # decontaminated split -> chunk -> pack) and the three-tier
+    # exact -> lexical -> semantic dedup cascade
     "curation_pipeline",
+    "dedup_cascade",
 ]
 
 

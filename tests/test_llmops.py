@@ -687,6 +687,46 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
                    for c in chunks) == total
 
 
+def test_dedup_cascade_tiers_catch_planted_dups(spark, tmp_path):
+    """Each cascade tier catches exactly its planted dup kind: verbatim
+    copies (+2M) die at tier 1 with the original as partner, truncations
+    (+3M) at tier 2, and word-order-reversed paraphrases (+1M) — which
+    share almost no 9-gram shingles with the original — survive the
+    lexical tiers and die at tier 3 via their near-identical embedding
+    twin. Originals are all kept."""
+    import random
+
+    from airline_data_warehouse_spark.plans.registry import all_queries
+
+    rng = random.Random(7)
+    words = ["apple", "borough", "crystal", "dynamo", "ember", "falcon",
+             "granite", "harbor", "indigo", "jasmine", "kestrel", "lantern",
+             "meadow", "nectar", "onyx", "prairie"]
+    docs = []
+    for i in range(10):
+        toks = rng.sample(words, 12) + [f"u{i}x{j}" for j in range(12)]
+        rng.shuffle(toks)
+        docs.append((i, " ".join(toks)))  # ~150 chars, mutually distinct
+    spark.createDataFrame(docs, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(10)]
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int") \
+         .write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["doc_id"]: (r["verdict"], r["partner_id"]) for r in
+           all_queries()["dedup_cascade"].builder(spark, str(tmp_path))
+           .collect()}
+
+    for i in range(10):
+        assert out[i] == ("kept", None)
+    for i in (0, 7):  # % 7 == 0 → verbatim copy planted
+        assert out[2000000 + i] == ("exact", i)
+    for i in (0, 3, 6, 9):  # % 3 == 0, len >= 100 → 90% truncation
+        assert out[3000000 + i] == ("near_dup", i)
+    for i in (0, 5):  # % 5 == 0 → reversed-word paraphrase
+        assert out[1000000 + i] == ("semantic", i)
+
+
 def test_decontaminated_split_partitions_corpus(spark):
     """The composed pipeline query: sides partition the corpus exactly;
     a train doc that verbatim-contains a holdout doc's text is dropped

@@ -53,6 +53,9 @@ PROBE_QUERIES = [
     "decontaminated_train_split",
     "materialize_mixture",
     "chunked_packing_pipeline",
+    # r07: composed pipelines
+    "curation_pipeline",
+    "dedup_cascade",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
