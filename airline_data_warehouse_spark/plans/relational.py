@@ -1337,3 +1337,56 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left join: an all-null measure has no histogram rows → no median
     # row; it must still report (with p50 null), as quantile_cont does
     return stats.join(F.broadcast(med), "col_name", "left")
+
+
+@register(
+    "scd2_status_dimension",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS status, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, status, ts AS valid_from, event_id FROM ordered
+  WHERE prev IS NULL OR prev <> status
+)
+SELECT user_id, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to,
+       CAST(lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL
+            AS BOOLEAN) AS is_current,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY valid_from, event_id) AS INT)
+         AS version
+FROM changes
+""",
+    operators="W-scd2",
+    description="SCD Type-2 dimension build from a change-event stream: "
+                "per user, consecutive runs of the same status collapse "
+                "to one row with [valid_from, valid_to) validity, "
+                "is_current on the open-ended row, and a per-key version "
+                "counter — the point-in-time dimension every warehouse "
+                "maintains for as-of joins (the asof_join_status query "
+                "is its consumer shape). Two lag/lead windows, both "
+                "partitioned by the dimension key: shuffle once on "
+                "user_id, no global sort, scales as keys × changes.",
+)
+def scd2_status_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                              "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (ev.withColumn("_prev", F.lag("event_type").over(w))
+                 .filter(F.col("_prev").isNull()
+                         | (F.col("_prev") != F.col("event_type")))
+                 .select("user_id", F.col("event_type").alias("status"),
+                         F.col("ts").alias("valid_from"), "event_id"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id", "status", "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        F.row_number().over(w2).cast("int").alias("version"))

@@ -80,6 +80,7 @@ HEADLINE = [
     # exact -> lexical -> semantic dedup cascade
     "curation_pipeline",
     "dedup_cascade",
+    "scd2_status_dimension",
 ]
 
 

@@ -201,6 +201,38 @@ def test_profile_median_with_nan_and_null_columns(spark, tmp_path, registry):
     assert out["l_discount"]["mean_val"] == 5.0
 
 
+def test_scd2_collapses_runs_and_versions(spark, tmp_path):
+    """SCD2 semantics: consecutive same-status events collapse into one
+    validity interval; a revert to an earlier status opens a NEW version
+    (type 2, not type 1); the last interval per key is open-ended."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0), 7, "active", 0.0, "{}"),
+        (2, dt(2024, 1, 1, 1), 7, "active", 0.0, "{}"),   # same run
+        (3, dt(2024, 1, 1, 2), 7, "paused", 0.0, "{}"),
+        (4, dt(2024, 1, 1, 3), 7, "active", 0.0, "{}"),   # revert -> v3
+        (5, dt(2024, 1, 1, 0), 9, "active", 0.0, "{}"),   # other key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = [(r["version"], r["status"], r["valid_from"].hour,
+            r["valid_to"].hour if r["valid_to"] else None, r["is_current"])
+           for r in registry_mod()["scd2_status_dimension"]
+           .builder(spark, str(tmp_path))
+           .filter("user_id = 7").orderBy("version").collect()]
+    assert out == [(1, "active", 0, 2, False),
+                   (2, "paused", 2, 3, False),
+                   (3, "active", 3, None, True)]
+
+
+def registry_mod():
+    from airline_data_warehouse_spark.plans.registry import all_queries
+    return all_queries()
+
+
 def test_vocab_ids_contiguous_across_prefix_buckets(spark):
     """Two-phase id assignment: ids must be exactly 0..n-1 in (count
     desc, token asc) order even when ties span prefix buckets."""
