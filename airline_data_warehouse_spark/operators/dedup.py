@@ -189,8 +189,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # and shingling (substring explosion + md5) dominates the cost
     sh = _persist(shingled(df, text_col, id_col, k))
     cand = minhash_lsh_candidates(df, text_col, id_col, k, shingle_sets=sh)
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("hs").alias("sh1"))
-    s2 = sh.select(F.col(id_col).alias("id2"), F.col("hs").alias("sh2"))
+    # shuffle_hash hint on the shingle-ARRAY sides: their in-heap hash-map
+    # expansion is 4-8x their shuffle bytes, so AQE's size-threshold
+    # broadcast decision under-predicts and a driver-side build OOMs at
+    # scale (reproduced in the r07 8x probe via dedup_cascade — two
+    # concurrent ~270 MB builds). A shuffled hash join builds per-
+    # PARTITION maps instead; no sort, id-keyed, safe at any corpus size.
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("hs").alias("sh1")).hint("shuffle_hash")
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("hs").alias("sh2")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (cand.join(s1, "id1").join(s2, "id2")
@@ -228,8 +234,14 @@ def incremental_minhash_pairs(corpus: DataFrame, increment: DataFrame,
     cand = (ibands.join(cbands, ["band", "band_key"])
                   .select("inc_id", "corpus_id")
                   .distinct())
-    s1 = ish.select(F.col(id_col).alias("inc_id"), F.col("hs").alias("sh1"))
-    s2 = csh.select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("sh2"))
+    # shuffle_hash on the shingle-array sides — same no-driver-side-
+    # broadcast rule as ngram_jaccard_pairs (the corpus side grows
+    # without bound; the increment side is hinted too because batch
+    # sizes are caller-controlled)
+    s1 = (ish.select(F.col(id_col).alias("inc_id"), F.col("hs").alias("sh1"))
+             .hint("shuffle_hash"))
+    s2 = (csh.select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("sh2"))
+             .hint("shuffle_hash"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (cand.join(s1, "inc_id").join(s2, "corpus_id")

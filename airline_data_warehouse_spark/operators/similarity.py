@@ -164,9 +164,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qvec = queries.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv"),
                           _norm(F.col(vec_col)).alias("qn"))
-    cvec = corpus.select(F.col(id_col).alias("neighbor_id"),
-                         F.col(vec_col).alias("cv"),
-                         _norm(F.col(vec_col)).alias("cn"))
+    # corpus vectors: shuffle_hash, never broadcast (corpus-proportional
+    # array payload — see embedding_near_dup_pairs); the query side stays
+    # a broadcast, tiny by contract
+    cvec = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"),
+                          _norm(F.col(vec_col)).alias("cn"))
+                  .hint("shuffle_hash"))
     scored = (cand.join(F.broadcast(qvec), "query_id")
                   .join(cvec, "neighbor_id")
                   .select("query_id", "neighbor_id",
@@ -261,10 +265,14 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
              .select(F.col(f"a.{id_col}").alias("id1"),
                      F.col(f"b.{id_col}").alias("id2"))
              .distinct())
-    v1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
-                       _norm(F.col(vec_col)).alias("n1"))
-    v2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
-                       _norm(F.col(vec_col)).alias("n2"))
+    # shuffle_hash on the vector-payload sides: the corpus grows without
+    # bound and a vector frame's in-heap hash-map expansion far exceeds
+    # its shuffle bytes, so an AQE broadcast decision here is the
+    # OOM-at-scale class the r07 8x probe caught on the shingle twin
+    v1 = (corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                        _norm(F.col(vec_col)).alias("n1")).hint("shuffle_hash"))
+    v2 = (corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                        _norm(F.col(vec_col)).alias("n2")).hint("shuffle_hash"))
     return (cand.join(v1, "id1").join(v2, "id2")
                 .select("id1", "id2",
                         F.round(_dot(F.col("v1"), F.col("v2"))

@@ -166,7 +166,12 @@ def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
                      top_n: int = 3) -> DataFrame:
     """TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-N terms per
     document (score desc, term asc). Fully distributed: explode -> two
-    keyed aggregations -> broadcast idf join -> per-doc window."""
+    keyed aggregations -> idf join -> per-doc window. The idf join's
+    strategy is left to AQE (r07): the idf table is one row per DISTINCT
+    TERM, which grows with the corpus (Heaps' law — a multi-GB broadcast
+    at 100 TB), so a forced broadcast is the same scale hazard the
+    ngram_overlap_join holdout fix removed; both sides are already
+    term-keyed, so the fallback shuffle is collision-free."""
     from pyspark.sql import Window
     n_docs = df.count()  # driver-side scalar (a count, not a collect of rows)
     terms = (df.select(F.col(id_col),
@@ -176,7 +181,7 @@ def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     idf = (tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
              .withColumn("idf", F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1))
-    scored = (tf.join(F.broadcast(idf), "term")
+    scored = (tf.join(idf, "term")
                 .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6)))
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -244,22 +249,27 @@ def ngram_overlap_join(corpus: DataFrame, benchmark: DataFrame,
     Shape: both sides become (id, shingle_hash) via explode of the
     hashed shingle set, the join is an equi-join on the 31-bit hash
     (an inverted index, never corpus × benchmark), and the pair count
-    re-aggregates on (bench_id, doc_id). The benchmark side is tiny by
-    nature (eval sets are thousands of rows, the corpus is the 100 TB
-    side) so its exploded index broadcasts; candidate volume is bounded
-    by true shingle collisions, the same argument as MinHash banding.
+    re-aggregates on (bench_id, doc_id). The join strategy is left to
+    AQE on runtime sizes, NOT a forced broadcast (r07): when the
+    benchmark really is an eval set (thousands of rows) AQE converts
+    to a broadcast join at runtime anyway, but two callers —
+    decontaminated_train_split and curation_pipeline — pass the 5%
+    HOLDOUT as the benchmark, a side that grows WITH the corpus (at
+    100 TB, a multi-TB broadcast; the forced hint reproducibly OOMed
+    the 8× local probe building a ~270 MB exploded index on the
+    shared heap). Candidate volume is bounded by true shingle
+    collisions either way, the same argument as MinHash banding.
     """
     from airline_data_warehouse_spark.operators.hashing import hashed_shingle_set
     # the corpus side carries the md5-heavy shingle cascade — repartition
-    # so parallelism tracks cores, not input splits (see dedup.shingled);
-    # the benchmark side is tiny by nature and stays as scanned
+    # so parallelism tracks cores, not input splits (see dedup.shingled)
     cores = corpus.sparkSession.sparkContext.defaultParallelism
     c = (corpus.repartition(cores * 2, F.col(id_col))
                .select(F.col(id_col),
                        F.explode(hashed_shingle_set(F.col(text_col), k)).alias("sh")))
     b = (benchmark.select(F.col(bench_id_col),
                           F.explode(hashed_shingle_set(F.col(text_col), k)).alias("sh")))
-    return (c.join(F.broadcast(b), "sh")
+    return (c.join(b, "sh")
              .groupBy(bench_id_col, id_col)
              .agg(F.count("*").alias("n_shared_shingles"))
              .filter(F.col("n_shared_shingles") >= min_shared))

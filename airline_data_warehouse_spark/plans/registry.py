@@ -102,6 +102,22 @@ _REVALIDATE: tuple[str, ...] = (
     # r07: banded OR-amplification rewrite (recall@5 was 0.04 vs brute
     # force under the single-bucket design; see similarity.lsh_topk)
     "similarity_topk_lsh",
+    # r07: ngram_overlap_join no longer force-broadcasts the benchmark
+    # side (corpus-proportional for the holdout callers — OOMed the 8×
+    # probe; AQE picks the strategy from runtime sizes now)
+    "benchmark_contamination",
+    "decontaminated_train_split",
+    # r07: same fix class — tf_idf's per-term idf table (Heaps'-law
+    # growth) no longer force-broadcast
+    "text_tfidf_top_terms",
+    # r07: shingle/vector-array verify-join sides now hinted
+    # shuffle_hash so AQE can never pick a driver-side broadcast build
+    # for a corpus-proportional array payload (the dedup_cascade 8×
+    # OOM; in-heap hash-map expansion defeats the size threshold)
+    "dedup_ngram_jaccard",
+    "dedup_cluster_representatives",
+    "dedup_incremental_minhash",
+    "dedup_embedding_cosine",
 )
 
 

@@ -141,8 +141,14 @@ def upsert_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
         return
     target = spark.read.parquet(dest_path)
     source = source.select(*target.columns)
+    # the delta-key joins are left to AQE: a typical delta's key set is
+    # broadcast-sized and AQE picks that at runtime, but a large backfill
+    # delta would make a FORCED key broadcast the OOM-at-scale hazard
+    # (same class as the ngram_overlap_join holdout fix, r07). The
+    # affected-partitions frame is bounded by the table's partition count
+    # and stays hinted.
     keys = source.select(key).distinct()
-    affected = (target.join(F.broadcast(keys), key, "left_semi")
+    affected = (target.join(keys, key, "left_semi")
                       .select(partition_col)
                       .unionByName(source.select(partition_col))
                       .distinct())
@@ -151,7 +157,7 @@ def upsert_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
         return
     surviving = (target
                  .join(F.broadcast(affected), partition_col, "left_semi")
-                 .join(F.broadcast(keys), key, "left_anti"))
+                 .join(keys, key, "left_anti"))
     merged = surviving.unionByName(source)
     staging = f"{dest_path.rstrip('/')}__upsert_staging"
     if fs.exists(hpath(staging)):

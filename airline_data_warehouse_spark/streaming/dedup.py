@@ -208,9 +208,14 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
                         .distinct())
                 s1 = sh.select(F.col(id_col).alias("inc_id"),
                                F.col("hs").alias("sh1"))
+                # corpus shingle store: shuffle_hash, never broadcast —
+                # it grows with the accumulated corpus and its array
+                # payload's in-heap expansion defeats AQE's size check
+                # (same rule as the batch operators, r07)
                 s2 = (retained(spark.read.parquet(shingles_dir), batch_id)
                       .select(F.col(id_col).alias("corpus_id"),
-                              F.col("hs").alias("sh2")))
+                              F.col("hs").alias("sh2"))
+                      .hint("shuffle_hash"))
                 inter = F.size(F.array_intersect("sh1", "sh2"))
                 union = F.size("sh1") + F.size("sh2") - inter
                 verified = (cand.join(s1, "inc_id").join(s2, "corpus_id")
