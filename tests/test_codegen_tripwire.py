@@ -37,3 +37,35 @@ def test_headline_query_compiles(strict_codegen, sf_dir, name):
         df.write.format("noop").mode("overwrite").save()
     finally:
         release_caches()
+
+
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard",
+                                  "dedup_incremental_minhash",
+                                  "dedup_embedding_cosine"])
+def test_array_verify_joins_never_broadcast(spark, sf_dir, name):
+    """Broadcast-hazard tripwire (r07): the shingle/vector-ARRAY sides of
+    the verify joins must plan as ShuffledHashJoin, never
+    BroadcastHashJoin — their in-heap hash-map expansion is 4-8x their
+    shuffle bytes, so a (forced or AQE-chosen) broadcast build OOMs at
+    scale even when the size threshold says it fits (the reproduced 8x
+    dedup_cascade failure). The hint must survive refactors: if a
+    BroadcastExchange feeds a join whose stream side carries the array
+    column, this fails before the probe does.
+
+    Plan-level check: the optimized plan must contain shuffled hash
+    join operators for these queries and no broadcast join whose build
+    side projects the shingle/vector array column."""
+    df = all_queries()[name].builder(spark, sf_dir)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_caches()
+    assert "ShuffledHashJoin" in plan, f"{name}: array verify join lost its shuffle_hash hint"
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" not in line:
+            continue
+        # broadcast joins are fine for band/candidate/centroid frames;
+        # the array payload columns must not appear in one
+        assert "hs#" not in line and "sh1" not in line and "sh2" not in line \
+            and "v1" not in line and "v2" not in line, \
+            f"{name}: array side reached a broadcast join: {line.strip()}"
