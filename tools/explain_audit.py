@@ -176,12 +176,25 @@ def main() -> None:
 
     spark = get_spark(app_name="explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # Dump the STATIC plan: under AQE, explain() shows only an
+    # AdaptiveSparkPlan wrapper whose codegen spans / final join choices
+    # appear after execution, so the feature greps below would read
+    # always-false (r07 finding — the codegen check had gone inert).
+    # AQE's runtime behavior is probed where it matters: the codegen
+    # tripwire executes with fallback=false, and the skew/scale probes
+    # run with AQE on.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     registry = all_queries()
     for name in names:
         plan = plan_of(registry[name].builder(spark, sf_dir))
         checks = {
             "broadcast join": "BroadcastHashJoin" in plan,
-            "whole-stage codegen": "WholeStageCodegen" in plan,
+            # formatted explain marks codegen stages with a "*" prefix
+            # ("+- * Project (n)"), not the literal WholeStageCodegen
+            # string (that's simple-mode); match either (r07 fix — the
+            # literal-only grep read always-false)
+            "whole-stage codegen": "WholeStageCodegen" in plan
+                                   or "- * " in plan or plan.lstrip().startswith("* "),
             "pushed filters": "PushedFilters: [" in plan and
                               any(f"PushedFilters: [{c}" in plan.replace("PushedFilters: [], ", "")
                                   for c in "IGLEN") or "PushedFilters" in plan,
