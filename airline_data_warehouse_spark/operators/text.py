@@ -469,3 +469,70 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         start.cast("int").alias("chunk_start"),
         F.length(piece).cast("int").alias("chunk_len"),
         F.md5(piece).alias("chunk_hash"))
+
+
+def repeated_ngram_spans(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", w: int = 8) -> DataFrame:
+    """Exact repeated-substring detection, the suffix-array-style dedup
+    from "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022) re-expressed relationally: every ``w``-token
+    window that appears VERBATIM in at least two distinct documents is
+    flagged, and per document the flagged windows are merged into
+    maximal repeated spans (the pieces a pretraining pipeline would cut
+    out, as opposed to whole-doc near-dup removal).
+
+    Output: one row per maximal span — (id, span_start, span_end,
+    n_tokens, n_windows), token positions 1-based inclusive.
+
+    Shape, stage by stage (all linear in corpus tokens):
+      1. tokenize + sequence/explode into (doc, pos, md5(window)) —
+         a pure map, ~|tokens| rows. md5 (128-bit) rather than a 64-bit
+         hash so a collision can't weld two different windows together
+         at corpus scale (birthday bound at 100 TB crosses 2^32
+         windows; 2^64 stays safe).
+      2. window-hash groupBy keeping hashes spanning >= 2 DISTINCT
+         docs — map-side partial aggregation applies; the repeated set
+         is returned as a semi-join against the window table, never
+         collected.
+      3. gaps-and-islands merge per doc: island id = pos − row_number()
+         over (doc), then a (doc, island) groupBy. Both the window and
+         the groupBy are doc-partitioned — no global sort anywhere.
+
+    The heavy shuffle is stage 2, keyed by window hash: uniformly
+    distributed by construction (md5), so no salting is needed even on
+    boilerplate-heavy corpora — a window repeated a million times is
+    one group counting two distinct ids with partial aggregation.
+    """
+    from pyspark.sql import Window
+    if w < 2:
+        raise ValueError("window width must be >= 2 tokens")
+    toks = _tokens(F.lower(F.col(text_col)))
+    wins = (df.filter(F.size(toks) >= w)
+              .select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+              .select("_doc",
+                      F.explode(F.sequence(F.lit(1),
+                                           F.size("_toks") - (w - 1))).alias("pos"),
+                      F.col("_toks"))
+              .select("_doc", "pos",
+                      F.md5(F.concat_ws(" ", F.slice(F.col("_toks"),
+                                                     F.col("pos"),
+                                                     w))).alias("whash")))
+    repeated = (wins.groupBy("whash")
+                    .agg(F.countDistinct("_doc").alias("_nd"))
+                    .filter(F.col("_nd") >= 2)
+                    .select("whash"))
+    flagged = wins.join(repeated, "whash", "left_semi")
+    island = (F.col("pos")
+              - F.row_number().over(Window.partitionBy("_doc")
+                                          .orderBy(F.col("pos").asc())))
+    return (flagged.withColumn("_isl", island)
+                   .groupBy("_doc", "_isl")
+                   .agg(F.min("pos").alias("span_start"),
+                        (F.max("pos") + (w - 1)).alias("span_end"),
+                        F.count(F.lit(1)).alias("n_windows"))
+                   .select(F.col("_doc").alias(id_col),
+                           F.col("span_start").cast("int").alias("span_start"),
+                           F.col("span_end").cast("int").alias("span_end"),
+                           (F.col("span_end") - F.col("span_start") + 1)
+                               .cast("int").alias("n_tokens"),
+                           F.col("n_windows").cast("int").alias("n_windows")))

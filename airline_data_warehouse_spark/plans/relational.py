@@ -1390,3 +1390,43 @@ def scd2_status_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
         F.row_number().over(w2).cast("int").alias("version"))
+
+
+@register(
+    "rolling_event_features",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ord,
+                      CAST(value AS DECIMAL(18,2)) AS v
+               FROM events)
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER roll AS INT) AS roll_cnt_24h,
+           CAST(SUM(v) OVER roll AS DOUBLE) AS roll_sum_24h,
+           ord - lag(ord) OVER (PARTITION BY user_id ORDER BY ord ASC)
+               AS micros_since_prev
+    FROM e
+    WINDOW roll AS (PARTITION BY user_id ORDER BY ord ASC
+                    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+    operators="W-rolling",
+    description="Per-entity rolling time-range features (trailing-24h "
+                "event count and exact decimal sum, plus inter-arrival "
+                "gap) — the feature-engineering shape behind fraud/"
+                "engagement signals and training-data session stats. "
+                "One shuffle on user_id feeds both the RANGE frame and "
+                "the lag; the frame is time-bounded (rangeBetween over "
+                "unix microseconds), so state per key is O(events in "
+                "24 h), never O(history), and no window is unpartitioned.",
+)
+def rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("ord"),
+        F.col("value").cast("decimal(18,2)").alias("v"))
+    roll = (Window.partitionBy("user_id").orderBy(F.col("ord").asc())
+                  .rangeBetween(-86_400_000_000, 0))
+    gap = Window.partitionBy("user_id").orderBy(F.col("ord").asc())
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(roll).cast("int").alias("roll_cnt_24h"),
+        F.sum("v").over(roll).cast("double").alias("roll_sum_24h"),
+        (F.col("ord") - F.lag("ord").over(gap)).alias("micros_since_prev"))

@@ -752,3 +752,41 @@ def test_decontaminated_split_partitions_corpus(spark):
             assert dropped == set(sides) - holdout
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_repeated_ngram_spans_islands(spark):
+    """Planted verbatim 8-token span shared by two docs is flagged and
+    merged into ONE maximal span per doc (gaps-and-islands); a span
+    repeated only WITHIN one doc is not flagged (cross-doc rule); docs
+    shorter than the window are dropped; positions are 1-based token
+    indices covering the full repeated run."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    docs = spark.createDataFrame(
+        [(1, "x1 x2 " + shared + " y1 y2"),          # span at tokens 3..12
+         (2, shared + " z1 z2 z3"),                  # span at tokens 1..10
+         (3, "self self self self self self self self self"),  # within-doc only
+         (4, "too short")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           tx.repeated_ngram_spans(docs, w=8).collect()}
+    # doc 1: windows at pos 3,4,5 (10-token run -> 3 eight-token windows)
+    assert got[1]["span_start"] == 3 and got[1]["span_end"] == 12
+    assert got[1]["n_tokens"] == 10 and got[1]["n_windows"] == 3
+    assert got[2]["span_start"] == 1 and got[2]["span_end"] == 10
+    assert 3 not in got and 4 not in got
+    assert len(got) == 2  # one maximal span per doc, not one per window
+
+
+def test_repeated_ngram_spans_gap_splits_islands(spark):
+    """Two repeated runs separated by unique tokens in the same doc
+    produce TWO spans, not one welded span."""
+    run1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [(1, run1 + " uniq1 uniq2 " + run2),
+         (2, run1), (3, run2)],
+        "doc_id long, text string")
+    spans = sorted((r["span_start"], r["span_end"]) for r in
+                   tx.repeated_ngram_spans(docs, w=8).collect()
+                   if r["doc_id"] == 1)
+    assert spans == [(1, 8), (11, 18)]

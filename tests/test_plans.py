@@ -298,3 +298,31 @@ def test_no_row_udfs_or_rdd_api_in_package():
             if banned.search(line.split("#")[0]):
                 hits.append(f"{py.name}:{ln}: {line.strip()[:80]}")
     assert not hits, "slow-path API usage:\n" + "\n".join(hits)
+
+
+def test_rolling_features_time_bounds_and_gaps(spark, tmp_path):
+    """Rolling 24h frame semantics: an event exactly 24h earlier is
+    INCLUDED (closed frame), 24h+1us is excluded; the sum is exact
+    decimal math; the first event per key has a NULL inter-arrival
+    gap; keys never mix."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0, 0), 7, "a", 10.10, "{}"),
+        (2, dt(2024, 1, 2, 0, 0, 0), 7, "a", 0.20, "{}"),   # exactly 24h
+        (3, dt(2024, 1, 3, 0, 0, 0, 1), 7, "a", 5.00, "{}"),  # 24h+1us after #2
+        (4, dt(2024, 1, 1, 0, 0, 0), 9, "a", 99.99, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_id"]: r for r in
+           registry_mod()["rolling_event_features"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert got[1]["roll_cnt_24h"] == 1 and got[1]["micros_since_prev"] is None
+    assert got[2]["roll_cnt_24h"] == 2          # closed lower bound
+    assert got[2]["roll_sum_24h"] == 10.30      # exact decimal, no fp drift
+    assert got[3]["roll_cnt_24h"] == 1          # event 2 just aged out
+    assert got[3]["micros_since_prev"] == 86_400_000_000 + 1
+    assert got[4]["roll_cnt_24h"] == 1          # other key untouched
