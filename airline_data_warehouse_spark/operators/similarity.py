@@ -447,3 +447,57 @@ def quantize_embeddings_int8(corpus: DataFrame, id_col: str = "vec_id",
          .otherwise(F.round(F.aggregate(sq_err, F.lit(0.0),
                                         lambda acc, x: acc + x)
                             / F.size("_vd"), 9)).alias("mse"))
+
+
+def kmeans_assign(corpus: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Distributed spherical k-means (Lloyd's iterations, cosine
+    objective) — trains the IVF coarse quantizer from the vectors
+    themselves instead of borrowing a label column, making the ANN /
+    SemDeDup family self-contained when no labels exist.
+
+    Deterministic by construction so the run is replayable and
+    oracle-checkable: seeds are the ``k`` lowest-id vectors and keep
+    their vec_id as the cluster id (no order-assigning window over the
+    corpus); each assignment is argmax cosine with a rounded score and
+    a cluster-id tie-break; each update is the exact-decimal per-dim
+    mean (label_centroids) — independent of aggregation order, so the
+    same clustering falls out at any parallelism.
+
+    Per iteration: one broadcast of the k×dims centroid table, one
+    per-vector argmax window PARTITIONED by vector id, one
+    (cluster, dim)-keyed mean. Nothing scales with corpus² and no
+    centroid state lives on the driver; ``iters`` is fixed (the
+    IVF-training shape) rather than convergence-tested — the
+    connected-components operator is the iterate-to-fixpoint
+    precedent, this one is deliberately bounded.
+
+    Returns the FINAL assignment (id, cluster_id, score): cluster_id
+    is the seed vec_id, score the rounded cosine to the final centroid.
+    """
+    seeds = (corpus.orderBy(F.col(id_col).asc()).limit(k)
+             .select(F.col(id_col).alias("list_id"),
+                     F.col(vec_col).cast("array<double>").alias("centroid")))
+    vecs = corpus.select(F.col(id_col),
+                         F.col(vec_col).cast("array<double>").alias("_v"),
+                         _norm(F.col(vec_col).cast("array<double>")).alias("_vn"))
+    centroids = seeds
+    assigned = None
+    for _ in range(iters):
+        scored = (vecs.crossJoin(F.broadcast(
+                      centroids.withColumn("_cn", _norm(F.col("centroid")))))
+                  .select(id_col, "_v", "list_id",
+                          F.round(_dot(F.col("_v"), F.col("centroid"))
+                                  / (F.col("_vn") * F.col("_cn")), 6)
+                           .alias("score")))
+        w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                               F.col("list_id").asc())
+        assigned = (scored.withColumn("rn", F.row_number().over(w))
+                          .filter(F.col("rn") == 1)
+                          .select(id_col, "_v", "list_id", "score"))
+        centroids = centroid_vectors(assigned, label_col="list_id",
+                                     vec_col="_v")
+    return assigned.select(
+        F.col(id_col),
+        F.col("list_id").cast("long").alias("cluster_id"),
+        F.col("score"))

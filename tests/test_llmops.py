@@ -790,3 +790,25 @@ def test_repeated_ngram_spans_gap_splits_islands(spark):
                    tx.repeated_ngram_spans(docs, w=8).collect()
                    if r["doc_id"] == 1)
     assert spans == [(1, 8), (11, 18)]
+
+
+def test_kmeans_assigns_separated_groups(spark):
+    """Two well-separated direction groups, seeds one-per-group (ids 1
+    and 2): every vector lands with its group's seed, cluster ids are
+    the seed vec_ids, and one Lloyd's update pulls the centroid to the
+    group mean (score ~1 for members). Repartitioned input produces
+    the identical assignment (order-independence of the decimal math)."""
+    import math
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    rows = ([(1, a), (2, b)]
+            + [(10 + i, [1.0, 0.05 * i, 0.0, 0.0]) for i in range(3)]
+            + [(20 + i, [0.05 * i, 1.0, 0.0, 0.0]) for i in range(3)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in sim.kmeans_assign(df, k=2, iters=2).collect()}
+    assert all(got[i]["cluster_id"] == 1 for i in (1, 10, 11, 12))
+    assert all(got[i]["cluster_id"] == 2 for i in (2, 20, 21, 22))
+    assert got[10]["score"] > 0.99 and got[20]["score"] > 0.99
+    got2 = {r["vec_id"]: r["cluster_id"] for r in
+            sim.kmeans_assign(df.repartition(7), k=2, iters=2).collect()}
+    assert got2 == {k: v["cluster_id"] for k, v in got.items()}
