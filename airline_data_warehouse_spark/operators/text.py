@@ -536,3 +536,43 @@ def repeated_ngram_spans(df: DataFrame, text_col: str = "text",
                            (F.col("span_end") - F.col("span_start") + 1)
                                .cast("int").alias("n_tokens"),
                            F.col("n_windows").cast("int").alias("n_windows")))
+
+
+def encode_documents(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained vocabulary to the corpus — the tokenize step a
+    pretraining pipeline runs between vocab build (vocab_table) and
+    chunking/packing: each token becomes its vocabulary id, unknown
+    tokens become −1 (the unk id), and the per-document id sequence is
+    returned as a compact verifiable digest.
+
+    Output: (id, n_tokens, n_oov, ids_hash) with ids_hash = md5 of the
+    comma-joined ids IN TOKEN ORDER — payload-exact without shipping a
+    giant int array through the comparator.
+
+    Shape: posexplode → BROADCAST vocab join (a vocabulary is bounded
+    by Heaps' law, ~millions of rows at 100 TB — the canonical
+    broadcast-dim case, unlike the per-doc tf or idf tables that grow
+    with the corpus and must stay shuffle joins) → one doc-keyed
+    aggregation. Token order is restored with the same
+    array_sort(collect_list(struct(pos, …))) reassembly the centroid
+    builder uses — no per-doc window, one shuffle keyed by doc id.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    pos = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.col(id_col).alias("_doc"),
+                     F.posexplode(toks).alias("pos", "token"))
+             .filter(F.col("token") != ""))
+    enc = (pos.join(F.broadcast(vocab.select("token", "token_id")),
+                    "token", "left")
+              .select("_doc", "pos",
+                      F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid")))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda p: p["tid"].cast("string"))
+    return (enc.groupBy("_doc")
+               .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                    F.sum((F.col("tid") == -1).cast("int")).cast("int")
+                     .alias("n_oov"),
+                    F.md5(F.concat_ws(",", ordered)).alias("ids_hash"))
+               .withColumnRenamed("_doc", id_col))

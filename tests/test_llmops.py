@@ -812,3 +812,23 @@ def test_kmeans_assigns_separated_groups(spark):
     got2 = {r["vec_id"]: r["cluster_id"] for r in
             sim.kmeans_assign(df.repartition(7), k=2, iters=2).collect()}
     assert got2 == {k: v["cluster_id"] for k, v in got.items()}
+
+
+def test_encode_documents_order_and_oov(spark):
+    """Encoding preserves token ORDER in the digest (two docs with the
+    same token multiset but different order get different hashes), maps
+    OOV to -1, and counts per doc; empty docs are dropped."""
+    import hashlib
+    docs = spark.createDataFrame(
+        [(1, "up down up"), (2, "down up up"), (3, "up novel"), (4, " ")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [(0, "up"), (1, "down")], "token_id int, token string")
+    got = {r["doc_id"]: r for r in
+           tx.encode_documents(docs, vocab).collect()}
+    assert got[1]["ids_hash"] == hashlib.md5(b"0,1,0").hexdigest()
+    assert got[2]["ids_hash"] == hashlib.md5(b"1,0,0").hexdigest()
+    assert got[1]["ids_hash"] != got[2]["ids_hash"]
+    assert got[3]["ids_hash"] == hashlib.md5(b"0,-1").hexdigest()
+    assert got[3]["n_oov"] == 1 and got[3]["n_tokens"] == 2
+    assert 4 not in got
