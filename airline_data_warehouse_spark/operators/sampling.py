@@ -202,3 +202,42 @@ def sequence_packing_plan(df: DataFrame, token_col: str, key_col: str,
               .select(F.col(key_col), F.col("shard").cast("int").alias("shard"),
                       (F.col("_start") / context_len).cast("int").alias("bin"),
                       (F.col("_start") % context_len).cast("int").alias("offset")))
+
+
+def curriculum_order(scored: DataFrame, score_col: str = "quality_prob",
+                     id_col: str = "doc_id", n_buckets: int = 10) -> DataFrame:
+    """Quality-curriculum training order: a single global position per
+    document, high-quality buckets first, hash-shuffled within a bucket
+    (so each difficulty stage is still i.i.d. for the data loader) —
+    WITHOUT a global sort.
+
+    Two-phase position assignment (the vocab_table / exact-median
+    pattern): documents land in ``n_buckets`` score deciles; bucket
+    offsets come from an exclusive prefix-sum over the ≤n_buckets-row
+    per-bucket count frame (the only unpartitioned window — bounded by
+    construction, allowlisted with that bound); the within-bucket rank
+    is a row_number PARTITIONED by bucket ordered by (md5(id), id). No
+    task ever sorts more than one bucket, and position = offset + rank
+    reproduces exactly the order ORDER BY (bucket DESC, hash, id) would
+    give — asserted against the single-window oracle.
+
+    Returns (id, bucket, position) with position 0-based and contiguous.
+    """
+    from pyspark.sql import Window
+    bucket = (F.least(F.lit(n_buckets - 1),
+                      F.floor(F.col(score_col) * n_buckets))
+              .cast("int").alias("bucket"))
+    b = scored.select(F.col(id_col), bucket,
+                      F.md5(F.col(id_col).cast("string")).alias("_h"))
+    woff = (Window.orderBy(F.col("bucket").desc())
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bcnt"))
+                .withColumn("_off", F.coalesce(F.sum("_bcnt").over(woff),
+                                               F.lit(0)))
+                .drop("_bcnt"))
+    wr = Window.partitionBy("bucket").orderBy(F.col("_h").asc(),
+                                              F.col(id_col).asc())
+    return (b.join(F.broadcast(offsets), "bucket")
+             .select(F.col(id_col), F.col("bucket"),
+                     (F.col("_off") + F.row_number().over(wr) - 1)
+                      .cast("long").alias("position")))

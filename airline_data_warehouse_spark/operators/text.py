@@ -576,3 +576,30 @@ def encode_documents(df: DataFrame, vocab: DataFrame, text_col: str = "text",
                      .alias("n_oov"),
                     F.md5(F.concat_ws(",", ordered)).alias("ids_hash"))
                .withColumnRenamed("_doc", id_col))
+
+
+def keyword_search_all(df: DataFrame, terms: list[str], text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Conjunctive (AND) keyword search: documents containing EVERY query
+    term as a whole token, with per-doc match stats — the inverted-index
+    retrieval shape (postings are the exploded token rows; the query is
+    a literal IN-list, so the "index probe" is a pushed-down filter that
+    drops every non-matching token before any shuffle).
+
+    Output: (id, n_hits total occurrences of query terms, n_terms
+    distinct terms matched) — only docs matching ALL terms survive.
+
+    One explode → filtered to |terms| tokens → one doc-keyed agg with
+    map-side partials; HAVING count(distinct token) = len(terms) closes
+    the conjunction. Postings never materialize for non-query tokens.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = _tokens(F.lower(F.col(text_col)))
+    hits = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+              .select(F.col(id_col), F.explode(toks).alias("token"))
+              .filter(F.col("token").isin([t.lower() for t in terms])))
+    return (hits.groupBy(id_col)
+                .agg(F.count(F.lit(1)).cast("int").alias("n_hits"),
+                     F.countDistinct("token").cast("int").alias("n_terms"))
+                .filter(F.col("n_terms") == len(set(t.lower() for t in terms))))

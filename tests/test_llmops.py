@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from airline_data_warehouse_spark.operators import dedup as dd
 from airline_data_warehouse_spark.operators import multimodal as mm
+from airline_data_warehouse_spark.operators import sampling as sp
 from airline_data_warehouse_spark.operators import similarity as sim
 from airline_data_warehouse_spark.operators import text as tx
 
@@ -832,3 +833,37 @@ def test_encode_documents_order_and_oov(spark):
     assert got[3]["ids_hash"] == hashlib.md5(b"0,-1").hexdigest()
     assert got[3]["n_oov"] == 1 and got[3]["n_tokens"] == 2
     assert 4 not in got
+
+
+def test_keyword_search_requires_all_terms(spark):
+    """AND semantics: a doc with only 2 of 3 terms is excluded; hits
+    count total occurrences; matching is whole-token and lowercased."""
+    docs = spark.createDataFrame(
+        [(1, "Spark table query spark"), (2, "spark table only"),
+         (3, "sparky tables queryx"), (4, "table query spark extra")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           tx.keyword_search_all(docs, ["spark", "table", "query"]).collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["n_hits"] == 4 and got[1]["n_terms"] == 3
+
+
+def test_curriculum_order_matches_global_sort(spark):
+    """The two-phase position reproduces exactly the order a global
+    ORDER BY (bucket DESC, md5(id), id) would assign: contiguous 0-based
+    positions, every bucket-9 doc before any bucket-0 doc, and the
+    within-bucket order following the id hash."""
+    import hashlib
+    rows = [(i, 0.95 if i % 2 == 0 else 0.05) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, quality_prob double")
+    got = sorted(((r["position"], r["doc_id"], r["bucket"]) for r in
+                  sp.curriculum_order(df).collect()))
+    assert [p for p, _, _ in got] == list(range(20))
+    # expected: high bucket (even ids) first, each hash-ordered
+    def ordered(ids):
+        return sorted(ids, key=lambda i: (hashlib.md5(str(i).encode())
+                                          .hexdigest(), i))
+    expect = ordered([i for i in range(1, 21) if i % 2 == 0]) \
+        + ordered([i for i in range(1, 21) if i % 2 == 1])
+    assert [d for _, d, _ in got] == expect
+    assert {b for _, _, b in got} == {0, 9}

@@ -68,6 +68,13 @@ WINDOW_ALLOWLIST = {
     # (count, prefix); the only unpartitioned window is the offsets
     # prefix-sum over the distinct-(count,prefix) frame (Zipf-small)
     "vocab_frequency_table": "distinct-(count,prefix) offsets frame",
+    # composes vocab_table, so it inherits the same bounded offsets
+    # window; the encode-side windows are all doc/bucket-partitioned
+    "encode_documents_vocab": "distinct-(count,prefix) offsets frame",
+    # same two-phase pattern: the offsets prefix-sum runs over the
+    # per-bucket count frame (≤ n_buckets = 10 rows by construction);
+    # the per-document rank IS partitioned (by bucket)
+    "curriculum_training_order": "≤10-row bucket-offset frame",
 }
 
 
