@@ -501,3 +501,87 @@ def kmeans_assign(corpus: DataFrame, k: int = 8, iters: int = 2,
         F.col(id_col),
         F.col("list_id").cast("long").alias("cluster_id"),
         F.col("score"))
+
+
+def ivf_index_build(corpus: DataFrame, index_dir: str, k: int = 8,
+                    iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize an IVF index on disk: k-means-trained centroids plus
+    the corpus laid out as parquet PARTITIONED BY inverted list — so a
+    query touching ``n_probe`` lists physically reads n_probe/k of the
+    corpus (directory-level partition pruning), which is the property
+    that makes IVF an index rather than a scan order.
+
+    Layout: ``{index_dir}/centroids.parquet`` (k rows) and
+    ``{index_dir}/lists.parquet/cluster_id=<id>/`` (the vectors, one
+    directory per list). Writing repartitions BY THE PARTITION COLUMN
+    first so each list directory is written by the tasks owning that
+    key — without it, every task appends a file to every list
+    (tasks × k small files, the classic partitioned-write mistake).
+    """
+    assign = kmeans_assign(corpus, k=k, iters=iters, id_col=id_col,
+                           vec_col=vec_col)
+    vecs = corpus.select(F.col(id_col),
+                         F.col(vec_col).cast("array<double>").alias(vec_col))
+    listed = vecs.join(assign.select(id_col, "cluster_id"), id_col)
+    (listed.repartition(F.col("cluster_id"))
+           .write.mode("overwrite").partitionBy("cluster_id")
+           .parquet(f"{index_dir}/lists.parquet"))
+    cents = centroid_vectors(
+        listed.select(id_col, F.col(vec_col).alias("_v"), "cluster_id"),
+        label_col="cluster_id", vec_col="_v")
+    (cents.withColumnRenamed("list_id", "cluster_id")
+          .write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet"))
+
+
+def ivf_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 5,
+                   n_probe: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Query a materialized IVF index with physical partition pruning:
+    score the query set against the (tiny, collected) centroid table to
+    pick each query's ``n_probe`` nearest lists, then scan ONLY those
+    list directories via an IN-list partition filter and rank exact
+    cosine within them.
+
+    The one driver-side step is collecting the probe-list union —
+    bounded by |queries| × n_probe ints (the query set is small by the
+    same contract brute_force_topk broadcasts it); the corpus itself is
+    never collected, and the pruned scan is visible as PartitionFilters
+    in the physical plan (pinned by test_ivf_index_prunes_partitions).
+
+    Results are identical to the in-memory ivf_topk with the same
+    trained centroids: same rounded-cosine probe selection, same
+    tie-breaks, same within-list ranking.
+    """
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    q = q.withColumn("qn", _norm(F.col("qv")))
+    qscored = (q.crossJoin(F.broadcast(
+                   cents.withColumn("_cn", _norm(F.col("centroid")))))
+                .select("query_id", "qv", "qn", "cluster_id",
+                        F.round(_dot(F.col("qv"), F.col("centroid"))
+                                / (F.col("qn") * F.col("_cn")), 6)
+                         .alias("cscore")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
+                                                F.col("cluster_id").asc())
+    probes = (qscored.withColumn("rn", F.row_number().over(wq))
+                     .filter(F.col("rn") <= n_probe)
+                     .select("query_id", "qv", "qn", "cluster_id"))
+    probe_lists = sorted({r["cluster_id"] for r in
+                          probes.select("cluster_id").distinct().collect()})
+    lists = (spark.read.parquet(f"{index_dir}/lists.parquet")
+             .filter(F.col("cluster_id").isin(probe_lists)))
+    scored = (probes.join(lists.withColumn("_vn", _norm(F.col(vec_col))),
+                          "cluster_id")
+              .filter(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.round(_dot(F.col("qv"), F.col(vec_col))
+                              / (F.col("qn") * F.col("_vn")), 6)
+                       .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "score",
+                          F.col("rank").cast("int").alias("rank")))

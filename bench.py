@@ -81,6 +81,15 @@ HEADLINE = [
     "curation_pipeline",
     "dedup_cascade",
     "scd2_status_dimension",
+    # r07 second wave: substring-level dedup, tokenizer application,
+    # self-trained IVF quantizer, retrieval, time-range features,
+    # curriculum ordering
+    "repeated_ngram_spans",
+    "encode_documents_vocab",
+    "kmeans_cluster_assign",
+    "keyword_search_and",
+    "rolling_event_features",
+    "curriculum_training_order",
 ]
 
 

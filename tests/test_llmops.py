@@ -867,3 +867,62 @@ def test_curriculum_order_matches_global_sort(spark):
         + ordered([i for i in range(1, 21) if i % 2 == 1])
     assert [d for _, d, _ in got] == expect
     assert {b for _, _, b in got} == {0, 9}
+
+def test_ivf_index_prunes_partitions(spark, tmp_path):
+    """The materialized IVF index is queried with physical partition
+    pruning: the list scan's plan carries a PartitionFilters entry on
+    cluster_id (directory-level pruning, not a post-scan filter), and
+    on well-separated clusters the pruned search still returns exactly
+    the true neighbors (same inverted list, recall 1.0 here)."""
+    import io
+    from contextlib import redirect_stdout
+    # ids interleave the groups so the two lowest-id seeds (1 and 2)
+    # land one per group
+    groups = {1: [1.0, 0.0, 0.0, 0.0], 2: [0.0, 1.0, 0.0, 0.0]}
+    rows = [(i * 10 + gid,
+             [c + (0.01 * i if j == 2 else 0.0) for j, c in enumerate(vec)])
+            for gid, vec in groups.items() for i in range(4)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    sim.ivf_index_build(corpus, idx, k=2, iters=2)
+
+    # index shape: every vector in exactly one list directory
+    lists = spark.read.parquet(f"{idx}/lists.parquet")
+    assert lists.count() == 8
+    assert lists.select("vec_id").distinct().count() == 8
+
+    queries = corpus.filter(F.col("vec_id") == 11)
+    out = sim.ivf_index_topk(spark, idx, queries, k=3, n_probe=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan
+
+    got = out.collect()
+    assert {r["neighbor_id"] for r in got} == {1, 21, 31}
+    assert sorted(r["rank"] for r in got) == [1, 2, 3]
+
+
+def test_ivf_index_partition_filter_not_post_scan(spark, tmp_path):
+    """The IN-list probe filter lands in PartitionFilters (pruned at
+    planning), NOT in PushedFilters/post-scan Filter — the property
+    that makes the index sublinear at 100 TB."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+    rows = [(i, [float(i % 4 == j) for j in range(4)]) for i in range(1, 41)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    sim.ivf_index_build(corpus, idx, k=4, iters=2)
+    full = spark.read.parquet(f"{idx}/lists.parquet")
+    some = full.select("cluster_id").distinct().collect()[0][0]
+    pruned = full.filter(F.col("cluster_id").isin([int(some)]))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan

@@ -56,6 +56,14 @@ PROBE_QUERIES = [
     # r07: composed pipelines
     "curation_pipeline",
     "dedup_cascade",
+    # r07 second wave: substring dedup, tokenize-to-ids, kmeans, search,
+    # rolling features, curriculum
+    "repeated_ngram_spans",
+    "encode_documents_vocab",
+    "kmeans_cluster_assign",
+    "keyword_search_and",
+    "rolling_event_features",
+    "curriculum_training_order",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
