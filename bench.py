@@ -90,6 +90,7 @@ HEADLINE = [
     "keyword_search_and",
     "rolling_event_features",
     "curriculum_training_order",
+    "tokenization_report",
 ]
 
 
