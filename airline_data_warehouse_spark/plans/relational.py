@@ -1430,3 +1430,87 @@ def rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(roll).cast("int").alias("roll_cnt_24h"),
         F.sum("v").over(roll).cast("double").alias("roll_sum_24h"),
         (F.col("ord") - F.lag("ord").over(gap)).alias("micros_since_prev"))
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.first_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage_reached
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    operators="A-funnel",
+    description="Ordered funnel (view -> click -> purchase): per user, "
+                "the first view, the first click strictly AFTER it, the "
+                "first purchase strictly after that — the event-sequence "
+                "conversion query. Three user-keyed aggregations chained "
+                "by join; every shuffle is on user_id, so AQE co-locates "
+                "the chain after the first exchange, and no window or "
+                "per-user sort materializes full event history.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    c = (ev.join(v, "user_id")
+           .filter((F.col("event_type") == "click")
+                   & (F.col("ts") > F.col("first_view")))
+           .groupBy("user_id").agg(F.min("ts").alias("first_click")))
+    p = (ev.join(c, "user_id")
+           .filter((F.col("event_type") == "purchase")
+                   & (F.col("ts") > F.col("first_click")))
+           .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+             .select("user_id", "first_view", "first_click", "first_purchase",
+                     F.when(F.col("first_purchase").isNotNull(), 3)
+                      .when(F.col("first_click").isNotNull(), 2)
+                      .otherwise(1).cast("int").alias("stage_reached")))
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH cohort AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+                    FROM events GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+               FROM events)
+    SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(*) AS INT) AS n_active
+    FROM cohort c JOIN active a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    operators="A-cohort",
+    description="Cohort retention: users bucketed by first-seen week, "
+                "counted in each later active week as a week offset — "
+                "the activation/retention triangle. Two user-keyed "
+                "aggregations joined on user_id then one small rollup; "
+                "active weeks are DISTINCT'd before the join so the "
+                "rollup input is |users| x |weeks|, not |events|.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = (ev.groupBy("user_id")
+                .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    active = (ev.select("user_id",
+                        F.date_trunc("week", F.col("ts")).alias("active_week"))
+                .distinct())
+    return (cohort.join(active, "user_id")
+            .select(F.col("cohort_week").cast("date").alias("cohort_week"),
+                    (F.datediff(F.col("active_week"), F.col("cohort_week"))
+                     / 7).cast("int").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_active")))

@@ -91,6 +91,8 @@ HEADLINE = [
     "rolling_event_features",
     "curriculum_training_order",
     "tokenization_report",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -326,3 +326,58 @@ def test_rolling_features_time_bounds_and_gaps(spark, tmp_path):
     assert got[3]["roll_cnt_24h"] == 1          # event 2 just aged out
     assert got[3]["micros_since_prev"] == 86_400_000_000 + 1
     assert got[4]["roll_cnt_24h"] == 1          # other key untouched
+
+
+def test_funnel_requires_strict_order(spark, tmp_path):
+    """Funnel counts a step only strictly AFTER the previous step: a
+    click before the first view doesn't advance the funnel; a purchase
+    between view and click doesn't count; a user with no view never
+    enters."""
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, dt(2024, 1, 1, 0), 1, "view", 0.0, "{}"),
+        (2, dt(2024, 1, 1, 1), 1, "click", 0.0, "{}"),
+        (3, dt(2024, 1, 1, 2), 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE view, purchase before click-after-view
+        (4, dt(2024, 1, 1, 0), 2, "click", 0.0, "{}"),
+        (5, dt(2024, 1, 1, 1), 2, "view", 0.0, "{}"),
+        (6, dt(2024, 1, 1, 2), 2, "purchase", 0.0, "{}"),
+        # user 3: no view at all
+        (7, dt(2024, 1, 1, 0), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r for r in
+           registry_mod()["funnel_conversion"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert got[1]["stage_reached"] == 3
+    assert got[2]["stage_reached"] == 1          # click didn't follow view
+    assert got[2]["first_click"] is None
+    assert 3 not in got
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    """Cohort week = week of first event; a user active in their cohort
+    week and two weeks later contributes offsets 0 and 2 (not 1)."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 9), 1, "view", 0.0, "{}"),    # Mon wk0
+        (2, dt(2024, 1, 16, 9), 1, "view", 0.0, "{}"),   # Tue wk2
+        (3, dt(2024, 1, 10, 9), 2, "view", 0.0, "{}"),   # Wed wk1 cohort
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {(str(r["cohort_week"]), r["week_offset"]): r["n_active"] for r in
+           registry_mod()["cohort_retention"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert got[("2024-01-01", 0)] == 1
+    assert got[("2024-01-01", 2)] == 1
+    assert got[("2024-01-08", 0)] == 1
+    assert ("2024-01-01", 1) not in got
