@@ -227,3 +227,44 @@ def test_chunks_tile_documents_with_exact_overlap(spark):
             assert end > covered  # strictly new content (no redundant tail)
             covered = max(covered, end)
         assert covered == n  # every char covered, nothing past the end
+
+
+def test_repeated_spans_match_bruteforce_model(spark):
+    """repeated_ngram_spans equals a brute-force Python model on random
+    small corpora: same flagged docs, same maximal spans. The model
+    re-derives cross-doc repeated windows and merges adjacent positions
+    — any divergence (off-by-one fencepost, island welding, tokenizer
+    drift) fails here before it can reach the oracle gate."""
+    from airline_data_warehouse_spark.operators import text as tx
+
+    W = 3
+    token = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(doc, min_size=6, max_size=10))
+    def check(texts):
+        rows = [(i + 1, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+               for r in tx.repeated_ngram_spans(df, w=W).collect()}
+
+        # brute-force model
+        toks = {i: t.split() for i, t in rows if t.strip()}
+        wins = {}  # window-tuple -> set of docs
+        for i, ts in toks.items():
+            for p in range(len(ts) - W + 1):
+                wins.setdefault(tuple(ts[p:p + W]), set()).add(i)
+        expect = set()
+        for i, ts in toks.items():
+            flagged = sorted(p for p in range(len(ts) - W + 1)
+                             if len(wins[tuple(ts[p:p + W])]) >= 2)
+            run = []
+            for p in flagged + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    expect.add((i, run[0] + 1, run[-1] + W, len(run)))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        assert got == expect, (texts, got ^ expect)
+    check()
