@@ -1514,3 +1514,106 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / 7).cast("int").alias("week_offset"))
             .groupBy("cohort_week", "week_offset")
             .agg(F.count(F.lit(1)).cast("int").alias("n_active")))
+
+
+@register(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    operators="J1,A5,O2",
+    description="TPC-H Q3 shape (shipping priority): unshipped-order "
+                "revenue for one market segment, top 10. The segment "
+                "filter prunes customer BEFORE its broadcast, both date "
+                "predicates push to the parquet scans, and the top-10 is "
+                "a TakeOrdered — never a global sort.",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1997-01-01"
+    cust = (load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < cutoff)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .groupBy("l_orderkey",
+                       F.col("o_orderdate").cast("date").alias("order_date"),
+                       "o_orderpriority")
+              .agg(F.sum(dec2("l_extendedprice")
+                         * (F.lit(1) - dec2("l_discount")))
+                    .cast("double").alias("revenue"))
+              .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+              .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+              .limit(10))
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    operators="J1-J5,A5",
+    description="TPC-H Q5 shape (local supplier volume): revenue where "
+                "customer and supplier share a nation inside one region, "
+                "grouped by nation. Every dimension (customer, supplier, "
+                "nation, region) broadcasts; the c_nationkey = "
+                "s_nationkey equi-condition rides the same broadcast "
+                "joins, so the only shuffle is the final small groupBy.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name",
+                                               "n_regionkey")
+    reg = (load(spark, sf_dir, "region")
+           .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nat_in = (nat.join(F.broadcast(reg),
+                       nat.n_regionkey == reg.r_regionkey)
+                 .select("n_nationkey", "n_name"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(supp),
+                    (li.l_suppkey == supp.s_suppkey)
+                    & (cust.c_nationkey == supp.s_nationkey))
+              .join(F.broadcast(nat_in),
+                    supp.s_nationkey == nat_in.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.sum(dec2("l_extendedprice")
+                         * (F.lit(1) - dec2("l_discount")))
+                    .cast("double").alias("revenue")))

@@ -93,6 +93,8 @@ HEADLINE = [
     "tokenization_report",
     "funnel_conversion",
     "cohort_retention",
+    "shipping_priority_topk",
+    "local_supplier_volume",
 ]
 
 
