@@ -36,6 +36,8 @@ AUDITED = [
     "latest_event_per_key",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "shipping_priority_topk",
+    "local_supplier_volume",
 ]
 
 
