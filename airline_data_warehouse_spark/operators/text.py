@@ -603,3 +603,54 @@ def keyword_search_all(df: DataFrame, terms: list[str], text_col: str = "text",
                 .agg(F.count(F.lit(1)).cast("int").alias("n_hits"),
                      F.countDistinct("token").cast("int").alias("n_terms"))
                 .filter(F.col("n_terms") == len(set(t.lower() for t in terms))))
+
+
+def remove_repeated_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", w: int = 8) -> DataFrame:
+    """The remediation half of substring dedup: cut every maximal
+    cross-document repeated span (repeated_ngram_spans) OUT of each
+    document and return the surviving token sequence — what Lee et al.
+    2022 actually do to the corpus before training, as opposed to
+    dropping whole near-duplicate documents.
+
+    Output: one row per non-empty input doc — (id, n_tokens_before,
+    n_tokens_after, n_removed, clean_hash) with clean_hash = md5 of the
+    space-joined surviving tokens in original order (digest-verified
+    payload, like encode_documents).
+
+    Shape: spans explode into flagged (doc, pos) rows — |flagged
+    windows| ≈ duplicated mass, not corpus size; the corpus tokens
+    anti-join that set on (doc, pos) and reassemble with the
+    array_sort(collect_list(struct(pos, token))) pattern. Shuffles: the
+    span pipeline's digest groupBy + one (doc,pos)-keyed anti-join +
+    one doc-keyed reassembly. Docs with nothing flagged pass through
+    unchanged (n_removed = 0).
+    """
+    spans = repeated_ngram_spans(df, text_col, id_col, w)
+    bad = spans.select(F.col(id_col).alias("_doc"),
+                       F.explode(F.sequence("span_start", "span_end"))
+                        .alias("pos"))
+    toks = _tokens(F.lower(F.col(text_col)))
+    pos = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.col(id_col).alias("_doc"),
+                     F.posexplode(toks).alias("_p0", "token"))
+             .select("_doc", (F.col("_p0") + 1).alias("pos"), "token"))
+    kept = pos.join(bad, ["_doc", "pos"], "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+        lambda p: p["token"])
+    out = (kept.groupBy("_doc")
+               .agg(F.count(F.lit(1)).cast("int").alias("n_tokens_after"),
+                    F.md5(F.concat_ws(" ", ordered)).alias("clean_hash")))
+    totals = (pos.groupBy("_doc")
+                 .agg(F.count(F.lit(1)).cast("int").alias("n_tokens_before")))
+    return (totals.join(out, "_doc", "left")
+            .select(F.col("_doc").alias(id_col),
+                    "n_tokens_before",
+                    F.coalesce(F.col("n_tokens_after"), F.lit(0)).cast("int")
+                     .alias("n_tokens_after"),
+                    (F.col("n_tokens_before")
+                     - F.coalesce(F.col("n_tokens_after"), F.lit(0)))
+                     .cast("int").alias("n_removed"),
+                    F.coalesce(F.col("clean_hash"), F.md5(F.lit("")))
+                     .alias("clean_hash")))

@@ -95,6 +95,7 @@ HEADLINE = [
     "cohort_retention",
     "shipping_priority_topk",
     "local_supplier_volume",
+    "remove_repeated_spans",
 ]
 
 

@@ -926,3 +926,26 @@ def test_ivf_index_partition_filter_not_post_scan(spark, tmp_path):
     plan = buf.getvalue()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cluster_id" in m.group(1), plan
+
+
+def test_remove_repeated_spans_cuts_only_flagged(spark):
+    """Span removal surgery: the planted shared run disappears from both
+    docs, surrounding unique tokens survive in order, a doc with nothing
+    flagged passes through byte-identical, and a doc that was ENTIRELY a
+    repeated span comes back empty with the md5('') sentinel."""
+    import hashlib
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8
+    docs = spark.createDataFrame(
+        [(1, "keep1 " + shared + " keep2"),
+         (2, shared),                      # entire doc is the span
+         (3, "totally unique words here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           tx.remove_repeated_spans(docs, w=8).collect()}
+    assert got[1]["n_removed"] == 8
+    assert got[1]["clean_hash"] == hashlib.md5(b"keep1 keep2").hexdigest()
+    assert got[2]["n_tokens_after"] == 0
+    assert got[2]["clean_hash"] == hashlib.md5(b"").hexdigest()
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_hash"] == hashlib.md5(
+        b"totally unique words here").hexdigest()
