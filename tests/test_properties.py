@@ -268,3 +268,57 @@ def test_repeated_spans_match_bruteforce_model(spark):
                     run.append(p)
         assert got == expect, (texts, got ^ expect)
     check()
+
+
+def test_funnel_matches_python_model(spark, tmp_path):
+    """funnel_conversion equals a brute-force per-user model on random
+    event histories: first view, first click strictly after it, first
+    purchase strictly after that — including users with events in
+    pathological orders and duplicate timestamps."""
+    from airline_data_warehouse_spark.plans.registry import all_queries
+
+    ev = st.tuples(st.integers(1, 12),              # user
+                   st.integers(0, 50),              # ts (coarse, forces ties)
+                   st.sampled_from(["view", "click", "purchase", "error"]))
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(ev, min_size=80, max_size=120))
+    def check(events):
+        rows = [(i + 1, __import__("datetime").datetime(2024, 1, 1, 0, 0, s),
+                 u, t, 0.0, "{}") for i, (u, s, t) in enumerate(events)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {r["user_id"]: r for r in
+               all_queries()["funnel_conversion"]
+               .builder(spark, str(tmp_path)).collect()}
+
+        def model(uid):
+            evs = [(s, t) for (u, s, t) in events if u == uid]
+            views = [s for s, t in evs if t == "view"]
+            if not views:
+                return None
+            v = min(views)
+            clicks = [s for s, t in evs if t == "click" and s > v]
+            if not clicks:
+                return (v, None, None, 1)
+            c = min(clicks)
+            buys = [s for s, t in evs if t == "purchase" and s > c]
+            if not buys:
+                return (v, c, None, 2)
+            return (v, c, min(buys), 3)
+
+        for uid in {u for u, _, _ in events}:
+            m = model(uid)
+            if m is None:
+                assert uid not in got
+                continue
+            r = got[uid]
+            assert r["stage_reached"] == m[3], uid
+            assert r["first_view"].second == m[0]
+            assert (r["first_click"].second if r["first_click"] else None) \
+                == m[1]
+            assert (r["first_purchase"].second if r["first_purchase"]
+                    else None) == m[2]
+    check()
