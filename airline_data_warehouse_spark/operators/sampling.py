@@ -241,3 +241,23 @@ def curriculum_order(scored: DataFrame, score_col: str = "quality_prob",
              .select(F.col(id_col), F.col("bucket"),
                      (F.col("_off") + F.row_number().over(wr) - 1)
                       .cast("long").alias("position")))
+
+
+def per_source_cap(df: DataFrame, cap: int, source_col: str = "source",
+                   id_col: str = "doc_id", salt: str = "cap-v1") -> DataFrame:
+    """Hard per-source ceiling — the C4-style "at most N documents per
+    host" downsampling that stops a single dominant source from
+    swamping the mixture (the quota-driven companion is
+    source_mixing_plan; a cap is a ceiling, not a target).
+
+    Deterministic at any parallelism: survivors are the ``cap``
+    lowest-(md5(salt‖id), id) documents of each source, so reruns and
+    backfills select identical sets. One source-partitioned rank — no
+    global sort; a source with ≤cap docs passes through whole.
+    """
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= cap)
+              .drop("_rk"))

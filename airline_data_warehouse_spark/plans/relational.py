@@ -1617,3 +1617,132 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(dec2("l_extendedprice")
                          * (F.lit(1) - dec2("l_discount")))
                     .cast("double").alias("revenue")))
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_charge,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    operators="A5,F17",
+    description="TPC-H Q1 shape (pricing summary): the canonical "
+                "scan-heavy aggregate — one pass over lineitem, six "
+                "measures per (returnflag, linestatus) cell, ~handful of "
+                "groups so partial aggregation collapses nearly all rows "
+                "map-side. Money math in DECIMAL(18,2) (exact, "
+                "order-independent); averages derived from the exact "
+                "sums and rounded once.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") <= "2001-06-01"))
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+                   F.sum(dec2("l_extendedprice")).cast("double")
+                    .alias("sum_base_price"),
+                   F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                   F.sum(disc_price * (F.lit(1) + dec2("l_tax")))
+                    .cast("double").alias("sum_charge"),
+                   F.round(F.sum(dec2("l_quantity")).cast("double")
+                           / F.count(F.lit(1)), 6).alias("avg_qty"),
+                   F.round(F.sum(dec2("l_discount")).cast("double")
+                           / F.count(F.lit(1)), 6).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    SELECT 'fk_orders_customer' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'unique_customer_key',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'accepted_event_types',
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE event_type NOT IN
+                       ('view','click','purchase','signup','error')
+                    OR event_type IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'nonneg_lineitem_qty',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 0 OR l_quantity IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'nonempty_documents',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE text IS NULL OR length(trim(text)) = 0) AS BIGINT)
+    """,
+    operators="J8,A1,P4",
+    description="Composed data-quality report (dbt-test shape): FK "
+                "integrity via anti-join counts (customer broadcasts; "
+                "the lineitem->orders check is the honest shuffle), key "
+                "uniqueness, accepted-values, non-negativity, and "
+                "non-emptiness — one row per check. Each check is a "
+                "partial-agg count; the union is 6 rows.",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def one(name, df):
+        return df.agg(F.lit(name).alias("check_name"),
+                      F.count(F.lit(1)).alias("n_violations"))
+
+    fk_oc = one("fk_orders_customer",
+                orders.join(F.broadcast(customer.select("c_custkey")),
+                            orders.o_custkey == F.col("c_custkey"),
+                            "left_anti"))
+    fk_lo = one("fk_lineitem_orders",
+                lineitem.join(orders.select("o_orderkey"),
+                              lineitem.l_orderkey == F.col("o_orderkey"),
+                              "left_anti"))
+    uniq = customer.agg(
+        F.lit("unique_customer_key").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+         .alias("n_violations"))
+    accepted = one("accepted_event_types",
+                   events.filter(~F.col("event_type").isin(
+                       "view", "click", "purchase", "signup", "error")
+                       | F.col("event_type").isNull()))
+    nonneg = one("nonneg_lineitem_qty",
+                 lineitem.filter((F.col("l_quantity") < 0)
+                                 | F.col("l_quantity").isNull()))
+    nonempty = one("nonempty_documents",
+                   docs.filter(F.col("text").isNull()
+                               | (F.length(F.trim("text")) == 0)))
+    return (fk_oc.unionByName(fk_lo).unionByName(uniq)
+            .unionByName(accepted).unionByName(nonneg)
+            .unionByName(nonempty))

@@ -96,6 +96,8 @@ HEADLINE = [
     "shipping_priority_topk",
     "local_supplier_volume",
     "remove_repeated_spans",
+    "pricing_summary",
+    "data_quality_report",
 ]
 
 

@@ -381,3 +381,44 @@ def test_cohort_retention_offsets(spark, tmp_path):
     assert got[("2024-01-01", 2)] == 1
     assert got[("2024-01-08", 0)] == 1
     assert ("2024-01-01", 1) not in got
+
+
+def test_data_quality_report_catches_planted_violations(spark, tmp_path):
+    """Each check fires on planted bad data: a dangling order FK, a
+    duplicate customer key, an unknown event type, and an empty doc."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    shutil.copy(f"{src}/lineitem.parquet", tmp_path / "lineitem.parquet")
+    from airline_data_warehouse_spark.plans.registry import load
+
+    cust = load(spark, src, "customer")
+    cust.union(cust.limit(1)).coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "customer.parquet"))
+
+    orders = load(spark, src, "orders")
+    bad_order = orders.limit(1).withColumn(
+        "o_custkey", F.lit(99_999_999).cast("long"))
+    orders.union(bad_order).coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "orders.parquet"))
+
+    ev = load(spark, src, "events")
+    bad_ev = ev.limit(1).withColumn("event_type", F.lit("bogus"))
+    ev.union(bad_ev).coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "events.parquet"))
+
+    docs = load(spark, src, "documents")
+    bad_doc = docs.limit(1).withColumn("text", F.lit("   "))
+    docs.union(bad_doc).coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["check_name"]: r["n_violations"] for r in
+           registry_mod()["data_quality_report"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert got["fk_orders_customer"] == 1
+    assert got["unique_customer_key"] == 1
+    assert got["accepted_event_types"] == 1
+    assert got["nonempty_documents"] == 1
+    assert got["nonneg_lineitem_qty"] == 0
+    # the dangling order also has no lineitems, so the lineitem FK stays 0
+    assert got["fk_lineitem_orders"] == 0
