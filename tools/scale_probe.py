@@ -64,6 +64,15 @@ PROBE_QUERIES = [
     "keyword_search_and",
     "rolling_event_features",
     "curriculum_training_order",
+    "remove_repeated_spans",
+    "tokenization_report",
+    "funnel_conversion",
+    "cohort_retention",
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "pricing_summary",
+    "data_quality_report",
+    "per_source_document_cap",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
