@@ -654,3 +654,58 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
                      .cast("int").alias("n_removed"),
                     F.coalesce(F.col("clean_hash"), F.md5(F.lit("")))
                      .alias("clean_hash")))
+
+
+def bigram_logprob_score(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-style quality scoring with a language model TRAINED ON
+    THE CORPUS ITSELF (the CCNet move, with an n-gram LM standing in for
+    the KenLM): add-one-smoothed bigram log-probabilities, averaged per
+    document. Unusual token sequences score low; formulaic/boilerplate
+    text scores high — the signal curation pipelines threshold on.
+
+    Deterministic and oracle-checkable: counts are exact integers, the
+    only transcendental is ln (rounded to 6 dp per bigram, the same
+    cross-engine contract as model_quality_score's ln/sigmoid), and the
+    per-doc mean divides an exact decimal sum of rounded terms by an
+    exact count.
+
+    Shape: two count tables (bigram, unigram — each one explode + one
+    keyed groupBy with partials), the vocabulary size as a 1-row
+    broadcast, then a per-doc join of its bigrams against the count
+    tables. The bigram table is Heaps'-law-ish but larger than the
+    vocab — it stays a SHUFFLE join on the bigram key (the same
+    corpus-proportional-broadcast rule as tf/idf), while the unigram
+    side piggybacks on the first token of the bigram key. Output:
+    (id, n_bigrams, avg_logprob).
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    base = (df.filter(F.size(toks) >= 2)
+              .select(F.col(id_col).alias("_doc"), toks.alias("_t")))
+    pairs = (base.select(
+        "_doc",
+        F.explode(F.zip_with(
+            F.slice(F.col("_t"), 1, F.size("_t") - 1),
+            F.slice(F.col("_t"), 2, F.size("_t") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+         .alias("bg"))
+        .select("_doc", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2")))
+    big_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = (pairs.select(F.col("w1").alias("w")).union(
+                   pairs.select(F.col("w2").alias("w")))
+               .agg(F.countDistinct("w").alias("v")))
+    scored = (pairs.join(big_counts, ["w1", "w2"])
+                   .join(uni_counts, "w1")
+                   .crossJoin(F.broadcast(vocab_n))
+                   .select("_doc",
+                           F.round(F.log((F.col("c2") + 1).cast("double")
+                                         / (F.col("c1") + F.col("v"))), 6)
+                            .alias("lp")))
+    return (scored.groupBy("_doc")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+                 F.round(F.sum(F.col("lp").cast("decimal(20,6)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_logprob"))
+            .withColumnRenamed("_doc", id_col))

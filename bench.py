@@ -98,6 +98,7 @@ HEADLINE = [
     "remove_repeated_spans",
     "pricing_summary",
     "data_quality_report",
+    "bigram_lm_quality",
 ]
 
 

@@ -949,3 +949,18 @@ def test_remove_repeated_spans_cuts_only_flagged(spark):
     assert got[3]["n_removed"] == 0
     assert got[3]["clean_hash"] == hashlib.md5(
         b"totally unique words here").hexdigest()
+
+
+def test_bigram_lm_scores_formulaic_above_novel(spark):
+    """The corpus-trained bigram LM ranks formulaic text (bigrams seen
+    many times corpus-wide) above a novel token sequence, and a
+    one-token doc (no bigrams) is excluded."""
+    common = "the market is open"
+    rows = ([(i, common) for i in range(1, 9)]
+            + [(20, "zebra quantum violin umbrella")]  # every bigram unique
+            + [(21, "single")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.bigram_logprob_score(df).collect()}
+    assert got[1]["avg_logprob"] > got[20]["avg_logprob"]
+    assert got[1]["n_bigrams"] == 3
+    assert 21 not in got
