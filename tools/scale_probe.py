@@ -73,6 +73,7 @@ PROBE_QUERIES = [
     "pricing_summary",
     "data_quality_report",
     "per_source_document_cap",
+    "bigram_lm_quality",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
