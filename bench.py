@@ -99,6 +99,7 @@ HEADLINE = [
     "pricing_summary",
     "data_quality_report",
     "bigram_lm_quality",
+    "similarity_topk_ivf_trained",
 ]
 
 
