@@ -167,3 +167,63 @@ def upsert_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
     drop = [f"{partition_col}={v}" for v in affected_vals]
     swap_partitions(spark, staging, dest_path, partition_col,
                     drop_partitions=drop)
+
+
+def compact_partitions(spark: SparkSession, dest_path: str,
+                       partition_col: str, target_files: int = 1,
+                       max_files_ok: int | None = None) -> list[str]:
+    """Small-file compaction with the same crash-safe stage-then-swap:
+    every partition directory holding more parquet files than
+    ``max_files_ok`` (default: ``target_files``) is rewritten to
+    ``target_files`` files and atomically swapped in. Readers see each
+    partition either pre- or post-compaction at every instant; a crash
+    mid-compaction rolls back via `recover_partitions` and the retry is
+    idempotent (compaction changes layout, never rows).
+
+    This is the maintenance job a 100 TB ingest needs: streaming
+    appends and per-delta upserts accrete files per partition, and scan
+    cost grows with file COUNT (task scheduling, footer reads, open
+    costs) even when bytes are constant — the same pathology the
+    streaming band store hit (SCALING.md: 2,540 files → 41 % latency
+    growth; compaction flattened it). Returns the partition names it
+    rewrote, so callers/tests can assert scope.
+    """
+    recover_partitions(spark, dest_path, partition_col)
+    hpath, fs = _fs(spark, dest_path)
+    root = hpath(dest_path)
+    if not fs.exists(root):
+        return []
+    limit = target_files if max_files_ok is None else max_files_ok
+    prefix = partition_col + "="
+    crowded = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        n = sum(1 for f in fs.listStatus(status.getPath())
+                if f.getPath().getName().endswith(".parquet"))
+        if n > limit:
+            crowded.append(name)
+    if not crowded:
+        return []
+    staging = dest_path.rstrip("/") + ".compacting"
+    if fs.exists(hpath(staging)):
+        fs.delete(hpath(staging), True)
+    # repartition BY THE PARTITION COLUMN (plus a salt when target_files
+    # > 1): all rows of one partition value land in exactly target_files
+    # tasks, so the partitioned write emits exactly that many files per
+    # directory — coalesce would interleave partitions across tasks and
+    # write tasks×partitions files, recreating the problem being fixed
+    sub = (spark.read.option("basePath", dest_path)
+           .parquet(*[f"{dest_path}/{name}" for name in crowded]))
+    if target_files == 1:
+        sub = sub.repartition(len(crowded), F.col(partition_col))
+    else:
+        salt = (F.abs(F.xxhash64(*[F.col(c) for c in sub.columns]))
+                % target_files)
+        sub = sub.repartition(len(crowded) * target_files,
+                              F.col(partition_col), salt)
+    sub.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    swap_partitions(spark, staging, dest_path, partition_col)
+    fs.delete(hpath(staging), True)
+    return sorted(crowded)

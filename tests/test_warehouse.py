@@ -175,3 +175,49 @@ def test_status_append_and_dirty_partitioning(spark, tmp_path):
         .withColumn("created_at", F.current_timestamp())
     wh.append_dirty(dirty)
     assert os.path.isdir(os.path.join(wh.path("dirty_data"), "source_table=passengers"))
+
+
+def test_compact_partitions_bounds_files_and_preserves_rows(spark, tmp_path):
+    """Compaction: a partition accreted to many files collapses to one,
+    an already-compact partition is left untouched (not rewritten), and
+    the table's rows are byte-identical before/after."""
+    from airline_data_warehouse_spark.sources.atomic import compact_partitions
+
+    dest = str(tmp_path / "t")
+    # partition a: 6 appends -> >=6 files; partition b: single write
+    for i in range(6):
+        (spark.createDataFrame([(i, "a")], "id long, p string")
+         .write.mode("append").partitionBy("p").parquet(dest))
+    (spark.createDataFrame([(100, "b")], "id long, p string")
+     .write.mode("append").partitionBy("p").parquet(dest))
+
+    import glob
+    before = sorted(r["id"] for r in spark.read.parquet(dest).collect())
+    assert len(glob.glob(f"{dest}/p=a/*.parquet")) >= 6
+    b_files = set(glob.glob(f"{dest}/p=b/*.parquet"))
+
+    rewritten = compact_partitions(spark, dest, "p", target_files=1)
+    assert rewritten == ["p=a"]
+    assert len(glob.glob(f"{dest}/p=a/*.parquet")) == 1
+    assert set(glob.glob(f"{dest}/p=b/*.parquet")) == b_files  # untouched
+    after = sorted(r["id"] for r in spark.read.parquet(dest).collect())
+    assert after == before
+    # idempotent: second run is a no-op
+    assert compact_partitions(spark, dest, "p", target_files=1) == []
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Two parquet generations (v2 adds a column) read as one table with
+    mergeSchema: old rows surface NULL for the new column — the
+    add-a-column migration path without rewriting history."""
+    dest = str(tmp_path / "evo")
+    (spark.createDataFrame([(1, 10.0)], "id long, amount double")
+     .write.mode("append").parquet(dest))
+    (spark.createDataFrame([(2, 20.0, "EUR")],
+                           "id long, amount double, currency string")
+     .write.mode("append").parquet(dest))
+    got = {r["id"]: r for r in
+           spark.read.option("mergeSchema", "true").parquet(dest).collect()}
+    assert got[1]["currency"] is None
+    assert got[2]["currency"] == "EUR"
+    assert set(got[1].asDict()) == {"id", "amount", "currency"}
