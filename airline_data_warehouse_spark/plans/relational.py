@@ -1746,3 +1746,53 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fk_oc.unionByName(fk_lo).unionByName(uniq)
             .unionByName(accepted).unionByName(nonneg)
             .unionByName(nonempty))
+
+
+@register(
+    "pit_status_join",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS status, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, status, ts AS valid_from, event_id FROM ordered
+  WHERE prev IS NULL OR prev <> status
+),
+dim AS (
+  SELECT user_id, status, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY valid_from, event_id) AS INT)
+           AS version
+  FROM changes
+)
+SELECT e.event_id, e.user_id, e.ts, d.status, d.version
+FROM events e JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+""",
+    operators="W-scd2,J-temporal",
+    description="Point-in-time join: every event enriched with the SCD2 "
+                "status version in effect AT ITS TIMESTAMP — the "
+                "temporal-correctness join that prevents training-data "
+                "leakage from future dimension states. Equi-join on the "
+                "key carries the interval predicate as a post-join "
+                "filter; per-key version counts are tiny, so the pairs "
+                "a key fans out to before filtering are bounded by its "
+                "status-change count, not its event count.",
+)
+def pit_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dim = scd2_status_dimension(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"), "status", "valid_from",
+        "valid_to", "version")
+    return (ev.join(dim,
+                    (ev.user_id == dim.d_user)
+                    & (ev.ts >= dim.valid_from)
+                    & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)))
+              .select("event_id", "user_id", "ts", "status", "version"))

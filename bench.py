@@ -100,6 +100,7 @@ HEADLINE = [
     "data_quality_report",
     "bigram_lm_quality",
     "similarity_topk_ivf_trained",
+    "pit_status_join",
 ]
 
 

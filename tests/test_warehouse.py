@@ -221,3 +221,33 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert got[1]["currency"] is None
     assert got[2]["currency"] == "EUR"
     assert set(got[1].asDict()) == {"id", "amount", "currency"}
+
+
+def test_compact_partitions_crash_recovery(spark, tmp_path):
+    """Compaction inherits the swap protocol's crash windows: a
+    partition stranded in its hidden backup and a leftover .compacting
+    staging dir are both healed on the next run, which converges to the
+    compacted table with identical rows."""
+    import glob
+    import os
+
+    from airline_data_warehouse_spark.sources.atomic import compact_partitions
+
+    dest = str(tmp_path / "t")
+    for i in range(5):
+        (spark.createDataFrame([(i, "a")], "id long, p string")
+         .write.mode("append").partitionBy("p").parquet(dest))
+    before = sorted(r["id"] for r in spark.read.parquet(dest).collect())
+
+    # crash window 1: p=a stranded in its hidden backup mid-swap
+    os.rename(os.path.join(dest, "p=a"), os.path.join(dest, ".p=a.replaced"))
+    # crash window 2: orphaned staging dir from a crashed prior attempt
+    os.makedirs(dest + ".compacting/p=zz")
+
+    rewritten = compact_partitions(spark, dest, "p", target_files=1)
+    assert rewritten == ["p=a"]
+    assert len(glob.glob(f"{dest}/p=a/*.parquet")) == 1
+    after = sorted(r["id"] for r in spark.read.parquet(dest).collect())
+    assert after == before
+    assert not os.path.exists(dest + ".compacting")
+    assert [f for f in os.listdir(dest) if f.endswith(".replaced")] == []
