@@ -74,6 +74,8 @@ PROBE_QUERIES = [
     "data_quality_report",
     "per_source_document_cap",
     "bigram_lm_quality",
+    "similarity_topk_ivf_trained",
+    "pit_status_join",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
