@@ -261,3 +261,30 @@ def per_source_cap(df: DataFrame, cap: int, source_col: str = "source",
     return (df.withColumn("_rk", F.row_number().over(w))
               .filter(F.col("_rk") <= cap)
               .drop("_rk"))
+
+
+def weighted_sample_topk(df: DataFrame, n: int, weight_col: str,
+                         key_col: str = "doc_id",
+                         salt: str = "adw-wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws u ∈ (0,1] from its salted key hash and ranks by
+    ln(u)/weight descending; the global top-n is a weight-proportional
+    sample — the importance-weighted data-selection step (sample by
+    quality score, length, dedup-cluster mass…) that plain Bernoulli
+    hashing can't express.
+
+    Deterministic end to end: u is exact rational arithmetic on the
+    md5-mod-p hash, the only transcendental is one ln rounded to 6 dp
+    (the model_quality_score contract), and the top-n is a TakeOrdered
+    with the id tie-break — no global sort, stable under reruns and
+    repartitioning. Rows with non-positive weight are excluded (they
+    have zero selection probability in A-ES).
+    """
+    h = _keyed_hash(key_col, salt)
+    u = (h + 1).cast("double") / float(MERSENNE_P + 1)
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.log(u) / w, 6)
+    return (df.filter(w > 0)
+              .withColumn("es_score", score)
+              .orderBy(F.col("es_score").desc(), F.col(key_col).asc())
+              .limit(n))

@@ -101,6 +101,7 @@ HEADLINE = [
     "bigram_lm_quality",
     "similarity_topk_ivf_trained",
     "pit_status_join",
+    "weighted_sample_docs",
 ]
 
 

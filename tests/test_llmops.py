@@ -964,3 +964,20 @@ def test_bigram_lm_scores_formulaic_above_novel(spark):
     assert got[1]["avg_logprob"] > got[20]["avg_logprob"]
     assert got[1]["n_bigrams"] == 3
     assert 21 not in got
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES weighted sampling: with weights 20 vs 1, the top-100 of
+    1,000 rows is dominated by heavy rows (ln(u)/w compresses toward 0
+    as w grows); zero/negative weights are excluded; the sample is
+    identical under repartitioning (hash-derived u, TakeOrdered)."""
+    rows = [(i, 20 if i % 2 == 0 else 1) for i in range(1, 1001)]
+    rows += [(2001, 0), (2002, -5)]
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    got = sp.weighted_sample_topk(df, n=100, weight_col="weight").collect()
+    heavy = sum(1 for r in got if r["weight"] == 20)
+    assert heavy > 80
+    assert all(r["weight"] > 0 for r in got)
+    got2 = sp.weighted_sample_topk(df.repartition(13), n=100,
+                                   weight_col="weight").collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in got2}
