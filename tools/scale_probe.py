@@ -76,6 +76,7 @@ PROBE_QUERIES = [
     "bigram_lm_quality",
     "similarity_topk_ivf_trained",
     "pit_status_join",
+    "weighted_sample_docs",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
