@@ -131,27 +131,37 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         samples = []
-        for _ in range(runs):
-            t0 = time.time()
-            registry[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-            release_caches()  # per-query cache lifetime: no cross-query memory creep
-        timings[name] = round(statistics.median(samples), 3)
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                registry[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                release_caches()  # per-query cache lifetime: no cross-query memory creep
+            timings[name] = round(statistics.median(samples), 3)
+        except Exception as e:  # noqa: BLE001 — one broken query must not
+            # sink the whole bench record; the failure is surfaced in the
+            # JSON (and the correctness gate fails loudly on its own)
+            errors[name] = str(e).splitlines()[0][:200]
+            release_caches()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
-    }))
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
