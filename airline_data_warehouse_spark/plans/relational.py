@@ -1796,3 +1796,34 @@ def pit_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (ev.ts >= dim.valid_from)
                     & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)))
               .select("event_id", "user_id", "ts", "status", "version"))
+
+
+@register(
+    "above_customer_average",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY o_custkey), 6) AS cust_avg
+      FROM orders)
+    WHERE o_totalprice > cust_avg
+    """,
+    operators="A-correlated",
+    description="Correlated-subquery shape (orders above their own "
+                "customer's average) decorrelated into one "
+                "customer-partitioned window — the rewrite Catalyst "
+                "applies to scalar correlated subqueries, written "
+                "directly: one shuffle on the correlation key, no "
+                "re-scan per outer row. Average from an exact decimal "
+                "sum, rounded once.",
+)
+def above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey")
+    avg = F.round(F.sum(dec2("o_totalprice")).over(w).cast("double")
+                  / F.count(F.lit(1)).over(w), 6)
+    return (load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    avg.alias("cust_avg"))
+            .filter(F.col("o_totalprice") > F.col("cust_avg")))

@@ -102,6 +102,7 @@ HEADLINE = [
     "similarity_topk_ivf_trained",
     "pit_status_join",
     "weighted_sample_docs",
+    "above_customer_average",
 ]
 
 
