@@ -1827,3 +1827,60 @@ def above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_custkey", "o_totalprice",
                     avg.alias("cust_avg"))
             .filter(F.col("o_totalprice") > F.col("cust_avg")))
+
+
+@register(
+    "forward_fill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT b.user_id, b.d0 + CAST(t.i AS INTEGER) AS day
+      FROM bounds b CROSS JOIN generate_series(0, 8192) AS t(i)
+      WHERE b.d0 + CAST(t.i AS INTEGER) <= b.d1
+    )
+    SELECT s.user_id, s.day,
+           last_value(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS day_value_filled,
+           CAST(d.day_value IS NULL AS BOOLEAN) AS was_filled
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    operators="TS-resample,F14",
+    description="Time-series resampling with forward fill: each key gets "
+                "a dense daily spine between its first and last "
+                "observation (sequence+explode — no calendar table "
+                "shipped), gaps carry the last seen daily total forward "
+                "(last_value IGNORE NULLS over the key-partitioned "
+                "window). Spine rows scale with keys x days, every "
+                "window is key-partitioned.",
+)
+def forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).cast("date")
+                         .alias("day"))
+               .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                             .cast("double"), 2).alias("day_value")))
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                          F.max("day").alias("d1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1",
+                             F.expr("interval 1 day"))).alias("day"))
+    w = (Window.partitionBy("user_id").orderBy(F.col("day").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(daily, ["user_id", "day"], "left")
+            .select("user_id", "day",
+                    F.last("day_value", ignorenulls=True).over(w)
+                     .alias("day_value_filled"),
+                    F.col("day_value").isNull().alias("was_filled")))

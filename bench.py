@@ -103,6 +103,7 @@ HEADLINE = [
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",
+    "forward_fill_daily",
 ]
 
 

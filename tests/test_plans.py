@@ -433,3 +433,32 @@ def test_every_registry_key_is_documented(registry):
     cov = open(os.path.join(root, "COVERAGE.md")).read()
     missing = [k for k in registry if k not in cov]
     assert missing == [], missing
+
+
+def test_forward_fill_carries_last_value_across_gaps(spark, tmp_path):
+    """Resampling semantics: a 3-day gap yields spine rows carrying the
+    last observed daily total with was_filled=true; observed days keep
+    their own totals; the spine never extends beyond a key's own
+    [first, last] observation range."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 5), 7, "view", 10.00, "{}"),
+        (2, dt(2024, 1, 1, 9), 7, "view", 2.50, "{}"),
+        (3, dt(2024, 1, 5, 9), 7, "view", 4.00, "{}"),
+        (4, dt(2024, 1, 3, 1), 9, "view", 1.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {(r["user_id"], str(r["day"])): (r["day_value_filled"],
+                                           r["was_filled"]) for r in
+           registry_mod()["forward_fill_daily"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert got[(7, "2024-01-01")] == (12.50, False)
+    assert got[(7, "2024-01-02")] == (12.50, True)
+    assert got[(7, "2024-01-04")] == (12.50, True)
+    assert got[(7, "2024-01-05")] == (4.00, False)
+    assert got[(9, "2024-01-03")] == (1.00, False)
+    assert len(got) == 6  # 5 days for key 7, 1 day for key 9 — no spill-over
