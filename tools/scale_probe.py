@@ -77,6 +77,8 @@ PROBE_QUERIES = [
     "similarity_topk_ivf_trained",
     "pit_status_join",
     "weighted_sample_docs",
+    "above_customer_average",
+    "forward_fill_daily",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
