@@ -483,7 +483,7 @@ def kmeans_assign(corpus: DataFrame, k: int = 8, iters: int = 2,
                          _norm(F.col(vec_col).cast("array<double>")).alias("_vn"))
     centroids = seeds
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         scored = (vecs.crossJoin(F.broadcast(
                       centroids.withColumn("_cn", _norm(F.col("centroid")))))
                   .select(id_col, "_v", "list_id",
@@ -497,6 +497,15 @@ def kmeans_assign(corpus: DataFrame, k: int = 8, iters: int = 2,
                           .select(id_col, "_v", "list_id", "score"))
         centroids = centroid_vectors(assigned, label_col="list_id",
                                      vec_col="_v")
+        # deep runs: truncate lineage every few rounds, the same lazy
+        # localCheckpoint trade connected_components uses — each
+        # iteration otherwise nests the whole prior plan, and Catalyst
+        # re-optimizes the growing tree per action. No-op at the
+        # registry's iters=2 (plan unchanged, certification intact).
+        if it >= 2 and (it + 1) % 3 == 0:
+            assigned = assigned.localCheckpoint(eager=False)
+            centroids = centroid_vectors(assigned, label_col="list_id",
+                                         vec_col="_v")
     return assigned.select(
         F.col(id_col),
         F.col("list_id").cast("long").alias("cluster_id"),

@@ -322,3 +322,65 @@ def test_funnel_matches_python_model(spark, tmp_path):
             assert (r["first_purchase"].second if r["first_purchase"]
                     else None) == m[2]
     check()
+
+
+def test_chunk_documents_match_python_model(spark):
+    """chunk_documents equals a brute-force fencepost model for random
+    lengths around every boundary (multiples of step and window ±1):
+    same chunk count, same starts, same lengths — the no-redundant-tail
+    rule included."""
+    from airline_data_warehouse_spark.operators import text as tx
+
+    C, O = 500, 50
+    step = C - O
+    interesting = [1, O, O + 1, step, step + 1, C - 1, C, C + 1,
+                   C + step - 1, C + step, C + step + 1, 3 * step + O,
+                   2000]
+
+    rows = [(i + 1, "x" * n) for i, n in enumerate(interesting)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in tx.chunk_documents(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"]))
+
+    for i, n in enumerate(interesting):
+        doc = i + 1
+        expect = []
+        k = 0
+        while True:
+            start = k * step  # 0-based
+            if start >= n:
+                break
+            if k > 0 and start + O >= n:
+                break  # tail fully covered by the previous chunk
+            expect.append((k, start + 1, min(C, n - start)))
+            k += 1
+        assert sorted(got.get(doc, [])) == expect, (n, got.get(doc))
+
+
+def test_encode_decode_roundtrip_without_oov(spark):
+    """Vocabulary application is lossless when every token is in-vocab:
+    decoding the id sequence through the same vocab reconstructs the
+    normalized (lowercased, whitespace-collapsed) text, checked via the
+    digest; with an OOV term the digests diverge."""
+    import hashlib
+
+    from airline_data_warehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta  gamma alpha"), (2, "beta beta gamma")],
+        "doc_id long, text string")
+    vocab = tx.vocab_table(docs, id_col="doc_id", min_count=1)
+    vmap = {r["token"]: r["token_id"] for r in vocab.collect()}
+    inv = {v: k for k, v in vmap.items()}
+    got = {r["doc_id"]: r for r in tx.encode_documents(docs, vocab).collect()}
+
+    for doc_id, text in [(1, "alpha beta gamma alpha"),
+                         (2, "beta beta gamma")]:
+        ids = [vmap[t] for t in text.split()]
+        assert got[doc_id]["n_oov"] == 0
+        assert got[doc_id]["ids_hash"] == hashlib.md5(
+            ",".join(map(str, ids)).encode()).hexdigest()
+        # decode side: ids map back to the normalized token sequence
+        assert " ".join(inv[i] for i in ids) == text
