@@ -981,3 +981,22 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     got2 = sp.weighted_sample_topk(df.repartition(13), n=100,
                                    weight_col="weight").collect()
     assert {r["doc_id"] for r in got} == {r["doc_id"] for r in got2}
+
+
+def test_kmeans_deep_iterations_with_lineage_truncation(spark):
+    """iters past the checkpoint threshold exercise the lineage
+    truncation path: the run completes, the assignment is identical to
+    the 2-iteration result on already-converged data (fixpoint), and
+    cluster ids remain the seed vec_ids."""
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    rows = ([(1, a), (2, b)]
+            + [(10 + i, [1.0, 0.02 * i, 0.0, 0.0]) for i in range(3)]
+            + [(20 + i, [0.02 * i, 1.0, 0.0, 0.0]) for i in range(3)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    deep = {r["vec_id"]: r["cluster_id"] for r in
+            sim.kmeans_assign(df, k=2, iters=7).collect()}
+    two = {r["vec_id"]: r["cluster_id"] for r in
+           sim.kmeans_assign(df, k=2, iters=2).collect()}
+    assert deep == two  # converged after one update; extra rounds stable
+    assert set(deep.values()) == {1, 2}
