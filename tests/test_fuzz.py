@@ -65,3 +65,51 @@ def test_fuzzed_sales_csv(spark, tmp_path):
         assert r["transaction_id"].startswith("TA")
         assert r["ticket_price"] is not None  # bad amounts → 0.00, never null
         assert 19000101 <= r["date_key"] <= 21001231
+
+
+def test_fuzzed_documents_through_text_suite(spark):
+    """Adversarial document content — control chars, emoji, RTL, huge
+    single tokens, pathological whitespace, nulls, empties — must flow
+    through every text operator without crashing, with stable schemas
+    and no surprise rows for null/empty docs."""
+    from airline_data_warehouse_spark.operators import dedup as dd
+    from airline_data_warehouse_spark.operators import text as tx
+
+    rows = [
+        (1, "normal words here"),
+        (2, ""),
+        (3, None),
+        (4, " \t\n  "),
+        (5, "x" * 5000),                       # one huge token
+        (6, ("a " * 3000).strip()),            # many tiny tokens
+        (7, "emoji 🙂🙃 and ​zero​width"),
+        (8, "עברית rtl مع العربية mixed"),
+        (9, "ctrl\x01chars\x7fhere"),
+        (10, "quotes \"inside\" and 'more' | pipes, commas"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # every filtering operator drops NULL text; lang_id is the one
+    # documented exception (a null/empty doc classifies as 'und' — its
+    # certified oracle shares that behavior)
+    ops = [
+        tx.token_stats(docs),
+        tx.quality_score(docs),
+        tx.model_quality_score(docs),
+        tx.vocab_table(docs, id_col="doc_id", min_count=1),
+        tx.chunk_documents(docs),
+        tx.repeated_ngram_spans(docs, w=3),
+        tx.bigram_logprob_score(docs),
+        tx.keyword_search_all(docs, ["normal"]),
+        dd.exact_dedup(docs.filter("text is not null")),
+    ]
+    for df in ops:
+        rows_out = df.collect()  # must not throw
+        ids = {r["doc_id"] for r in rows_out if "doc_id" in r.asDict()}
+        assert 3 not in ids  # null text never leaks through
+    lang = {r["doc_id"]: r["predicted_lang"] for r in
+            tx.lang_id(docs).collect()}
+    assert lang[3] == "und" and lang[2] == "und"
+    enc = tx.encode_documents(
+        docs, tx.vocab_table(docs, id_col="doc_id", min_count=1)).collect()
+    assert 3 not in {r["doc_id"] for r in enc}
