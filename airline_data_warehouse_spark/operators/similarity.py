@@ -528,6 +528,15 @@ def ivf_index_build(corpus: DataFrame, index_dir: str, k: int = 8,
     key — without it, every task appends a file to every list
     (tasks × k small files, the classic partitioned-write mistake).
     """
+    # hygiene gate (see finite_vectors): dims pinned to the lowest-id
+    # vector's length — a 1-row scalar peek, same class as the CC
+    # convergence check — so wrong-dimension vectors can't smuggle into
+    # an arbitrary list with an all-NULL argmax
+    ref = (corpus.select(F.size(F.col(vec_col)).alias("n"),
+                         F.col(id_col).alias("i"))
+                 .orderBy("i").limit(1).collect())
+    dims = int(ref[0]["n"]) if ref else None
+    corpus = finite_vectors(corpus, vec_col, dims=dims)
     assign = kmeans_assign(corpus, k=k, iters=iters, id_col=id_col,
                            vec_col=vec_col)
     vecs = corpus.select(F.col(id_col),
@@ -594,3 +603,30 @@ def ivf_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 5,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "score",
                           F.col("rank").cast("int").alias("rank")))
+
+
+def finite_vectors(df: DataFrame, vec_col: str = "embedding",
+                   dims: int | None = None) -> DataFrame:
+    """Vector hygiene pre-filter for the ANN/dedup family: keep only
+    rows whose embedding is fully finite (no NaN/±Inf), has a nonzero
+    norm, and — when ``dims`` is given — the expected length.
+
+    Why this exists as a SEPARATE step: both Spark and DuckDB order NaN
+    above every real number, so a single NaN-poisoned vector ranks
+    FIRST in every cosine top-k it touches (pinned by
+    tests/test_fuzz.py::test_adversarial_embeddings) — at 100 TB one
+    corrupt shard silently wins every query. Zero-norm and
+    wrong-dimension vectors score NULL and sink to the bottom — noisy
+    but not toxic. Run this before index build / search when inputs are
+    untrusted; the scoring operators themselves stay un-guarded so
+    their certified plans (and their DuckDB oracle parity) are
+    unchanged. `ivf_index_build` applies it unconditionally — an index
+    must never ingest garbage.
+    """
+    v = F.col(vec_col)
+    finite = F.forall(v, lambda x: ~F.isnan(x)
+                      & (x > float("-inf")) & (x < float("inf")))
+    ok = finite & (_norm(v) > 0)
+    if dims is not None:
+        ok = ok & (F.size(v) == dims)
+    return df.filter(ok)

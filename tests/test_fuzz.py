@@ -113,3 +113,38 @@ def test_fuzzed_documents_through_text_suite(spark):
     enc = tx.encode_documents(
         docs, tx.vocab_table(docs, id_col="doc_id", min_count=1)).collect()
     assert 3 not in {r["doc_id"] for r in enc}
+
+
+def test_adversarial_embeddings(spark):
+    """Vector-poisoning contract, pinned: a NaN embedding ranks FIRST in
+    raw cosine top-k (NaN sorts above every real in Spark AND DuckDB —
+    toxic at scale), zero-norm and wrong-dimension vectors sink as NULL
+    scores; `finite_vectors` removes all three classes, and an IVF index
+    built from poisoned input never ingests them."""
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import similarity as sim
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [float("nan"), 1.0]),
+            (4, [float("inf"), 0.0]), (5, [0.0, 0.0]), (6, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 1)
+
+    raw = sim.brute_force_topk(df, q, k=6).orderBy("rank").collect()
+    import math
+    assert math.isnan(raw[0]["score"])        # poison wins — the hazard
+    clean = sim.finite_vectors(df, dims=2)
+    assert {r["vec_id"] for r in clean.collect()} == {1, 2}
+    good = sim.brute_force_topk(clean, q, k=6).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in good] == [2]
+
+    idx_rows = rows + [(10 + i, [1.0, 0.01 * i]) for i in range(4)]
+    poisoned = spark.createDataFrame(idx_rows,
+                                     "vec_id long, embedding array<double>")
+    idx = "/tmp/fuzz_ivf"
+    import shutil
+    shutil.rmtree(idx, ignore_errors=True)
+    sim.ivf_index_build(poisoned, idx, k=2, iters=1)
+    stored = {r["vec_id"] for r in
+              spark.read.parquet(f"{idx}/lists.parquet").collect()}
+    assert stored & {3, 4, 5, 6} == set()     # garbage never indexed
