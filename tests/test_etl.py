@@ -264,3 +264,22 @@ def test_keep_first_order_stable_across_splits_and_files(spark, tmp_path):
         assert dups.count() == 4 * 250  # 3 later in-file + 1 cross-file per key
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_jsonl_sink_round_trips(spark, tmp_path):
+    """S11 fallback sink: rows written with append_jsonl read back
+    value-identical through spark.read.json (schema enforced), across
+    two appends — the backup/replay loop the reference's dirty-sales
+    fallback implies."""
+    from airline_data_warehouse_spark.sources.sinks import append_jsonl
+
+    path = str(tmp_path / "backup.jsonl")
+    a = spark.createDataFrame([(1, "x", 1.5), (2, None, 0.25)],
+                              "id long, note string, amt double")
+    b = spark.createDataFrame([(3, "y", -2.0)],
+                              "id long, note string, amt double")
+    append_jsonl(a, path)
+    append_jsonl(b, path)
+    back = spark.read.schema("id long, note string, amt double").json(path)
+    got = sorted((r["id"], r["note"], r["amt"]) for r in back.collect())
+    assert got == [(1, "x", 1.5), (2, None, 0.25), (3, "y", -2.0)]
