@@ -709,3 +709,57 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
                           .cast("double") / F.count(F.lit(1)), 6)
                   .alias("avg_logprob"))
             .withColumnRenamed("_doc", id_col))
+
+
+def bm25_search(df: DataFrame, terms: list[str], k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Ranked retrieval: Okapi BM25 over whole-token matches — the
+    scoring layer on top of keyword_search_all's boolean AND. Standard
+    formulation, idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturated
+    by k1 and length-normalized by b.
+
+    Deterministic and oracle-checkable: tf/df/N/dl are exact integers,
+    avgdl enters as an exact ratio (dl·N/Σdl — no premature rounding),
+    ln is rounded to 6 dp per (doc, term) and the final score is an
+    exact-decimal sum of rounded terms, so ranking ties break on id
+    identically in both engines.
+
+    Shape: the postings explode is filtered to the query's terms BEFORE
+    any shuffle (the IN-list probe, as in keyword_search_all); df comes
+    from a terms-only aggregation (≤|terms| rows, broadcast); doc
+    length is a second narrow aggregation joined by doc id; top-k is a
+    TakeOrdered. Nothing scales with vocabulary — only with |hits|.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    qterms = [t.lower() for t in terms]
+    toks = _tokens(F.lower(F.col(text_col)))
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    lens = base.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("dl").alias("sum_dl"))
+    hits = (base.select(F.col(id_col), F.explode(toks).alias("token"))
+                .filter(F.col("token").isin(qterms))
+                .groupBy(id_col, "token")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (hits.groupBy("token")
+                 .agg(F.countDistinct(id_col).alias("df")))
+    scored = (hits.join(F.broadcast(dfreq), "token")
+                  .join(lens, id_col)
+                  .crossJoin(F.broadcast(stats)))
+    idf = F.round(F.log(F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)), 6)
+    # dl/avgdl computed as dl*n_docs/sum_dl — exact integer products
+    # inside the double division, identical fold both engines
+    norm = (F.col("tf") * (k1 + 1)
+            / (F.col("tf")
+               + k1 * (1 - b + b * (F.col("dl") * F.col("n_docs"))
+                       / F.col("sum_dl"))))
+    per_term = F.round(idf * norm, 6).cast("decimal(20,6)")
+    return (scored.groupBy(id_col)
+            .agg(F.sum(per_term).cast("double").alias("score"),
+                 F.countDistinct("token").cast("int").alias("n_terms"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))

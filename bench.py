@@ -104,6 +104,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "above_customer_average",
     "forward_fill_daily",
+    "bm25_search_topk",
 ]
 
 

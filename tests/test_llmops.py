@@ -1000,3 +1000,22 @@ def test_kmeans_deep_iterations_with_lineage_truncation(spark):
            sim.kmeans_assign(df, k=2, iters=2).collect()}
     assert deep == two  # converged after one update; extra rounds stable
     assert set(deep.values()) == {1, 2}
+
+
+def test_bm25_ranks_rare_terms_and_penalizes_length(spark):
+    """BM25 semantics: a doc matching the RARE query term outranks docs
+    matching only the common term (idf); among equal matches the
+    shorter doc wins (length normalization); non-matching docs are
+    absent; k truncates."""
+    rows = ([(1, "rare word plus filler")]
+            + [(10 + i, "common word number " + str(i)) for i in range(6)]
+            + [(2, "common " + "pad " * 40)]     # long doc, common term
+            + [(3, "nothing relevant here")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tx.bm25_search(df, ["rare", "common"], k=20).collect()
+    ranked = [r["doc_id"] for r in got]
+    assert ranked[0] == 1                    # rare-term doc on top
+    assert 3 not in ranked
+    # long doc scores below every short common-term doc
+    scores = {r["doc_id"]: r["score"] for r in got}
+    assert all(scores[2] < scores[10 + i] for i in range(6))

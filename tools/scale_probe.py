@@ -79,6 +79,7 @@ PROBE_QUERIES = [
     "weighted_sample_docs",
     "above_customer_average",
     "forward_fill_daily",
+    "bm25_search_topk",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
