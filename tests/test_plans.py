@@ -462,3 +462,28 @@ def test_forward_fill_carries_last_value_across_gaps(spark, tmp_path):
     assert got[(7, "2024-01-05")] == (4.00, False)
     assert got[(9, "2024-01-03")] == (1.00, False)
     assert len(got) == 6  # 5 days for key 7, 1 day for key 9 — no spill-over
+
+
+def test_dimension_broadcasts_are_explicit_hints(spark, sf_dir, registry):
+    """The star-join dimension broadcasts must come from EXPLICIT
+    broadcast() hints, not the size-threshold heuristic: with
+    autoBroadcastJoinThreshold disabled (-1), the flagship and both
+    TPC-H shapes still plan BroadcastHashJoins — at 100 TB the
+    threshold estimator sees sampled stats, while the hint encodes the
+    designer's knowledge that a dimension is bounded."""
+    import io
+    from contextlib import redirect_stdout
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        for name in ("flagship_star_revenue", "shipping_priority_topk",
+                     "local_supplier_volume"):
+            df = registry[name].builder(spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            assert "BroadcastHashJoin" in buf.getvalue(), name
+    finally:
+        spark.conf.set(key, old)
