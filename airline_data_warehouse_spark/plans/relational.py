@@ -1884,3 +1884,108 @@ def forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.last("day_value", ignorenulls=True).over(w)
                      .alias("day_value_filled"),
                     F.col("day_value").isNull().alias("was_filled")))
+
+
+@register(
+    "priority_count_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    operators="P8,A5",
+    description="TPC-H Q4 shape (order-priority checking): orders in a "
+                "quarter with at least one line item shipped after the "
+                "order date, counted by priority — the canonical EXISTS "
+                "query, planned as a LEFT SEMI join. The date filter "
+                "pushes to the orders scan; the semi join stops probing "
+                "an order at its first qualifying line item.",
+)
+def priority_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-07-01")
+                      & (F.col("o_orderdate") < "1996-10-01"))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualified = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return (qualified.groupBy("o_orderpriority")
+                     .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN ts END AS m_ts,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN event_id END AS m_id,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN event_type END AS m_type
+      FROM events
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(m_ts IGNORE NULLS) OVER w AS touch_ts,
+             last_value(m_id IGNORE NULLS) OVER w AS touch_event_id,
+             last_value(m_type IGNORE NULLS) OVER w AS touch_type
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           touch_event_id, touch_type,
+           CASE WHEN touch_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(touch_ts)
+                         <= CAST(7 * 86400 AS BIGINT) * 1000000
+                THEN epoch_us(ts) - epoch_us(touch_ts) END
+             AS micros_since_touch,
+           CAST(touch_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(touch_ts)
+                    <= CAST(7 * 86400 AS BIGINT) * 1000000 AS BOOLEAN) AS attributed
+    FROM carried WHERE event_type = 'purchase'
+    """,
+    operators="W-attribution,J-asof",
+    description="Last-touch attribution: each purchase credited to the "
+                "user's most recent STRICTLY-PRECEDING view/click within "
+                "a 7-day horizon — the marketing as-of pattern, done as "
+                "one pass: tag marketing events, carry the latest via "
+                "last_value IGNORE NULLS over a 1-PRECEDING frame (the "
+                "purchase's own row never self-attributes), filter to "
+                "purchases. One user-partitioned window, no self-join "
+                "fan-out.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                              "event_type")
+    is_m = F.col("event_type").isin("view", "click")
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(is_m, F.col("ts")).alias("m_ts"),
+        F.when(is_m, F.col("event_id")).alias("m_id"),
+        F.when(is_m, F.col("event_type")).alias("m_type"))
+    w = (Window.partitionBy("user_id")
+               .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carried = tagged.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.last("m_ts", ignorenulls=True).over(w).alias("touch_ts"),
+        F.last("m_id", ignorenulls=True).over(w).alias("touch_event_id"),
+        F.last("m_type", ignorenulls=True).over(w).alias("touch_type"))
+    horizon = 7 * 86400 * 1_000_000
+    gap = F.unix_micros("ts") - F.unix_micros("touch_ts")
+    ok = F.col("touch_ts").isNotNull() & (gap <= horizon)
+    return (carried.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.col("ts").alias("purchase_ts"),
+                    "touch_event_id", "touch_type",
+                    F.when(ok, gap).alias("micros_since_touch"),
+                    ok.alias("attributed")))

@@ -105,6 +105,8 @@ HEADLINE = [
     "above_customer_average",
     "forward_fill_daily",
     "bm25_search_topk",
+    "priority_count_exists",
+    "last_touch_attribution",
 ]
 
 

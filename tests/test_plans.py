@@ -487,3 +487,32 @@ def test_dimension_broadcasts_are_explicit_hints(spark, sf_dir, registry):
             assert "BroadcastHashJoin" in buf.getvalue(), name
     finally:
         spark.conf.set(key, old)
+
+
+def test_last_touch_attribution_rules(spark, tmp_path):
+    """Attribution semantics: a purchase credits the latest strictly
+    preceding view/click; a purchase BEFORE any touch is unattributed;
+    a touch older than the 7-day horizon is unattributed but still
+    reported; a later purchase re-credits the same touch (last-touch,
+    not first-consumption)."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0), 7, "purchase", 0.0, "{}"),   # before touch
+        (2, dt(2024, 1, 2, 0), 7, "click", 0.0, "{}"),
+        (3, dt(2024, 1, 2, 6), 7, "purchase", 0.0, "{}"),   # -> 2
+        (4, dt(2024, 1, 2, 9), 7, "purchase", 0.0, "{}"),   # -> 2 again
+        (5, dt(2024, 1, 20, 0), 7, "purchase", 0.0, "{}"),  # horizon passed
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["purchase_id"]: r for r in
+           registry_mod()["last_touch_attribution"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert not got[1]["attributed"] and got[1]["touch_event_id"] is None
+    assert got[3]["attributed"] and got[3]["touch_event_id"] == 2
+    assert got[4]["attributed"] and got[4]["touch_event_id"] == 2
+    assert not got[5]["attributed"] and got[5]["touch_event_id"] == 2
+    assert got[5]["micros_since_touch"] is None
