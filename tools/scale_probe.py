@@ -80,6 +80,8 @@ PROBE_QUERIES = [
     "above_customer_average",
     "forward_fill_daily",
     "bm25_search_topk",
+    "priority_count_exists",
+    "last_touch_attribution",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
