@@ -1989,3 +1989,33 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "touch_event_id", "touch_type",
                     F.when(ok, gap).alias("micros_since_touch"),
                     ok.alias("attributed")))
+
+
+@register(
+    "k_anonymity_report",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(group_size < 5 AS BOOLEAN) AS at_risk
+    FROM g
+    """,
+    operators="A-privacy",
+    description="k-anonymity audit over the quasi-identifier pair "
+                "(nation, market segment): every equivalence class with "
+                "its size and a k<5 risk flag — the re-identification "
+                "check run before releasing or training on "
+                "person-derived rows (the PII redaction operator handles "
+                "direct identifiers; this catches the indirect ones). "
+                "One keyed aggregation with partials; at 100 TB the "
+                "class table is |QI-combinations|, not |rows|.",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("group_size"))
+            .select("c_nationkey", "c_mktsegment", "group_size",
+                    (F.col("group_size") < 5).alias("at_risk")))

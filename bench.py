@@ -107,6 +107,7 @@ HEADLINE = [
     "bm25_search_topk",
     "priority_count_exists",
     "last_touch_attribution",
+    "k_anonymity_report",
 ]
 
 
