@@ -182,7 +182,7 @@ def _parse_validated(fingerprint: tuple[tuple[str, int, int], ...]) -> dict[str,
 
 def all_queries() -> dict[str, QueryDef]:
     # import for side effects: module-level @register calls
-    from airline_data_warehouse_spark.plans import llmops, relational, scalars  # noqa: F401
+    from airline_data_warehouse_spark.plans import llmops, olap, relational, scalars  # noqa: F401
     last_green = _driver_validated()
 
     def priority(name: str) -> tuple[int, int]:

@@ -108,6 +108,21 @@ HEADLINE = [
     "priority_count_exists",
     "last_touch_attribution",
     "k_anonymity_report",
+    # r07 third wave: the decision-support pack (plans/olap.py) — the
+    # correlated-subquery decorrelations and scan-heavy TPC-H shapes
+    "groupwise_min_parts",
+    "nation_pair_trade_volume",
+    "profit_by_nation_year",
+    "returned_item_losses",
+    "important_supplier_share",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "parts_supplier_distribution",
+    "small_qty_order_revenue",
+    "large_volume_orders",
+    "disjunctive_predicate_revenue",
+    "dormant_rich_customers",
 ]
 
 
