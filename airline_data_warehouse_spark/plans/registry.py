@@ -186,11 +186,24 @@ def all_queries() -> dict[str, QueryDef]:
     last_green = _driver_validated()
 
     def priority(name: str) -> tuple[int, int]:
+        # Oracle-less entries can only ever earn a rows-only check — a
+        # hash certification is impossible by construction — so they must
+        # not squat in the bounded validation window ahead of keys that
+        # CAN be certified (approx_distinct_count burned one sample slot
+        # per round in tier 0 forever).
+        if _REGISTRY[name].oracle is None:
+            return (3, last_green.get(name, 0))
         if name not in last_green:
             return (0, 0)          # never driver-certified: first
-        if name in _REVALIDATE:
-            return (1, 0)          # plan changed since its last green row
-        return (2, last_green[name])  # certified: stalest first
+        if name not in _REVALIDATE:
+            return (1, last_green[name])  # certified: stalest first
+        # Plan changed since its last green row: re-certifiable, but its
+        # last green WAS a real certification — genuinely stale keys
+        # (some never re-checked since r2) outrank it in the window.
+        # Every _REVALIDATE key is locally hash-verified via
+        # tools/check_correctness.py when it enters the list, so the
+        # exposure until the driver re-certifies it is bounded.
+        return (2, last_green[name])
 
     ordered = sorted(_REGISTRY, key=priority)  # stable: registration order within tiers
     return {name: _REGISTRY[name] for name in ordered}
