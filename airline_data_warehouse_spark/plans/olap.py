@@ -582,3 +582,277 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n_custs"),
                      F.sum(dec2("c_acctbal")).cast("double")
                       .alias("total_acctbal")))
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS forecast_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    operators="P2,A5,F17",
+    description="TPC-H Q6 shape (forecasting revenue change): revenue "
+                "that would vanish if small discounts on small "
+                "quantities were eliminated in one ship-year. No join "
+                "at all — the scale question is purely whether all "
+                "three predicates reach the parquet scan (they do: "
+                "date range, discount band, quantity cap all push "
+                "down), making this scan-bound with a 3-column "
+                "ReadSchema. The discount band compares in "
+                "DECIMAL(18,2) on both engines so edge values (0.05, "
+                "0.07) bucket identically.",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    lo = F.lit("0.05").cast(DecimalType(18, 2))
+    hi = F.lit("0.07").cast(DecimalType(18, 2))
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & dec2("l_discount").between(lo, hi)
+                      & (F.col("l_quantity") < 24))
+              .agg(F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+                    .cast("double").alias("forecast_revenue")))
+
+
+@register(
+    "nation_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                               THEN {_DISC_PRICE_SQL}
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    operators="J1-J5,A5,P7",
+    description="TPC-H Q8 shape (national market share): one supplier "
+                "nation's share of a part type's revenue within one "
+                "regional market, per order year — the "
+                "conditional-aggregation ratio computed over a "
+                "seven-table star. Every dimension (part filtered to "
+                "the type, supplier+nation, customer+nation+region "
+                "filtered to the market) broadcasts; the only shuffle "
+                "join is fact-to-orders on orderkey, and the date "
+                "range prunes the orders scan before it. Numerator "
+                "and denominator are exact DECIMAL sums divided once "
+                "in double and rounded once.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (load(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = (load(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("snk"),
+                  F.col("n_name").alias("supp_nation")))
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = (load(spark, sf_dir, "region")
+           .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    market_cust = (load(spark, sf_dir, "customer")
+                   .select("c_custkey", "c_nationkey")
+                   .join(F.broadcast(nat),
+                         F.col("c_nationkey") == nat.n_nationkey)
+                   .join(F.broadcast(reg),
+                         nat.n_regionkey == reg.r_regionkey)
+                   .select("c_custkey"))
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    target = F.when(F.col("supp_nation") == "NATION_5", _disc_price()) \
+              .otherwise(F.lit(0).cast(DecimalType(18, 2)))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(F.broadcast(sn), supp.s_nationkey == sn.snk)
+              .join(F.broadcast(market_cust),
+                    orders.o_custkey == market_cust.c_custkey)
+              .groupBy(F.year("o_orderdate").alias("o_year"))
+              .agg(F.round(F.sum(target).cast("double")
+                           / F.sum(_disc_price()).cast("double"), 6)
+                    .alias("mkt_share")))
+
+
+@register(
+    "late_line_priority_mix",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_lines,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_priority_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+      AND l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_linestatus
+    """,
+    operators="J1,A5,P7",
+    description="TPC-H Q12 shape (shipping modes / order priority): "
+                "for each line status, how many critically-late lines "
+                "(shipped >365 days after ordering — the testdata has "
+                "no l_commitdate/l_receiptdate, so lateness is "
+                "ship-vs-order; the schema keeps Q12's fact⋈orders + "
+                "two-way conditional-count form) came from "
+                "high-priority vs other orders. The cross-table "
+                "lateness predicate can only run post-join, but the "
+                "ship-year range pushes to the fact scan first; the "
+                "conditional counts are one pass, map-side partial.",
+)
+def late_line_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1998-01-01")
+                  & (F.col("l_shipdate") < "1999-01-01"))
+          .select("l_orderkey", "l_linestatus", "l_shipdate"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .filter(F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+              .groupBy("l_linestatus")
+              .agg(F.sum(F.when(is_high, 1).otherwise(0))
+                    .alias("high_priority_lines"),
+                   F.sum(F.when(is_high, 0).otherwise(1))
+                    .alias("low_priority_lines")))
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH pp AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT pk AS tpk, SUM(qty) AS part_total FROM pp GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM pp
+      JOIN totals ON pk = tpk
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE qty > part_total * CAST(0.3 AS DECIMAL(2,1))
+    """,
+    operators="A5,P8,J1",
+    description="TPC-H Q20 shape (potential part promotion): suppliers "
+                "who dominate (>30% of shipped quantity of) at least "
+                "one part in a flagged name family during one year — "
+                "the testdata has no partsupp/ps_availqty, so shipped "
+                "lineitem quantity plays the availability role; the "
+                "shape (per-(part,supplier) aggregate vs a correlated "
+                "per-part threshold, then a semi-join chain up to the "
+                "supplier dimension) is Q20's. The threshold compare "
+                "stays in exact DECIMAL; the per-part totals table is "
+                "|parts|-row (dimension-sized) and broadcasts.",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (load(spark, sf_dir, "part")
+             .filter(F.col("p_name").startswith("small"))
+             .select("p_partkey"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1998-01-01")
+                  & (F.col("l_shipdate") < "1999-01-01"))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    pp = (li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+            .groupBy(F.col("l_partkey").alias("pk"),
+                     F.col("l_suppkey").alias("sk"))
+            .agg(F.sum(dec2("l_quantity")).alias("qty")))
+    totals = (pp.groupBy(F.col("pk").alias("tpk"))
+                .agg(F.sum("qty").alias("part_total")))
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (pp.join(F.broadcast(totals), pp.pk == totals.tpk)
+              .filter(F.col("qty")
+                      > F.col("part_total")
+                      * F.lit("0.3").cast(DecimalType(2, 1)))
+              .select("sk").distinct()
+              .join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
+              .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+              .select("s_suppkey", "s_name", "n_name"))
+
+
+@register(
+    "blamed_suppliers_waiting",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE
+                 WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                 THEN l_suppkey END) AS n_late,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                 THEN l_suppkey END) AS blamed
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS waiting_orders
+    FROM per_order JOIN supplier ON blamed = s_suppkey
+    WHERE n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY waiting_orders DESC, s_name ASC LIMIT 10
+    """,
+    operators="A5,P8,J8,O2",
+    description="TPC-H Q21 shape (suppliers who kept orders waiting): "
+                "for finalized multi-supplier orders where EXACTLY one "
+                "supplier shipped critically late (>365 days after "
+                "ordering — lateness is ship-vs-order, no commit/"
+                "receipt dates in the testdata), count orders per "
+                "blamed supplier. Q21's correlated EXISTS / NOT EXISTS "
+                "self-join pair is decorrelated into ONE per-order "
+                "aggregate: n_supp>1 encodes the EXISTS (another "
+                "supplier touched the order), n_late=1 the NOT EXISTS "
+                "(no OTHER supplier was late), and MAX picks the "
+                "unique culprit — one shuffle on orderkey instead of "
+                "three fact self-joins. The two distinct aggregates "
+                "expand 2x, which beats re-scanning lineitem twice.",
+)
+def blamed_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+    late_supp = F.when(late, F.col("l_suppkey"))
+    per_order = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                   .groupBy("l_orderkey")
+                   .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                        F.countDistinct(late_supp).alias("n_late"),
+                        F.max(late_supp).alias("blamed")))
+    return (per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+                     .join(F.broadcast(supp),
+                           F.col("blamed") == supp.s_suppkey)
+                     .groupBy("s_name")
+                     .agg(F.count("*").alias("waiting_orders"))
+                     .orderBy(F.col("waiting_orders").desc(),
+                              F.col("s_name").asc())
+                     .limit(10))

@@ -123,6 +123,11 @@ HEADLINE = [
     "large_volume_orders",
     "disjunctive_predicate_revenue",
     "dormant_rich_customers",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "late_line_priority_mix",
+    "dominant_part_suppliers",
+    "blamed_suppliers_waiting",
 ]
 
 

@@ -262,20 +262,30 @@ def test_no_cartesian_products(spark, sf_dir, registry):
 def test_registry_orders_stalest_certified_last_green_first(monkeypatch):
     """The driver validates a bounded registry prefix per round, so
     ordering IS the recertification schedule (VERDICT r05 item 1):
-    never-certified first, then _REVALIDATE (plan changed), then
-    certified entries oldest-round-first."""
+    never-certified first, then certified entries oldest-round-first,
+    then _REVALIDATE (plan changed, but holding a real certification
+    and locally re-verified), and oracle-less entries dead last — they
+    can only ever earn a rows-only check, so a sample slot spent on
+    them certifies nothing (r07)."""
     from airline_data_warehouse_spark.plans import registry as reg
 
-    names = list(reg.all_queries())  # also triggers @register imports
+    qdefs = reg.all_queries()  # also triggers @register imports
+    names = list(qdefs)
     fake_rounds = {n: (i % 5) + 1 for i, n in enumerate(sorted(names))}
-    never = next(n for n in names if n not in reg._REVALIDATE)
+    never = next(n for n in names if n not in reg._REVALIDATE
+                 and qdefs[n].oracle is not None)
     del fake_rounds[never]
     monkeypatch.setattr(reg, "_driver_validated", lambda: fake_rounds)
     ordered = list(reg.all_queries())
     assert ordered[0] == never
-    reval = [n for n in ordered if n in reg._REVALIDATE]
-    assert ordered[1:1 + len(reval)] == reval
-    tail = [n for n in ordered[1 + len(reval):]]
+    no_oracle = [n for n in ordered if qdefs[n].oracle is None]
+    assert ordered[-len(no_oracle):] == no_oracle, \
+        "oracle-less entries must sort last"
+    reval = [n for n in ordered
+             if n in reg._REVALIDATE and qdefs[n].oracle is not None]
+    assert ordered[-len(no_oracle) - len(reval):-len(no_oracle)] == reval, \
+        "_REVALIDATE sorts after the staleness burn-down"
+    tail = ordered[1:-len(no_oracle) - len(reval)]
     tail_rounds = [fake_rounds[n] for n in tail]
     assert tail_rounds == sorted(tail_rounds), \
         "certified entries must sort oldest-certified-first"

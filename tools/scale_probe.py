@@ -82,6 +82,25 @@ PROBE_QUERIES = [
     "bm25_search_topk",
     "priority_count_exists",
     "last_touch_attribution",
+    # r07 third wave: decision-support pack (plans/olap.py)
+    "groupwise_min_parts",
+    "nation_pair_trade_volume",
+    "profit_by_nation_year",
+    "returned_item_losses",
+    "important_supplier_share",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "parts_supplier_distribution",
+    "small_qty_order_revenue",
+    "large_volume_orders",
+    "disjunctive_predicate_revenue",
+    "dormant_rich_customers",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "late_line_priority_mix",
+    "dominant_part_suppliers",
+    "blamed_suppliers_waiting",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
