@@ -185,6 +185,8 @@ def all_queries() -> dict[str, QueryDef]:
     from airline_data_warehouse_spark.plans import llmops, olap, relational, scalars  # noqa: F401
     last_green = _driver_validated()
 
+    max_round = max(last_green.values(), default=0)
+
     def priority(name: str) -> tuple[int, int]:
         # Oracle-less entries can only ever earn a rows-only check — a
         # hash certification is impossible by construction — so they must
@@ -192,18 +194,27 @@ def all_queries() -> dict[str, QueryDef]:
         # CAN be certified (approx_distinct_count burned one sample slot
         # per round in tier 0 forever).
         if _REGISTRY[name].oracle is None:
-            return (3, last_green.get(name, 0))
+            return (4, last_green.get(name, 0))
+        if name in last_green and name not in _REVALIDATE \
+                and last_green[name] <= max_round - 2:
+            # OVERDUE: certified, but 2+ rounds behind the newest
+            # certification round. Refactors have touched shared helpers
+            # since its last independent check, so its drift risk beats a
+            # brand-new key that was locally hash-verified at authoring
+            # time — overdue debt burns down before first-time
+            # certification when the window is tight.
+            return (0, last_green[name])
         if name not in last_green:
-            return (0, 0)          # never driver-certified: first
+            return (1, 0)          # never driver-certified
         if name not in _REVALIDATE:
-            return (1, last_green[name])  # certified: stalest first
+            return (2, last_green[name])  # certified: stalest first
         # Plan changed since its last green row: re-certifiable, but its
         # last green WAS a real certification — genuinely stale keys
         # (some never re-checked since r2) outrank it in the window.
         # Every _REVALIDATE key is locally hash-verified via
         # tools/check_correctness.py when it enters the list, so the
         # exposure until the driver re-certifies it is bounded.
-        return (2, last_green[name])
+        return (3, last_green[name])
 
     ordered = sorted(_REGISTRY, key=priority)  # stable: registration order within tiers
     return {name: _REGISTRY[name] for name in ordered}

@@ -262,11 +262,13 @@ def test_no_cartesian_products(spark, sf_dir, registry):
 def test_registry_orders_stalest_certified_last_green_first(monkeypatch):
     """The driver validates a bounded registry prefix per round, so
     ordering IS the recertification schedule (VERDICT r05 item 1):
-    never-certified first, then certified entries oldest-round-first,
-    then _REVALIDATE (plan changed, but holding a real certification
-    and locally re-verified), and oracle-less entries dead last — they
-    can only ever earn a rows-only check, so a sample slot spent on
-    them certifies nothing (r07)."""
+    OVERDUE certified entries (2+ rounds behind the newest
+    certification) first, then never-certified, then the remaining
+    certified entries oldest-round-first, then _REVALIDATE (plan
+    changed, but holding a real certification and locally re-verified),
+    and oracle-less entries dead last — they can only ever earn a
+    rows-only check, so a sample slot spent on them certifies nothing
+    (r07)."""
     from airline_data_warehouse_spark.plans import registry as reg
 
     qdefs = reg.all_queries()  # also triggers @register imports
@@ -277,18 +279,26 @@ def test_registry_orders_stalest_certified_last_green_first(monkeypatch):
     del fake_rounds[never]
     monkeypatch.setattr(reg, "_driver_validated", lambda: fake_rounds)
     ordered = list(reg.all_queries())
-    assert ordered[0] == never
-    no_oracle = [n for n in ordered if qdefs[n].oracle is None]
-    assert ordered[-len(no_oracle):] == no_oracle, \
-        "oracle-less entries must sort last"
-    reval = [n for n in ordered
-             if n in reg._REVALIDATE and qdefs[n].oracle is not None]
-    assert ordered[-len(no_oracle) - len(reval):-len(no_oracle)] == reval, \
-        "_REVALIDATE sorts after the staleness burn-down"
-    tail = ordered[1:-len(no_oracle) - len(reval)]
-    tail_rounds = [fake_rounds[n] for n in tail]
-    assert tail_rounds == sorted(tail_rounds), \
-        "certified entries must sort oldest-certified-first"
+    max_round = max(fake_rounds.values())
+
+    def tier(n):
+        if qdefs[n].oracle is None:
+            return 4
+        if n in fake_rounds and n not in reg._REVALIDATE \
+                and fake_rounds[n] <= max_round - 2:
+            return 0
+        if n not in fake_rounds:
+            return 1
+        return 3 if n in reg._REVALIDATE else 2
+
+    tiers = [tier(n) for n in ordered]
+    assert tiers == sorted(tiers), "tier order: overdue, never, " \
+        "certified-oldest-first, revalidate, oracle-less"
+    assert tier(never) == 1 and never in ordered[:sum(t <= 1 for t in tiers)]
+    for t in (0, 2, 3):
+        rounds = [fake_rounds[n] for n in ordered if tier(n) == t]
+        assert rounds == sorted(rounds), \
+            f"tier {t} must sort oldest-certified-first"
 
 
 def test_no_row_udfs_or_rdd_api_in_package():
