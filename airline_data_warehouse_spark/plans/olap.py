@@ -856,3 +856,113 @@ def blamed_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .orderBy(F.col("waiting_orders").desc(),
                               F.col("s_name").asc())
                      .limit(10))
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT n_name,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           GROUPING(n_name) AS g_nation,
+           GROUPING(EXTRACT(year FROM o_orderdate)) AS g_year,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, EXTRACT(year FROM o_orderdate)),
+                            (n_name), (EXTRACT(year FROM o_orderdate)), ())
+    """,
+    operators="A5,J1-J5",
+    description="Explicit GROUPING SETS (the general form rollup/cube "
+                "specialize): revenue by (nation, year), by nation, by "
+                "year, and grand total in ONE aggregation pass — the "
+                "physical plan Expands each input row once per set "
+                "(4x) and aggregates with map-side partials, vs four "
+                "separate scans+shuffles for the union-of-aggregates "
+                "phrasing. GROUPING() markers disambiguate a real NULL "
+                "group value from a rolled-up one, and make the four "
+                "strata hash-comparable across engines.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+                .withColumn("o_year", F.year("o_orderdate")))
+    return (joined.groupingSets([["n_name", "o_year"], ["n_name"],
+                                 ["o_year"], []],
+                                "n_name", "o_year")
+                  .agg(F.grouping("n_name").cast("int").alias("g_nation"),
+                       F.grouping("o_year").cast("int").alias("g_year"),
+                       F.sum(_disc_price()).cast("double").alias("revenue"))
+                  .select("n_name", "o_year", "g_nation", "g_year",
+                          "revenue"))
+
+
+@register(
+    "snapshot_reconciliation",
+    oracle="""
+    WITH prev AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 19 <> 0
+    ), curr AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                            + CAST(10.00 AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 23 <> 0
+    )
+    SELECT CASE WHEN p.c_custkey IS NULL THEN 'added'
+                WHEN c.c_custkey IS NULL THEN 'removed'
+                WHEN p.c_acctbal <> c.c_acctbal THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(COALESCE(c.c_acctbal, 0) AS DECIMAL(18,2))
+                    - CAST(COALESCE(p.c_acctbal, 0) AS DECIMAL(18,2)))
+                AS DOUBLE) AS balance_delta
+    FROM prev p FULL OUTER JOIN curr c ON p.c_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    operators="J1,A5,P7",
+    description="Snapshot reconciliation (the audit counterpart of the "
+                "upsert sink, sources/sinks.py): FULL OUTER join of two "
+                "keyed table versions classifying every key as added / "
+                "removed / changed / unchanged, with the net measure "
+                "delta per class — how a warehouse diffs yesterday's "
+                "dimension load against today's before publishing. The "
+                "two versions are derived deterministically from the "
+                "customer table (%19 / %23 key drops + a %7 balance "
+                "bump) so the oracle sees identical inputs. A full "
+                "outer join cannot broadcast (both sides must surface "
+                "unmatched rows) — it shuffles both sides on the key "
+                "once, which is the correct and only plan at 100 TB; "
+                "the per-class rollup is 4 rows.",
+)
+def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    prev = (cust.filter(F.col("c_custkey") % 19 != 0)
+                .select(F.col("c_custkey").alias("pk"),
+                        F.col("c_acctbal").alias("prev_bal")))
+    bumped = (dec2("c_acctbal")
+              + F.lit("10.00").cast(DecimalType(18, 2))).cast("double")
+    curr = (cust.filter(F.col("c_custkey") % 23 != 0)
+                .select(F.col("c_custkey").alias("ck"),
+                        F.when(F.col("c_custkey") % 7 == 0, bumped)
+                         .otherwise(F.col("c_acctbal")).alias("curr_bal")))
+    change = (F.when(F.col("pk").isNull(), "added")
+               .when(F.col("ck").isNull(), "removed")
+               .when(F.col("prev_bal") != F.col("curr_bal"), "changed")
+               .otherwise("unchanged"))
+    zero = F.lit(0).cast(DecimalType(18, 2))
+    delta = (F.coalesce(dec2("curr_bal"), zero)
+             - F.coalesce(dec2("prev_bal"), zero))
+    return (prev.join(curr, prev.pk == curr.ck, "full_outer")
+                .groupBy(change.alias("change_type"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum(delta).cast("double").alias("balance_delta")))

@@ -128,6 +128,8 @@ HEADLINE = [
     "late_line_priority_mix",
     "dominant_part_suppliers",
     "blamed_suppliers_waiting",
+    "grouping_sets_revenue",
+    "snapshot_reconciliation",
 ]
 
 

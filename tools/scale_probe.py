@@ -101,6 +101,8 @@ PROBE_QUERIES = [
     "late_line_priority_mix",
     "dominant_part_suppliers",
     "blamed_suppliers_waiting",
+    "grouping_sets_revenue",
+    "snapshot_reconciliation",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
