@@ -395,17 +395,25 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     checkpoint dir — same shape, durable blocks.
     """
     # Edges are local-checkpointed, not just persisted: they're consumed
-    # once per round, so materializing once is right anyway. (The loop
-    # deliberately contains no Union: a round shaped as
+    # once per round, so materializing once is right anyway. The
+    # symmetric closure is emitted by a single explode, NOT a
+    # union-of-two-selects: `pairs` arrives unpersisted from a full
+    # minhash+verify pipeline, and a union would execute that whole
+    # subtree once per branch — measured 5.4 s vs 2.8 s at sf0.1 after
+    # the r07 shuffle_hash verify-join change made the subtree pricier.
+    # (The loop also deliberately contains no Union: a round shaped as
     # union(labels, neighbor_labels).groupBy.min trips a Catalyst
     # constraint-rewrite crash — NoSuchElementException in
     # Union.rewriteConstraints — once the loop's self-referencing
     # lineage carries inferred constraints, e.g. from spark.range
     # sources. The join+least formulation below is equivalent and
     # constraint-safe.)
-    edges = (pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-                  .unionByName(pairs.select(F.col("id2").alias("src"),
-                                            F.col("id1").alias("dst")))
+    edges = (pairs.select(F.explode(F.array(
+                      F.struct(F.col("id1").alias("src"),
+                               F.col("id2").alias("dst")),
+                      F.struct(F.col("id2").alias("src"),
+                               F.col("id1").alias("dst")))).alias("e"))
+                  .select("e.src", "e.dst")
                   .localCheckpoint(eager=True))
     labels = (vertices.select(F.col(id_col).alias("v"),
                               F.col(id_col).cast("long").alias("label"))

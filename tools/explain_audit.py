@@ -38,6 +38,11 @@ AUDITED = [
     "similarity_topk_bruteforce",
     "shipping_priority_topk",
     "local_supplier_volume",
+    # r07 decision-support pack heavyweights
+    "grouping_sets_revenue",
+    "nation_market_share",
+    "blamed_suppliers_waiting",
+    "snapshot_reconciliation",
 ]
 
 
