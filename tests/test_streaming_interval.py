@@ -1,0 +1,175 @@
+"""Stream/batch equivalence for the stream-stream interval join."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.streaming.interval_join import (
+    error_signup_stream,
+)
+
+
+def _write_chunks(in_dir, chunks, ts_col):
+    import pandas as pd
+    in_dir.mkdir(exist_ok=True)
+    for i, chunk in enumerate(chunks):
+        with open(in_dir / f"b{i:03d}.json", "w") as f:
+            for e in chunk:
+                row = dict(e)
+                row[ts_col] = str(pd.Timestamp(row[ts_col], unit="us"))
+                f.write(json.dumps(row) + "\n")
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """sf0.001 error/signup events replayed as two independent
+    micro-batched file streams (different batch boundaries per side,
+    shuffled within batches) emit EXACTLY the batch range_join_events
+    pair set."""
+    import random
+
+    from airline_data_warehouse_spark.plans.registry import all_queries, load
+
+    sf = "/root/testdata/sf0.001"
+    events = load(spark, sf, "events")
+    errors = [r.asDict() for r in
+              (events.filter(F.col("event_type") == "error")
+                     .select(F.col("event_id").alias("error_id"), "user_id",
+                             F.unix_micros("ts").alias("error_ts"))).collect()]
+    signups = [r.asDict() for r in
+               (events.filter(F.col("event_type") == "signup")
+                      .select(F.col("event_id").alias("signup_id"),
+                              F.col("user_id").alias("s_user_id"),
+                              F.unix_micros("ts").alias("signup_ts"))
+                ).collect()]
+    rng = random.Random(23)
+
+    def split(rows, n, ts_col):
+        # time-ordered micro-batches (the watermark contract), shuffled
+        # WITHIN each batch — intra-batch disorder is what watermarks
+        # absorb; inter-batch time travel is not
+        rows.sort(key=lambda e: e[ts_col])
+        cuts = sorted(rng.sample(range(1, len(rows)), n - 1))
+        chunks = [rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])]
+        for c in chunks:
+            rng.shuffle(c)
+        return chunks
+
+    _write_chunks(tmp_path / "errs", split(errors, 4, "error_ts"), "error_ts")
+    _write_chunks(tmp_path / "sups", split(signups, 3, "signup_ts"),
+                  "signup_ts")
+
+    err_src = (spark.readStream
+               .schema("error_id long, user_id long, error_ts timestamp")
+               .option("maxFilesPerTrigger", 1).json(str(tmp_path / "errs")))
+    sup_src = (spark.readStream
+               .schema("signup_id long, s_user_id long, signup_ts timestamp")
+               .option("maxFilesPerTrigger", 1).json(str(tmp_path / "sups")))
+    q = (error_signup_stream(err_src, sup_src)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ivj")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["error_id"], r["signup_id"], r["user_id"])
+           for r in spark.sql("SELECT * FROM ivj").collect()}
+    expect = {(r["error_id"], r["signup_id"], r["user_id"])
+              for r in all_queries()["range_join_events"]
+              .builder(spark, sf).collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_interval_join_state_evicts_with_watermark(spark, tmp_path):
+    """The physical plan carries watermarks on both sides and a
+    time-range condition — the two preconditions for bounded join
+    state. (Spark refuses unbounded stream-stream joins in append mode
+    outright, so a successful start already implies state cleanup is
+    possible; this pins that we didn't regress into that error.)"""
+    (tmp_path / "noop_e").mkdir()
+    (tmp_path / "noop_s").mkdir()
+    err_src = (spark.readStream
+               .schema("error_id long, user_id long, error_ts timestamp")
+               .json(str(tmp_path / "noop_e")))
+    sup_src = (spark.readStream
+               .schema("signup_id long, s_user_id long, signup_ts timestamp")
+               .json(str(tmp_path / "noop_s")))
+    df = error_signup_stream(err_src, sup_src, tolerance_seconds=60,
+                             watermark="10 minutes")
+    assert df.isStreaming
+    # both watermark columns survive into the logical plan
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+
+
+def test_interval_join_left_outer_emits_escalations(spark, tmp_path):
+    """left_outer: every error with NO signup within the tolerance
+    emits exactly one (error_id, NULL) escalation row once the
+    watermark passes its window — proven by a far-future sentinel
+    batch that advances the watermark past every real event. Matched
+    pairs are identical to the inner join's."""
+    import random
+
+    from airline_data_warehouse_spark.plans.registry import all_queries, load
+
+    sf = "/root/testdata/sf0.001"
+    events = load(spark, sf, "events")
+    errors = [r.asDict() for r in
+              (events.filter(F.col("event_type") == "error")
+                     .select(F.col("event_id").alias("error_id"), "user_id",
+                             F.unix_micros("ts").alias("error_ts"))).collect()]
+    signups = [r.asDict() for r in
+               (events.filter(F.col("event_type") == "signup")
+                      .select(F.col("event_id").alias("signup_id"),
+                              F.col("user_id").alias("s_user_id"),
+                              F.unix_micros("ts").alias("signup_ts"))
+                ).collect()]
+    rng = random.Random(31)
+    errors.sort(key=lambda e: e["error_ts"])
+    signups.sort(key=lambda e: e["signup_ts"])
+    cut_e = rng.randrange(1, len(errors))
+    cut_s = rng.randrange(1, len(signups))
+    horizon = max(errors[-1]["error_ts"], signups[-1]["signup_ts"])
+    far = horizon + 10 * 3600 * 1_000_000
+    # sentinels on BOTH sides: the query's watermark is the MIN across
+    # all event-time columns, so advancing only one stream would leave
+    # every error within (delay + tolerance) of the other stream's end
+    # unresolved in state
+    e_sentinel = {"error_id": -1, "user_id": -1, "error_ts": far}
+    s_sentinel = {"signup_id": -2, "s_user_id": -2, "signup_ts": far}
+    _write_chunks(tmp_path / "errs",
+                  [errors[:cut_e], errors[cut_e:], [e_sentinel]], "error_ts")
+    _write_chunks(tmp_path / "sups",
+                  [signups[:cut_s], signups[cut_s:], [s_sentinel]],
+                  "signup_ts")
+
+    err_src = (spark.readStream
+               .schema("error_id long, user_id long, error_ts timestamp")
+               .option("maxFilesPerTrigger", 1).json(str(tmp_path / "errs")))
+    sup_src = (spark.readStream
+               .schema("signup_id long, s_user_id long, signup_ts timestamp")
+               .option("maxFilesPerTrigger", 1).json(str(tmp_path / "sups")))
+    q = (error_signup_stream(err_src, sup_src, how="left_outer")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ivj_lo")
+         .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = [r for r in spark.sql("SELECT * FROM ivj_lo").collect()
+            if r["error_id"] != -1]
+    got_pairs = {(r["error_id"], r["signup_id"]) for r in rows
+                 if r["signup_id"] is not None}
+    got_escal = {r["error_id"] for r in rows if r["signup_id"] is None}
+
+    batch = all_queries()["range_join_events"].builder(spark, sf).collect()
+    expect_pairs = {(r["error_id"], r["signup_id"]) for r in batch}
+    matched = {e for e, _ in expect_pairs}
+    expect_escal = {e["error_id"] for e in errors} - matched
+
+    assert got_pairs == expect_pairs
+    assert got_escal == expect_escal
+    # exactly one escalation row per unmatched error
+    assert len([r for r in rows if r["signup_id"] is None]) == len(got_escal)
