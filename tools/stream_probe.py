@@ -84,9 +84,96 @@ def run_config(spark, docs_json: list[str], label: str, workdir: str,
             "per_batch": per_batch}
 
 
+def run_interval_join(spark, sf_dir: str, n_batches: int,
+                      workdir: str) -> dict:
+    """Replay sf error/signup events time-ordered through the
+    stream-stream interval join and record, per batch, wall-clock and
+    the join's state-store row count (query.lastProgress). The
+    watermark (2 h) + tolerance (1 h) should keep state rows plateaued
+    near the per-horizon arrival volume while total processed rows
+    grow linearly — measured bounded-state evidence for
+    streaming/interval_join.py."""
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.plans.registry import load
+    from airline_data_warehouse_spark.streaming.interval_join import (
+        error_signup_stream,
+    )
+
+    events = load(spark, sf_dir, "events")
+    errs = (events.filter(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("error_id"), "user_id",
+                    F.col("ts").alias("error_ts"))
+            .orderBy("error_ts").collect())
+    sups = (events.filter(F.col("event_type") == "signup")
+            .select(F.col("event_id").alias("signup_id"),
+                    F.col("user_id").alias("s_user_id"),
+                    F.col("ts").alias("signup_ts"))
+            .orderBy("signup_ts").collect())
+    e_dir = os.path.join(workdir, "ivj_e")
+    s_dir = os.path.join(workdir, "ivj_s")
+    os.makedirs(e_dir); os.makedirs(s_dir)
+
+    def chunks(rows, n):
+        per = max(1, len(rows) // n)
+        return [rows[i:i + per] for i in range(0, len(rows), per)][:n]
+
+    e_chunks, s_chunks = chunks(errs, n_batches), chunks(sups, n_batches)
+
+    def write_chunk(path, i, rows, ts_field):
+        with open(os.path.join(path, f"b{i:04d}.json"), "w") as f:
+            for r in rows:
+                d = r.asDict()
+                d[ts_field] = str(d[ts_field])
+                f.write(json.dumps(d) + "\n")
+
+    err_src = (spark.readStream
+               .schema("error_id long, user_id long, error_ts timestamp")
+               .option("maxFilesPerTrigger", 1).json(e_dir))
+    sup_src = (spark.readStream
+               .schema("signup_id long, s_user_id long, signup_ts timestamp")
+               .option("maxFilesPerTrigger", 1).json(s_dir))
+    q = (error_signup_stream(err_src, sup_src)
+         .writeStream.outputMode("append").format("noop")
+         .option("checkpointLocation", os.path.join(workdir, "ivj_ckpt"))
+         .start())
+    per_batch = []
+    try:
+        for i in range(max(len(e_chunks), len(s_chunks))):
+            if i < len(e_chunks):
+                write_chunk(e_dir, i, e_chunks[i], "error_ts")
+            if i < len(s_chunks):
+                write_chunk(s_dir, i, s_chunks[i], "signup_ts")
+            t0 = time.time()
+            q.processAllAvailable()
+            dt = time.time() - t0
+            prog = q.lastProgress
+            state_rows = (prog["stateOperators"][0]["numRowsTotal"]
+                          if prog and prog.get("stateOperators") else None)
+            per_batch.append({"batch": i, "sec": round(dt, 3),
+                              "state_rows": state_rows})
+            if i % 10 == 0 or i == n_batches - 1:
+                print(f"interval_join b{i:03d}: {dt:.2f}s "
+                      f"state_rows={state_rows}", flush=True)
+    finally:
+        q.stop()
+    last10 = [b["sec"] for b in per_batch[-10:]]
+    first10 = [b["sec"] for b in per_batch[1:11]]
+    states = [b["state_rows"] for b in per_batch if b["state_rows"]]
+    return {"config": "interval_join", "n_batches": len(per_batch),
+            "first10_avg_sec": round(sum(first10) / len(first10), 3),
+            "last10_avg_sec": round(sum(last10) / len(last10), 3),
+            "peak_state_rows": max(states) if states else None,
+            "final_state_rows": states[-1] if states else None,
+            "total_errors": len(errs), "total_signups": len(sups),
+            "per_batch": per_batch}
+
+
 def main() -> int:
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    interval_only = "--interval" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--interval"]
+    n_batches = int(argv[0]) if argv else 50
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession
 
@@ -100,7 +187,8 @@ def main() -> int:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    rows = (load(spark, sf_dir, "documents")
+    rows = ([] if interval_only else
+            load(spark, sf_dir, "documents")
             .select("doc_id", "text").collect())
     per = max(1, len(rows) // n_batches)
     docs_json = []
@@ -114,6 +202,11 @@ def main() -> int:
     workdir = tempfile.mkdtemp(prefix="stream_probe_")
     try:
         out = []
+        if interval_only:
+            summary = run_interval_join(spark, sf_dir, n_batches, workdir)
+            print(json.dumps({k: v for k, v in summary.items()
+                              if k != "per_batch"}))
+            return 0
         for label, ce, rb in [("baseline", None, None),
                               ("compact", 10, None),
                               ("retained", 10, 10)]:
