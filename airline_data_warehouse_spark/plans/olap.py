@@ -876,13 +876,18 @@ def blamed_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="A5,J1-J5",
     description="Explicit GROUPING SETS (the general form rollup/cube "
                 "specialize): revenue by (nation, year), by nation, by "
-                "year, and grand total in ONE aggregation pass — the "
-                "physical plan Expands each input row once per set "
-                "(4x) and aggregates with map-side partials, vs four "
-                "separate scans+shuffles for the union-of-aggregates "
-                "phrasing. GROUPING() markers disambiguate a real NULL "
-                "group value from a rolled-up one, and make the four "
-                "strata hash-comparable across engines.",
+                "year, and grand total, computed TWO-PHASE: a plain "
+                "(nation, year) aggregate first — one fact shuffle — "
+                "then GROUPING SETS over that |nations|x|years|-row "
+                "frame, where the 4x Expand multiplies ~175 rows "
+                "instead of every fact row. SUM re-aggregates "
+                "losslessly (exact DECIMAL partials), so this is "
+                "bit-identical to the single-phase plan but shuffles "
+                "a quarter of the volume — the rewrite that matters "
+                "when Expand would otherwise 4x a 100 TB shuffle. "
+                "GROUPING() markers disambiguate a real NULL group "
+                "value from a rolled-up one, and make the four strata "
+                "hash-comparable across engines.",
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
@@ -891,18 +896,19 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-                .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-                .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-                .withColumn("o_year", F.year("o_orderdate")))
-    return (joined.groupingSets([["n_name", "o_year"], ["n_name"],
-                                 ["o_year"], []],
-                                "n_name", "o_year")
-                  .agg(F.grouping("n_name").cast("int").alias("g_nation"),
-                       F.grouping("o_year").cast("int").alias("g_year"),
-                       F.sum(_disc_price()).cast("double").alias("revenue"))
-                  .select("n_name", "o_year", "g_nation", "g_year",
-                          "revenue"))
+    base = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+              .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+              .agg(F.sum(_disc_price()).alias("_rev")))
+    return (base.groupingSets([["n_name", "o_year"], ["n_name"],
+                               ["o_year"], []],
+                              "n_name", "o_year")
+                .agg(F.grouping("n_name").cast("int").alias("g_nation"),
+                     F.grouping("o_year").cast("int").alias("g_year"),
+                     F.sum("_rev").cast("double").alias("revenue"))
+                .select("n_name", "o_year", "g_nation", "g_year",
+                        "revenue"))
 
 
 @register(
