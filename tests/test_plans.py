@@ -536,3 +536,43 @@ def test_last_touch_attribution_rules(spark, tmp_path):
     assert got[4]["attributed"] and got[4]["touch_event_id"] == 2
     assert not got[5]["attributed"] and got[5]["touch_event_id"] == 2
     assert got[5]["micros_since_touch"] is None
+
+
+def test_blamed_suppliers_decorrelation_matches_textbook_exists(spark, sf_dir):
+    """blamed_suppliers_waiting collapses TPC-H Q21's correlated
+    EXISTS / NOT EXISTS self-join pair into one per-order aggregate
+    (n_supp > 1 encodes EXISTS, n_late = 1 encodes NOT EXISTS, MAX
+    picks the unique culprit). The driver oracle transcribes the SAME
+    decorrelated form, so it cannot catch a flaw in the decorrelation
+    itself — this pins the Spark plan against the literal textbook
+    EXISTS formulation run in DuckDB."""
+    import duckdb
+
+    from airline_data_warehouse_spark.plans.registry import all_queries
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    textbook = con.execute("""
+        SELECT s_name, COUNT(*) AS waiting_orders FROM (
+          SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+            AND EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                              ON l3.l_orderkey = o3.o_orderkey
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_shipdate
+                                  > o3.o_orderdate + INTERVAL 365 DAY)
+        ) b JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name ORDER BY waiting_orders DESC, s_name ASC LIMIT 10
+    """).fetchall()
+    got = [(r["s_name"], r["waiting_orders"]) for r in
+           all_queries()["blamed_suppliers_waiting"]
+           .builder(spark, sf_dir).collect()]
+    assert got == textbook
