@@ -576,3 +576,31 @@ def test_blamed_suppliers_decorrelation_matches_textbook_exists(spark, sf_dir):
            all_queries()["blamed_suppliers_waiting"]
            .builder(spark, sf_dir).collect()]
     assert got == textbook
+
+
+def test_small_qty_decorrelation_matches_textbook_correlated_avg(spark, sf_dir):
+    """small_qty_order_revenue decorrelates Q17's correlated per-part
+    AVG subquery into an aggregate join-back; pin it against the
+    literal correlated form in DuckDB (which its driver oracle, being
+    the same decorrelation, cannot do)."""
+    import duckdb
+
+    from airline_data_warehouse_spark.plans.registry import all_queries
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    textbook = con.execute("""
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                 AS DOUBLE) / COUNT(*))
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """).fetchone()[0]
+    got = (all_queries()["small_qty_order_revenue"]
+           .builder(spark, sf_dir).collect()[0]["avg_yearly"])
+    assert got == textbook
