@@ -173,3 +173,85 @@ def test_interval_join_left_outer_emits_escalations(spark, tmp_path):
     assert got_escal == expect_escal
     # exactly one escalation row per unmatched error
     assert len([r for r in rows if r["signup_id"] is None]) == len(got_escal)
+
+
+def test_interval_join_restart_restores_state(spark, tmp_path):
+    """Kill the join after the first half of both streams, restart from
+    the same checkpoint with the second halves: pairs that straddle the
+    cut (error before, signup after) must still emit — the join state is
+    restored from the checkpoint — and nothing already emitted repeats.
+    Both sides split at one cut TIME, so every straddling pair is within
+    the tolerance (1 h) of the cut and safely inside the restored
+    watermark horizon (2 h)."""
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.plans.registry import all_queries, load
+
+    sf = "/root/testdata/sf0.001"
+    events = load(spark, sf, "events")
+    errors = sorted((r.asDict() for r in
+                     (events.filter(F.col("event_type") == "error")
+                      .select(F.col("event_id").alias("error_id"), "user_id",
+                              F.unix_micros("ts").alias("error_ts"))
+                      ).collect()), key=lambda e: e["error_ts"])
+    signups = sorted((r.asDict() for r in
+                      (events.filter(F.col("event_type") == "signup")
+                       .select(F.col("event_id").alias("signup_id"),
+                               F.col("user_id").alias("s_user_id"),
+                               F.unix_micros("ts").alias("signup_ts"))
+                       ).collect()), key=lambda e: e["signup_ts"])
+    # cut INSIDE a known pair's interval so at least one pair straddles
+    # the restart (an arbitrary cut finds none at this sparse SF: pairs
+    # within the 1 h tolerance of any given instant are rare)
+    batch_pairs = [
+        (r["error_id"], r["signup_id"]) for r in
+        all_queries()["range_join_events"].builder(spark, sf).collect()]
+    e_ts_all = {e["error_id"]: e["error_ts"] for e in errors}
+    s_ts_all = {s["signup_id"]: s["signup_ts"] for s in signups}
+    widest = max(batch_pairs,
+                 key=lambda p: abs(e_ts_all[p[0]] - s_ts_all[p[1]]))
+    assert e_ts_all[widest[0]] != s_ts_all[widest[1]], \
+        "no pair with distinct timestamps to cut between"
+    cut_time = (min(e_ts_all[widest[0]], s_ts_all[widest[1]])
+                + abs(e_ts_all[widest[0]] - s_ts_all[widest[1]]) // 2 + 1)
+    e_halves = ([e for e in errors if e["error_ts"] < cut_time],
+                [e for e in errors if e["error_ts"] >= cut_time])
+    s_halves = ([s for s in signups if s["signup_ts"] < cut_time],
+                [s for s in signups if s["signup_ts"] >= cut_time])
+    out_dir = str(tmp_path / "pairs_out")
+
+    def run_once(i):
+        _write_chunks(tmp_path / "errs", [e_halves[i]], "error_ts")
+        _write_chunks(tmp_path / "sups", [s_halves[i]], "signup_ts")
+        # distinct file names per run: _write_chunks numbers from 0
+        import os
+        for d, tag in (("errs", "e"), ("sups", "s")):
+            src = tmp_path / d / "b000.json"
+            src.rename(tmp_path / d / f"run{i}_{tag}.json")
+        err_src = (spark.readStream
+                   .schema("error_id long, user_id long, error_ts timestamp")
+                   .json(str(tmp_path / "errs")))
+        sup_src = (spark.readStream
+                   .schema("signup_id long, s_user_id long, "
+                           "signup_ts timestamp")
+                   .json(str(tmp_path / "sups")))
+        q = (error_signup_stream(err_src, sup_src)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "ckpt_rs"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once(0)
+    run_once(1)  # restart from the same checkpoint
+
+    got = [(r["error_id"], r["signup_id"]) for r in
+           spark.read.parquet(out_dir).collect()]
+    expect = {(r["error_id"], r["signup_id"]) for r in
+              all_queries()["range_join_events"].builder(spark, sf).collect()}
+    assert set(got) == expect
+    assert len(got) == len(expect)  # exactly once: no re-emission
+    straddle = {(e, s) for e, s in expect
+                if (e_ts_all[e] < cut_time) != (s_ts_all[s] < cut_time)}
+    assert straddle, "test vacuous: no pair straddles the cut either way"
+    assert straddle <= set(got)
