@@ -763,3 +763,53 @@ def bm25_search(df: DataFrame, terms: list[str], k: int = 10,
                  F.countDistinct("token").cast("int").alias("n_terms"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def source_token_divergence(df: DataFrame, text_col: str = "text",
+                            source_col: str = "source") -> DataFrame:
+    """Training-mix QA: how far each source's unigram distribution sits
+    from the blended corpus — KL(P_source || P_corpus) in nats, plus the
+    token volume and distinct-token counts the mixture designer reads it
+    with. A source of boilerplate or a different language shows up as a
+    high divergence; a source sampled FROM the blend shows ~0.
+
+    KL needs no smoothing here because every source term exists in the
+    corpus distribution by construction (Q(w) >= c_s(w)/n > 0 whenever
+    P_s(w) > 0).
+
+    Determinism contract (the same one the bigram LM and model-quality
+    scorers use): the only transcendental — ln of the count ratio — is
+    rounded to 6 dp per term, the weighted sum accumulates in exact
+    DECIMAL (integer c_s x 6-dp term), and the single division by the
+    source's token total happens once in double. Both engines therefore
+    compute bit-identical results in any row order.
+
+    Shape: one explode → per-(source, token) counts with map-side
+    partials; the corpus table re-aggregates the per-source one (never
+    the raw tokens); the join back is token-keyed and SHUFFLED — the
+    per-token table is Heaps'-law-sized and must not be broadcast (the
+    r07 rule). Scalars (corpus total) ride a 1-row broadcast.
+    """
+    toks = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+              .select(F.col(source_col).alias("source"),
+                      F.explode(_tokens(F.lower(F.col(text_col))))
+                       .alias("token"))
+              .filter(F.col("token") != ""))
+    sc = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_s"))
+    cc = sc.groupBy("token").agg(F.sum("c_s").alias("c")).hint("shuffle_hash")
+    tot_s = sc.groupBy("source").agg(
+        F.sum("c_s").alias("n_s"),
+        F.count(F.lit(1)).cast("int").alias("distinct_tokens"))
+    tot = cc.agg(F.sum("c").alias("n"))
+    term = F.round(F.log((F.col("c_s").cast("double") * F.col("n").cast("double"))
+                         / (F.col("n_s").cast("double") * F.col("c").cast("double"))),
+                   6).cast("decimal(20,6)")
+    return (sc.join(cc, "token")
+              .join(F.broadcast(tot_s), "source")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("source")
+              .agg(F.max("n_s").cast("long").alias("n_tokens"),
+                   F.max("distinct_tokens").alias("distinct_tokens"),
+                   F.round(F.sum(F.col("c_s") * term).cast("double")
+                           / F.max("n_s").cast("double"), 6)
+                    .alias("kl_vs_corpus")))

@@ -130,6 +130,7 @@ HEADLINE = [
     "blamed_suppliers_waiting",
     "grouping_sets_revenue",
     "snapshot_reconciliation",
+    "source_divergence_report",
 ]
 
 

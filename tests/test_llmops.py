@@ -1019,3 +1019,26 @@ def test_bm25_ranks_rare_terms_and_penalizes_length(spark):
     # long doc scores below every short common-term doc
     scores = {r["doc_id"]: r["score"] for r in got}
     assert all(scores[2] < scores[10 + i] for i in range(6))
+
+
+def test_source_divergence_zero_for_identical_sources(spark):
+    """KL(P_s||P_corpus) is exactly 0 when every source shares one
+    distribution (the 6-dp-rounded ln of ratio 1.0 is exactly 0), and
+    strictly positive for a source whose distribution differs."""
+    from airline_data_warehouse_spark.operators.text import (
+        source_token_divergence,
+    )
+    same = [("a", "x y z x"), ("b", "x y z x")]
+    rows = same + [("skewed", "x x x x x x x x q q q q")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in source_token_divergence(df).collect()}
+    # a and b are NOT zero (corpus includes the skewed source), but equal
+    assert got["a"]["kl_vs_corpus"] == got["b"]["kl_vs_corpus"] >= 0
+    assert got["skewed"]["kl_vs_corpus"] > 0
+    assert got["a"]["n_tokens"] == 4 and got["a"]["distinct_tokens"] == 3
+    # two identical-distribution sources alone -> both exactly 0
+    got2 = {r["source"]: r["kl_vs_corpus"] for r in
+            source_token_divergence(
+                spark.createDataFrame(same, "source string, text string")
+            ).collect()}
+    assert got2 == {"a": 0.0, "b": 0.0}

@@ -103,6 +103,7 @@ PROBE_QUERIES = [
     "blamed_suppliers_waiting",
     "grouping_sets_revenue",
     "snapshot_reconciliation",
+    "source_divergence_report",
 ]
 SCALED_TABLES = {"lineitem": "l_orderkey", "orders": "o_orderkey",
                  "events": "event_id", "documents": "doc_id",
