@@ -52,7 +52,7 @@ def test_stream_ingest_append(spark, stream_dir):
     parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
     q = st.append_status_sink(parsed, str(stream_dir / "status_table"),
                               str(stream_dir / "ckpt_append"))
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
     table = spark.read.parquet(str(stream_dir / "status_table"))
     assert table.count() == 4
     assert set(table.columns) == {"flight_key", "status", "delay_minutes", "update_timestamp"}
@@ -90,7 +90,7 @@ def test_eligibility_merge_partition_scoped(spark, stream_dir, tmp_path):
 
     parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
     q = st.start_eligibility_merge(parsed, fact_path, str(tmp_path / "ckpt_merge"))
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
 
     out = {r["transaction_id"]: r for r in spark.read.parquet(fact_path).collect()}
     assert len(out) == 4
@@ -125,7 +125,7 @@ def test_eligibility_merge_recovers_crashed_swap(spark, stream_dir, tmp_path):
 
     parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
     q = st.start_eligibility_merge(parsed, fact_path, str(tmp_path / "ckpt_crash"))
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
 
     out = {r["transaction_id"]: r for r in spark.read.parquet(fact_path).collect()}
     assert len(out) == 2  # the 202306 partition came back, nothing lost
@@ -148,7 +148,7 @@ def test_eligibility_merge_flat_fallback(spark, stream_dir, tmp_path):
     parsed = st.parse_status_stream(st.file_status_source(spark, str(stream_dir / "in")))
     q = st.start_eligibility_merge(parsed, fact_path, str(tmp_path / "ckpt_flat"),
                                    out_path=str(tmp_path / "fact_out"))
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
     out = {r["transaction_id"]: r for r in
            spark.read.parquet(str(tmp_path / "fact_out")).collect()}
     assert out["T1"]["is_eligible_insurance"] and not out["T3"]["is_eligible_insurance"]
@@ -168,7 +168,7 @@ def test_stream_static_enrichment(spark, stream_dir, tmp_path):
          .format("memory").queryName("enriched_out")
          .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
     rows = spark.sql("SELECT * FROM enriched_out").collect()
     assert len(rows) == 4
     by_flight = {r["flight_key"]: r for r in rows}
@@ -191,7 +191,7 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
         parsed = st.parse_status_stream(st.file_status_source(spark, str(in_dir)))
         q = st.append_status_sink(parsed, str(tmp_path / "table"),
                                   str(tmp_path / "ckpt"))
-        q.awaitTermination(60)
+        assert q.awaitTermination(600)
 
     run_once()
     assert spark.read.parquet(str(tmp_path / "table")).count() == 1
@@ -212,7 +212,7 @@ def test_windowed_delay_stats_and_dedup(spark, stream_dir, tmp_path):
          .format("memory").queryName("delay_stats")
          .option("checkpointLocation", str(tmp_path / "ckpt_stats"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
     rows = spark.sql("SELECT * FROM delay_stats").collect()
     # watermark closes nothing in a single availableNow batch unless a later
     # event advances it — with max ts 10:00 and 10m watermark, the 08:00 and
@@ -301,7 +301,7 @@ def test_streaming_curation_pipeline(spark, tmp_path):
          .option("path", out)
          .option("checkpointLocation", str(tmp_path / "ckpt_curate"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
 
     streamed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     batch = {r["doc_id"] for r in

@@ -12,14 +12,25 @@ from airline_data_warehouse_spark.streaming.interval_join import (
 
 
 def _write_chunks(in_dir, chunks, ts_col):
+    import os
+    import time
+
     import pandas as pd
     in_dir.mkdir(exist_ok=True)
+    base = time.time()
     for i, chunk in enumerate(chunks):
-        with open(in_dir / f"b{i:03d}.json", "w") as f:
+        path = in_dir / f"b{i:03d}.json"
+        with open(path, "w") as f:
             for e in chunk:
                 row = dict(e)
                 row[ts_col] = str(pd.Timestamp(row[ts_col], unit="us"))
                 f.write(json.dumps(row) + "\n")
+        # Spark's file stream source orders files by modification time;
+        # sub-millisecond writes tie, making batch order (and therefore
+        # watermark advancement) nondeterministic — a later-time chunk
+        # consumed first drops earlier events as late. Pin strictly
+        # increasing mtimes so micro-batches replay in chunk order.
+        os.utime(path, (base + i, base + i))
 
 
 def test_interval_join_stream_matches_batch(spark, tmp_path):
@@ -71,7 +82,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
          .queryName("ivj")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
 
     got = {(r["error_id"], r["signup_id"], r["user_id"])
            for r in spark.sql("SELECT * FROM ivj").collect()}
@@ -156,7 +167,7 @@ def test_interval_join_left_outer_emits_escalations(spark, tmp_path):
          .queryName("ivj_lo")
          .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
 
     rows = [r for r in spark.sql("SELECT * FROM ivj_lo").collect()
             if r["error_id"] != -1]
@@ -240,7 +251,7 @@ def test_interval_join_restart_restores_state(spark, tmp_path):
              .option("path", out_dir)
              .option("checkpointLocation", str(tmp_path / "ckpt_rs"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(600)
 
     run_once(0)
     run_once(1)  # restart from the same checkpoint
