@@ -30,6 +30,13 @@ _DEFAULTS: dict[str, str] = {
     # here because quarantine/dirty-split correctness relies on reading
     # raw values, never on parse-time coercion).
     "spark.sql.parquet.filterPushdown": "true",
+    # Write timestamps as INT64 micros, not legacy INT96: INT96 columns
+    # carry NO footer min/max statistics, so every time predicate over
+    # engine-written parquet would read every row group — the dominant
+    # filter in this warehouse (warehouse.py layout notes, sources/
+    # layout.py z-order tiles) would never skip. Micros match the
+    # engine's unix_micros arithmetic exactly.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.ansi.enabled": "false",
     # PySpark 4 captures the Python call site for EVERY DataFrame/Column
     # API call (an extra py4j round trip each) to enrich error messages.

@@ -1,0 +1,144 @@
+"""Z-order (Morton) layout: multi-dimensional file skipping, verified
+against real parquet footer statistics — not the writer's intent but
+what an engine's pruning actually consults."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.plans.registry import load
+from airline_data_warehouse_spark.sources.layout import (
+    bucket_rank,
+    equi_depth_boundaries,
+    file_column_ranges,
+    files_scanned,
+    morton_key,
+    write_linear,
+    write_zorder,
+)
+
+SF = "/root/testdata/sf0.01"
+N_FILES = 16
+
+
+def _micros(dt):
+    return int(dt.timestamp() * 1_000_000)
+
+
+def _span(entry, col, lo, hi, to_num=float):
+    fmin, fmax = entry[col]
+    return (to_num(fmax) - to_num(fmin)) / (hi - lo)
+
+
+def test_zorder_tiles_both_dimensions(spark, tmp_path):
+    """Each z-ordered file covers a compact tile in BOTH user_id and ts
+    (mean normalized span well under the full range), while the
+    ts-range baseline leaves user_id unclustered (span ~1 per file)."""
+    events = load(spark, SF, "events").select("event_id", "ts", "user_id",
+                                              "value")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zorder(events, zpath, ["user_id", "ts"], n_files=N_FILES, bits=6)
+    write_linear(events, lpath, "ts", n_files=N_FILES)
+
+    u_lo, u_hi, t_lo, t_hi = (events.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))).collect()[0])
+
+    def spans(path):
+        ranges = file_column_ranges(path, ["user_id", "ts"])
+        # block-aligned partitioning can merge adjacent blocks into one
+        # file when the range sampler coalesces two block ids
+        assert N_FILES - 2 <= len(ranges) <= N_FILES
+        u = [_span(e, "user_id", u_lo, u_hi) for e in ranges]
+        t = [_span(e, "ts", t_lo, t_hi,
+                   to_num=lambda v: _micros(v)) for e in ranges]
+        return sum(u) / len(u), sum(t) / len(t)
+
+    zu, zt = spans(zpath)
+    lu, lt = spans(lpath)
+    # 16 aligned blocks over a 64x64 rank grid -> quarter-range tiles
+    # per dim (merged boundary files can reach a half-range)
+    assert zu < 0.4 and zt < 0.4, (zu, zt)
+    # the single-column layout clusters ts tightly and user_id not at all
+    assert lt < 0.15 and lu > 0.9, (lu, lt)
+
+
+def test_zorder_prunes_predicates_on_either_column(spark, tmp_path):
+    """File-skipping simulation from the real footer stats: the z-order
+    layout prunes a user_id-only predicate (the ts-sorted baseline
+    scans every file) while still pruning ts predicates."""
+    events = load(spark, SF, "events").select("event_id", "ts", "user_id")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zorder(events, zpath, ["user_id", "ts"], n_files=N_FILES, bits=6)
+    write_linear(events, lpath, "ts", n_files=N_FILES)
+    zr = file_column_ranges(zpath, ["user_id", "ts"])
+    lr = file_column_ranges(lpath, ["user_id", "ts"])
+    n_z = len(zr)       # block-aligned partitioning may merge a block
+
+    # ~1/8th of the user_id range, inside one curve quartile
+    user_pred = {"user_id": (80, 105)}
+    z_user, l_user = files_scanned(zr, user_pred), files_scanned(lr, user_pred)
+    assert l_user == N_FILES          # single-column sort cannot skip
+    assert z_user <= n_z // 2, z_user
+
+    # a 4-day window, no user predicate: both layouts skip, linear best
+    utc = datetime.timezone.utc       # pyarrow stats are tz-aware UTC
+    ts_pred = {"ts": (datetime.datetime(2024, 1, 10, tzinfo=utc),
+                      datetime.datetime(2024, 1, 14, tzinfo=utc))}
+    z_ts, l_ts = files_scanned(zr, ts_pred), files_scanned(lr, ts_pred)
+    assert l_ts <= 4
+    assert z_ts <= n_z // 2, z_ts
+
+    # the 2-D box prunes at least as well as its weakest 1-D side
+    both = {**user_pred, **ts_pred}
+    assert files_scanned(zr, both) <= min(z_user, z_ts)
+
+
+def test_zorder_write_is_lossless_and_key_free(spark, tmp_path):
+    """Round trip: same rows, same schema, no _zkey helper column."""
+    events = load(spark, SF, "events")
+    zpath = str(tmp_path / "z")
+    write_zorder(events, zpath, ["user_id", "ts"], n_files=N_FILES)
+    back = spark.read.parquet(zpath)
+    assert set(back.columns) == set(events.columns)
+    assert back.count() == events.count()
+    assert back.select(F.sum(F.hash(*sorted(back.columns)))).collect()[0][0] \
+        == events.select(F.sum(F.hash(*sorted(events.columns)))).collect()[0][0]
+
+
+def test_bucket_rank_equi_depth_and_null_low(spark):
+    """Ranks are equi-depth within the sketch tolerance and NULL lands
+    in bucket 0 (clustered, not scattered)."""
+    df = spark.range(0, 4096).select(
+        F.when(F.col("id") % 512 == 0, None)
+         .otherwise(F.col("id")).alias("v").cast("double"))
+    bounds = equi_depth_boundaries(df, "v", 16)
+    ranked = df.select(F.col("v"), bucket_rank(df, "v", bounds).alias("r"))
+    counts = {r["r"]: r["n"] for r in
+              ranked.groupBy("r").agg(F.count("*").alias("n")).collect()}
+    assert ranked.filter(F.col("v").isNull())\
+                 .filter(F.col("r") != 0).count() == 0
+    assert set(counts) == set(range(16))
+    sizes = [counts[i] for i in range(1, 16)]    # bucket 0 also holds nulls
+    assert max(sizes) <= 2 * min(sizes), counts
+
+
+def test_morton_key_interleaves_bits(spark):
+    """Spot-check the Z-curve: key(a, b) interleaves a's bits at even
+    and b's at odd positions."""
+    df = spark.createDataFrame([(a, b) for a in range(8) for b in range(8)],
+                               "a int, b int")
+    z = df.select("a", "b",
+                  morton_key([F.col("a"), F.col("b")], 3).alias("z")).collect()
+
+    def expect(a, b):
+        out = 0
+        for i in range(3):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    for r in z:
+        assert r["z"] == expect(r["a"], r["b"]), (r["a"], r["b"], r["z"])
