@@ -813,3 +813,83 @@ def source_token_divergence(df: DataFrame, text_col: str = "text",
                    F.round(F.sum(F.col("c_s") * term).cast("double")
                            / F.max("n_s").cast("double"), 6)
                     .alias("kl_vs_corpus")))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 50,
+              min_pair_count: int = 2,
+              checkpoint_every: int = 8) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules from the corpus. Returns the ordered merge
+    list plus the final symbolized word histogram
+    (word, count, syms: array<string>).
+
+    Scale shape — the insight that makes tokenizer training cheap at
+    100 TB: after ONE corpus pass builds the word histogram, every
+    iteration runs on the histogram only (Heaps-law-sized: millions of
+    rows for a web-scale corpus, never the corpus). Per iteration:
+
+    * adjacent-pair counts via two ``slice``s + ``arrays_zip`` +
+      explode, weighted by word count — one histogram-keyed
+      aggregation with map-side partials;
+    * the winning pair is a 1-row ``limit(1).collect()`` — the same
+      bounded per-round convergence scalar kmeans_assign and
+      connected_components use, NOT a data collect;
+    * the merge rewrite is a left-fold ``F.aggregate`` over each
+      symbol array (leftmost-first non-overlapping, matching the
+      reference algorithm) — a pure codegen-able expression, no UDF;
+    * lineage is truncated with a lazy ``localCheckpoint`` every
+      ``checkpoint_every`` merges (the kmeans deep-iteration trade),
+      else each rewrite nests the whole prior plan.
+
+    Ties break deterministically: highest count, then (first, second)
+    lexicographic ascending. Training stops early when the best pair's
+    count drops below ``min_pair_count``.
+    """
+    words = (df.select(F.explode(_tokens(F.lower(F.col(text_col))))
+                        .alias("word"))
+               .filter(F.col("word") != "")
+               .groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+               .withColumn("syms", F.concat(F.split(F.col("word"), ""),
+                                            F.array(F.lit("</w>")))))
+
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        n = F.size("syms")
+        pairs = (words
+                 .filter(n >= 2)
+                 .select("count",
+                         F.explode(F.arrays_zip(
+                             F.slice("syms", 1, n - 1).alias("a"),
+                             F.slice("syms", 2, n - 1).alias("b")))
+                          .alias("p"))
+                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                 .agg(F.sum("count").alias("total"))
+                 .orderBy(F.col("total").desc(), F.col("a").asc(),
+                          F.col("b").asc())
+                 .limit(1).collect())
+        if not pairs or pairs[0]["total"] < min_pair_count:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+        joined = a + b
+        words = words.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.lit(joined))))
+                 .otherwise(F.concat(acc, F.array(x)))))
+        if (it + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=False)
+    return merges, words
+
+
+def bpe_vocab(words: DataFrame) -> DataFrame:
+    """Subword vocabulary from a trained histogram: corpus frequency per
+    final symbol (one explode + one aggregation)."""
+    return (words.select("count", F.explode("syms").alias("symbol"))
+                 .groupBy("symbol").agg(F.sum("count").alias("count")))
