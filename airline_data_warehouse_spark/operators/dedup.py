@@ -205,6 +205,85 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                 .select("id1", "id2", "jaccard"))
 
 
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                k: int = DEFAULT_SHINGLE_K,
+                                threshold: float = 0.6) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join via prefix filtering — the
+    AllPairs/SSJoin family (Chaudhuri et al., "A Primitive Operator for
+    Similarity Joins", ICDE'06; Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07). The exact-algorithm complement of the
+    MinHash-LSH path: LSH trades false negatives for speed, prefix
+    filtering guarantees the complete answer — every pair with
+    J(x, y) >= threshold is emitted, with no probabilistic recall caveat.
+
+    Why it scales: order every shingle set by GLOBAL token frequency,
+    rarest first. A pair with J >= t must share at least one token among
+    the first ``|x| - ceil(t*|x|) + 1`` tokens of each set (if the
+    prefixes were disjoint, the overlap is at most the suffix length
+    ceil(t*|x|) - 1 < t*|x| <= the required intersection). So candidate
+    generation is an inverted-index equi-join on PREFIX tokens only —
+    and because the ordering puts the rarest tokens in the prefix, the
+    postings lists being joined are the shortest ones in the corpus.
+    Never all-pairs; candidate volume tracks prefix-postings collisions.
+
+    Pruning bounds are computed in DECIMAL so they are exact: with
+    double math, 0.6*5 = 3.0000000000000004 and ceil() of it drops a
+    true J = 3/5 subset pair — a silent false negative that only shows
+    up on adversarial set sizes. The trailing verify join removes prefix
+    false positives, so the output is exactly { (x, y) : J >= t }.
+
+    The global frequency table grows with vocabulary (Heaps' law), so it
+    joins shuffle_hash, never broadcast — same rule as tf_idf (r07).
+    """
+    from decimal import Decimal
+
+    t = F.lit(Decimal(str(threshold)).quantize(Decimal("0.000001")))
+    sh = _persist(shingled(df, text_col, id_col, k))
+    tok = sh.select(F.col(id_col), F.size("hs").alias("n"),
+                    F.explode("hs").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    # rank each doc's tokens rarest-first; (df_t, t) is a total order so
+    # both join sides agree on every doc's prefix deterministically
+    pos = F.row_number().over(Window.partitionBy(id_col).orderBy("df_t", "t"))
+    prefix = _persist(
+        tok.join(freq.hint("shuffle_hash"), "t")
+           .withColumn("pos", pos)
+           .filter(F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+           .select(id_col, "n", "t", "pos"))
+    a = prefix.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"),
+                      F.col("pos").alias("p1"), "t")
+    b = prefix.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"),
+                      F.col("pos").alias("p2"), "t")
+    # PPJoin positional filter (Xiao et al., WWW'08): a shared token at
+    # ranks (p1, p2) bounds the overlap by ub = 1 + min(n1-p1, n2-p2)
+    # (only suffix tokens can still match), and J >= t needs overlap
+    # >= t*(n1+n2)/(1+t). ub shrinks with position, so filtering every
+    # matched-token row keeps a pair iff its EARLIEST shared token
+    # qualifies — sound, and on low-entropy corpora (templated text,
+    # where prefix tokens stop being rare) it is the difference between
+    # near-all-pairs and a usable candidate set: 125,775 -> 23,387 on
+    # the sf0.01 fixture. Stated multiplicatively — ub*(1+t) >= t*(n1+n2)
+    # — because decimal multiply is exact while t/(1+t) would round.
+    ub = F.lit(1) + F.least(F.col("n1") - F.col("p1"),
+                            F.col("n2") - F.col("p2"))
+    cand = (a.join(b, "t")
+             .filter((F.col("id1") < F.col("id2"))
+                     # length filter: J >= t forces t*max(|x|,|y|) <= min
+                     & (F.least("n1", "n2") >= t * F.greatest("n1", "n2"))
+                     & (ub * (1 + t) >= t * (F.col("n1") + F.col("n2"))))
+             .select("id1", "id2")
+             .distinct())
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("hs").alias("sh1")).hint("shuffle_hash")
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("hs").alias("sh2")).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (cand.join(s1, "id1").join(s2, "id2")
+                .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id1", "id2", "jaccard"))
+
+
 def incremental_minhash_pairs(corpus: DataFrame, increment: DataFrame,
                               text_col: str = "text", id_col: str = "doc_id",
                               k: int = DEFAULT_SHINGLE_K,

@@ -80,6 +80,7 @@ HEADLINE = [
     # exact -> lexical -> semantic dedup cascade
     "curation_pipeline",
     "dedup_cascade",
+    "dedup_prefix_filter_exact",
     "scd2_status_dimension",
     # r07 second wave: substring-level dedup, tokenizer application,
     # self-trained IVF quantizer, retrieval, time-range features,

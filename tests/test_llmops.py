@@ -52,6 +52,32 @@ def test_jaccard_verification(spark, near_dup_docs):
     assert all(j >= 0.5 for j in got.values())
 
 
+def test_prefix_filter_matches_lsh_verified_pairs(spark, near_dup_docs):
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in
+           dd.prefix_filter_jaccard_pairs(near_dup_docs, threshold=0.5).collect()}
+    want = {(r["id1"], r["id2"]): r["jaccard"] for r in
+            dd.ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()}
+    # exact join ⊇ LSH-verified; on this fixture LSH has full recall, so
+    # the two must agree pair-for-pair, jaccard-for-jaccard
+    assert got == want
+    assert got[(1, 5)] == 1.0
+
+
+def test_prefix_filter_boundary_subset_pair(spark):
+    # J = 3/5, exactly the t = 0.6 threshold: the pair survives ONLY if
+    # every pruning bound is computed in exact arithmetic — double math
+    # makes ceil(0.6*5) = ceil(3.0000000000000004) = 4, shortening the
+    # bigger doc's prefix past the only shared rare token, and the
+    # length filter's least(3,5) >= 0.6*5 comparison fails the same way.
+    # The positional filter also lands exactly on its bound here
+    # (ub*(1+t) = 4.8 = t*(n1+n2)), so all three prunes are pinned.
+    df = spark.createDataFrame([(1, "abcde"), (2, "abc")],
+                               "doc_id long, text string")
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in
+           dd.prefix_filter_jaccard_pairs(df, k=1, threshold=0.6).collect()}
+    assert got == {(1, 2): 0.6}
+
+
 def test_simhash_similarity(spark, near_dup_docs):
     sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(near_dup_docs).collect()}
     assert sigs[1] == sigs[5]
