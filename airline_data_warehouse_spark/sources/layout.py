@@ -128,6 +128,46 @@ def write_linear(df: DataFrame, path: str, col: str,
        .write.mode("overwrite").parquet(path))
 
 
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
+                           part_col: str = "event_date",
+                           files_per_day: int = 1) -> None:
+    """Hive-style date partitioning — the canonical 100 TB fact layout
+    for a time-series warehouse. Each day becomes a directory
+    (``event_date=2024-01-07/``), so
+
+    * a static date predicate never LISTS the other days (directory
+      pruning at planning time — cheaper even than footer-stats
+      skipping, which must still open every footer), and
+    * a join against a filtered date dimension prunes at RUNTIME via
+      Spark's dynamic partition pruning: the dim side's matching dates
+      are computed first (reusing the broadcast exchange) and only
+      those directories are scanned (pinned by
+      tests/test_partition_pruning.py::test_dynamic_partition_pruning).
+
+    ``repartition(part_col)`` before the write keeps one task's output
+    per day per shuffle partition, so a day emits ``files_per_day``
+    files instead of one small file per upstream task — at production
+    scale, small-file proliferation is what kills partitioned layouts
+    (every downstream scan pays per-file open + footer costs).
+
+    Complements write_zorder: partition by the dominant (time) axis,
+    z-order WITHIN partitions for secondary axes when needed.
+    """
+    keyed = df.withColumn(part_col, F.to_date(F.col(ts_col)))
+    # hash-shuffle on (day[, salt]): each day's rows land in exactly
+    # files_per_day tasks, so each day directory holds files_per_day
+    # files no matter how many upstream tasks touched that day
+    if files_per_day == 1:
+        out = keyed.repartition(F.col(part_col))
+    else:
+        out = keyed.repartition(
+            F.col(part_col),
+            F.pmod(F.xxhash64(F.col(ts_col)), F.lit(files_per_day)))
+    (out.write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path))
+
+
 # -- footer-statistics tooling (ops / tests) ------------------------------
 
 def file_column_ranges(path: str, cols: Sequence[str]) -> list[dict]:
