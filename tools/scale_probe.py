@@ -56,6 +56,7 @@ PROBE_QUERIES = [
     # r07: composed pipelines
     "curation_pipeline",
     "dedup_cascade",
+    "dedup_prefix_filter_exact",
     # r07 second wave: substring dedup, tokenize-to-ids, kmeans, search,
     # rolling features, curriculum
     "repeated_ngram_spans",
@@ -224,6 +225,24 @@ def recall_probe(spark, sf_dir: str, sample_docs: int = 300,
     out["minhash_pair_recall"] = round(
         len(got_pairs & truth_pairs) / max(len(truth_pairs), 1), 3)
     out["minhash_truth_pairs"] = len(truth_pairs)
+
+    # --- FULL-corpus LSH pair recall vs the exact prefix-filter join ---
+    # prefix_filter_jaccard_pairs is complete (no false negatives) and
+    # feasible corpus-wide, so unlike the sampled truth above this reads
+    # recall over EVERY pair. Both pipelines share the same exact-Jaccard
+    # verify predicate, so the LSH output is a subset of the exact
+    # output and recall reduces to a count ratio.
+    full_corpus = docs.unionByName(
+        docs.filter(F.length("text") >= 100)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.expr("substr(text, 1, (length(text) * 9) div 10)")
+                     .alias("text")))
+    exact_n = dd.prefix_filter_jaccard_pairs(full_corpus, threshold=0.6).count()
+    dd.release_caches()
+    lsh_n = dd.ngram_jaccard_pairs(full_corpus, threshold=0.6).count()
+    dd.release_caches()
+    out["minhash_pair_recall_fullcorpus"] = round(lsh_n / max(exact_n, 1), 3)
+    out["minhash_fullcorpus_truth_pairs"] = exact_n
 
     # --- Embedding near-dup pair recall vs exact cosine (sampled) ---
     emb = load(spark, sf_dir, "embeddings")
