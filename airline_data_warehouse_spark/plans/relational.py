@@ -337,6 +337,54 @@ def running_total_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "segment_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS customer_key,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c.c_mktsegment AS segment, s.customer_key,
+             CAST(s.spend AS DOUBLE) AS total_spend,
+             NTILE(10) OVER (PARTITION BY c.c_mktsegment
+                             ORDER BY s.spend DESC, s.customer_key) AS decile,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY c.c_mktsegment
+                             ORDER BY s.spend DESC, s.customer_key), 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER (PARTITION BY c.c_mktsegment
+                             ORDER BY s.spend DESC, s.customer_key), 6) AS cume
+      FROM spend s JOIN customer c ON c.c_custkey = s.customer_key
+    )
+    SELECT * FROM ranked WHERE decile <= 2
+    """,
+    operators="W-analytic",
+    description="Distribution-ranking analytics (ntile / percent_rank / "
+                "cume_dist): per-segment customer-value deciles, top-20% "
+                "band returned. Deterministic because the window orders by "
+                "(exact-decimal spend, customer_key) — a total order, so "
+                "ntile's bucket boundaries can't wobble between engines.",
+)
+def segment_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    spend = (orders.groupBy(F.col("o_custkey").alias("customer_key"))
+                   .agg(F.sum(dec2("o_totalprice")).alias("spend")))
+    w = (Window.partitionBy("segment")
+               .orderBy(F.col("spend").desc(), F.col("customer_key")))
+    return (spend.join(customer,
+                       spend.customer_key == customer.c_custkey)
+                 .select(F.col("c_mktsegment").alias("segment"),
+                         "customer_key", "spend")
+                 .withColumn("decile", F.ntile(10).over(w))
+                 .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+                 .withColumn("cume", F.round(F.cume_dist().over(w), 6))
+                 .filter(F.col("decile") <= 2)
+                 .select("segment", "customer_key",
+                         F.col("spend").cast("double").alias("total_spend"),
+                         "decile", "pct_rank", "cume"))
+
+
+@register(
     "global_latest_event",
     oracle="""
     SELECT event_id, user_id, event_type, ts, value FROM events

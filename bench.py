@@ -81,6 +81,7 @@ HEADLINE = [
     "curation_pipeline",
     "dedup_cascade",
     "dedup_prefix_filter_exact",
+    "segment_spend_deciles",
     "scd2_status_dimension",
     # r07 second wave: substring-level dedup, tokenizer application,
     # self-trained IVF quantizer, retrieval, time-range features,
