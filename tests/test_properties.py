@@ -384,3 +384,48 @@ def test_encode_decode_roundtrip_without_oov(spark):
             ",".join(map(str, ids)).encode()).hexdigest()
         # decode side: ids map back to the normalized token sequence
         assert " ".join(inv[i] for i in ids) == text
+
+
+def test_prefix_filter_exactness_property(spark):
+    """The exactness CLAIM of prefix_filter_jaccard_pairs, adversarially:
+    random low-entropy corpora (8-char alphabet, k=1 shingles — maximal
+    token collision, the regime where prefix/positional/length pruning
+    does all the work) must reproduce the brute-force all-pairs answer
+    bit-for-bit at several thresholds, including ones whose t/(1+t) is
+    non-terminating (0.7) — the case the decimal-multiply form of the
+    positional filter exists for."""
+    import hashlib
+
+    from airline_data_warehouse_spark.operators import dedup as dd
+    from airline_data_warehouse_spark.operators.hashing import MERSENNE_P
+
+    alpha = "abcdefgh"
+    # hashed-set jaccard == char-set jaccard iff the 8 per-char hashes
+    # are collision-free; pin that precondition rather than assume it
+    hashes = {int(hashlib.md5(c.encode()).hexdigest()[:15], 16) % MERSENNE_P
+              for c in alpha}
+    assert len(hashes) == len(alpha)
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(st.text(alphabet=alpha, max_size=12),
+                    min_size=40, max_size=40))
+    def check(texts):
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        sets = {i: set(t) for i, t in enumerate(texts) if t}
+        for thr in (0.3, 0.6, 0.7):
+            got = {(r["id1"], r["id2"]): r["jaccard"] for r in
+                   dd.prefix_filter_jaccard_pairs(df, k=1,
+                                                  threshold=thr).collect()}
+            dd.release_caches()
+            want = {}
+            for i in sets:
+                for j in sets:
+                    if i < j:
+                        inter = len(sets[i] & sets[j])
+                        union = len(sets[i] | sets[j])
+                        jv = round(inter / union, 6)
+                        if jv >= thr:
+                            want[(i, j)] = jv
+            assert got == want, thr
+    check()
