@@ -195,14 +195,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # scale (reproduced in the r07 8x probe via dedup_cascade — two
     # concurrent ~270 MB builds). A shuffled hash join builds per-
     # PARTITION maps instead; no sort, id-keyed, safe at any corpus size.
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("hs").alias("sh1")).hint("shuffle_hash")
-    s2 = sh.select(F.col(id_col).alias("id2"), F.col("hs").alias("sh2")).hint("shuffle_hash")
+    s1 = sh.select(F.col(id_col).alias("id1"), _i32("hs").alias("sh1")).hint("shuffle_hash")
+    s2 = sh.select(F.col(id_col).alias("id2"), _i32("hs").alias("sh2")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (cand.join(s1, "id1").join(s2, "id2")
                 .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id1", "id2", "jaccard"))
+
+
+def _i32(col: str) -> F.Column:
+    """Shingle hashes are 31-bit by construction (mod 2^31-1) but ride
+    in array<long>: cast to array<int> at the verify-join boundary so
+    the candidate-proportional array shuffle — the dominant cost of
+    every Jaccard verify (1.6 GB for the exact join at sf0.1, measured)
+    — ships half the bytes. Values are preserved exactly; MinHash/
+    SimHash arithmetic upstream keeps the long form it needs."""
+    return F.col(col).cast("array<int>")
 
 
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -274,8 +284,8 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      & (ub * (1 + t) >= t * (F.col("n1") + F.col("n2"))))
              .select("id1", "id2")
              .distinct())
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("hs").alias("sh1")).hint("shuffle_hash")
-    s2 = sh.select(F.col(id_col).alias("id2"), F.col("hs").alias("sh2")).hint("shuffle_hash")
+    s1 = sh.select(F.col(id_col).alias("id1"), _i32("hs").alias("sh1")).hint("shuffle_hash")
+    s2 = sh.select(F.col(id_col).alias("id2"), _i32("hs").alias("sh2")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (cand.join(s1, "id1").join(s2, "id2")
@@ -317,9 +327,9 @@ def incremental_minhash_pairs(corpus: DataFrame, increment: DataFrame,
     # broadcast rule as ngram_jaccard_pairs (the corpus side grows
     # without bound; the increment side is hinted too because batch
     # sizes are caller-controlled)
-    s1 = (ish.select(F.col(id_col).alias("inc_id"), F.col("hs").alias("sh1"))
+    s1 = (ish.select(F.col(id_col).alias("inc_id"), _i32("hs").alias("sh1"))
              .hint("shuffle_hash"))
-    s2 = (csh.select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("sh2"))
+    s2 = (csh.select(F.col(id_col).alias("corpus_id"), _i32("hs").alias("sh2"))
              .hint("shuffle_hash"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter

@@ -206,15 +206,17 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
                         .select(F.col(f"i.{id_col}").alias("inc_id"),
                                 F.col(f"c.{id_col}").alias("corpus_id"))
                         .distinct())
+                # 31-bit hashes ride as array<int> through the verify
+                # join (half the shuffle bytes — dedup._i32)
                 s1 = sh.select(F.col(id_col).alias("inc_id"),
-                               F.col("hs").alias("sh1"))
+                               F.col("hs").cast("array<int>").alias("sh1"))
                 # corpus shingle store: shuffle_hash, never broadcast —
                 # it grows with the accumulated corpus and its array
                 # payload's in-heap expansion defeats AQE's size check
                 # (same rule as the batch operators, r07)
                 s2 = (retained(spark.read.parquet(shingles_dir), batch_id)
                       .select(F.col(id_col).alias("corpus_id"),
-                              F.col("hs").alias("sh2"))
+                              F.col("hs").cast("array<int>").alias("sh2"))
                       .hint("shuffle_hash"))
                 inter = F.size(F.array_intersect("sh1", "sh2"))
                 union = F.size("sh1") + F.size("sh2") - inter
