@@ -24,7 +24,9 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -199,3 +201,131 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                           F.explode(F.sequence(F.lit(0), F.col("duration_ms"),
                                                F.lit(every_ms))))
               .select("media_id", "frame_ts_ms"))
+
+
+# -- pixel pipeline: decode → resize → features ----------------------------
+#
+# A training pipeline stores decoded tensors the same way it stores raw
+# media: an opaque binary column (H×W×C uint8, row-major) plus typed
+# shape metadata — the schema below. The transforms are real numpy math
+# inside Arrow-batched mapInPandas (numpy ships with pyspark; no
+# optional dependency): partition-preserving, no shuffle, peak memory
+# bounded by arrow batch size × image size.
+
+PIXEL_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("height", IntegerType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("pixels", BinaryType(), True),   # uint8, H*W*C row-major
+])
+
+
+def decode_pixels(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """Decode image payloads to pixel buffers (MEDIA_SCHEMA → PIXEL_SCHEMA).
+
+    Same seam contract as decode_media: ``deterministic_fake=True``
+    synthesizes a stable buffer from the payload hash (the md5 digest
+    tiled over H×W×3, dims derived exactly like _decode_stub) so every
+    downstream transform is testable without an image library; the real
+    path uses PIL when installed and raises NotImplementedError naming
+    the dependency otherwise — never a silent fake.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import io
+
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.media_type != "image":
+                    continue
+                payload = bytes(row.payload) if row.payload is not None else b""
+                if deterministic_fake:
+                    d = hashlib.md5(payload).digest()
+                    h, w = 16 + d[1] % 64, 16 + d[0] % 64
+                    arr = np.frombuffer(
+                        (d * (h * w * 3 // 16 + 1))[:h * w * 3],
+                        dtype=np.uint8)
+                else:
+                    try:
+                        from PIL import Image
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "pixel decode requires Pillow "
+                            "(pip install pillow)") from e
+                    with Image.open(io.BytesIO(payload)) as im:
+                        rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+                    h, w = rgb.shape[0], rgb.shape[1]
+                    arr = rgb.reshape(-1)
+                out.append((row.media_id, h, w, 3, arr.tobytes()))
+            yield pd.DataFrame(out, columns=[f.name for f in PIXEL_SCHEMA.fields])
+
+    return df.mapInPandas(batches, PIXEL_SCHEMA)
+
+
+def resize_pixels(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Nearest-neighbor resize (PIXEL_SCHEMA → PIXEL_SCHEMA with the
+    target dims) — the standard pre-training normalization step, as
+    vectorized numpy fancy-indexing: source row/col index vectors are
+    ``(arange(out) * in) // out``, the exact grid PIL's NEAREST uses for
+    downsampling alignment."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = (np.frombuffer(row.pixels, dtype=np.uint8)
+                         .reshape(row.height, row.width, row.channels))
+                ys = (np.arange(out_h) * row.height) // out_h
+                xs = (np.arange(out_w) * row.width) // out_w
+                resized = arr[ys][:, xs]
+                out.append((row.media_id, out_h, out_w, row.channels,
+                            resized.tobytes()))
+            yield pd.DataFrame(out, columns=[f.name for f in PIXEL_SCHEMA.fields])
+
+    return df.mapInPandas(batches, PIXEL_SCHEMA)
+
+
+# built with constructors, not fromDDL — DDL parsing needs an active
+# SparkSession, and this module must import session-free
+PIXEL_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("channel_mean", ArrayType(DoubleType()), True),
+    StructField("channel_std", ArrayType(DoubleType()), True),
+    StructField("gray_hist", ArrayType(DoubleType()), True),
+])
+
+
+def pixel_features(df: DataFrame, hist_bins: int = 16) -> DataFrame:
+    """Per-image feature extraction: per-channel mean/std plus an
+    L1-normalized grayscale histogram (ITU-R 601 luma weights) — the
+    cheap embedding used for near-dup blocking and quality filtering of
+    image corpora before any model runs."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = (np.frombuffer(row.pixels, dtype=np.uint8)
+                         .reshape(row.height, row.width, row.channels)
+                         .astype(np.float64))
+                mean = arr.mean(axis=(0, 1))
+                std = arr.std(axis=(0, 1))
+                gray = arr @ np.array([0.299, 0.587, 0.114]) \
+                    if row.channels == 3 else arr.mean(axis=2)
+                hist, _ = np.histogram(gray, bins=hist_bins, range=(0, 256))
+                hist = hist / max(hist.sum(), 1)
+                out.append((row.media_id, mean.tolist(), std.tolist(),
+                            hist.tolist()))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in PIXEL_FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(batches, PIXEL_FEATURES_SCHEMA)

@@ -1068,3 +1068,68 @@ def test_source_divergence_zero_for_identical_sources(spark):
                 spark.createDataFrame(same, "source string, text string")
             ).collect()}
     assert got2 == {"a": 0.0, "b": 0.0}
+
+
+def test_pixel_pipeline_decode_resize_features(spark):
+    """decode_pixels → resize_pixels → pixel_features on the
+    deterministic-fake seam: dims agree with decode_media's fake decode,
+    the resized buffer has exactly out_h*out_w*3 bytes, and features
+    match a driver-side numpy recomputation bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\nimg-one"), "image", None),
+         (2, bytearray(b"\xff\xd8\xff\xe0img-two"), "image", None),
+         (3, bytearray(b"RIFFxxxxWAVE"), "audio", None)],  # skipped
+        mm.MEDIA_SCHEMA)
+    px = {r["media_id"]: r for r in
+          mm.decode_pixels(media, deterministic_fake=True).collect()}
+    assert set(px) == {1, 2}  # non-images dropped
+    dm = {r["media_id"]: r for r in
+          mm.decode_media(media, deterministic_fake=True).collect()}
+    for i in (1, 2):
+        assert (px[i]["height"], px[i]["width"]) == \
+            (dm[i]["height"], dm[i]["width"])
+        assert len(px[i]["pixels"]) == px[i]["height"] * px[i]["width"] * 3
+        d = hashlib.md5(bytes(media.collect()[i - 1]["payload"])).digest()
+        assert bytes(px[i]["pixels"][:16]) == d  # digest-tiled buffer
+
+    small = {r["media_id"]: r for r in
+             mm.resize_pixels(mm.decode_pixels(media, deterministic_fake=True),
+                              8, 8).collect()}
+    assert all(len(r["pixels"]) == 8 * 8 * 3 for r in small.values())
+
+    feats = {r["media_id"]: r for r in
+             mm.pixel_features(mm.decode_pixels(media,
+                                                deterministic_fake=True)).collect()}
+    for i in (1, 2):
+        arr = (np.frombuffer(bytes(px[i]["pixels"]), dtype=np.uint8)
+                 .reshape(px[i]["height"], px[i]["width"], 3).astype(np.float64))
+        assert feats[i]["channel_mean"] == arr.mean(axis=(0, 1)).tolist()
+        assert feats[i]["channel_std"] == arr.std(axis=(0, 1)).tolist()
+        assert abs(sum(feats[i]["gray_hist"]) - 1.0) < 1e-9
+
+
+def test_resize_pixels_nearest_exact(spark):
+    """Nearest-neighbor grid pinned on a hand-built 4x4 image: 2x2 output
+    must pick source rows/cols (0, 2) — the (arange(out)*in)//out grid."""
+    import numpy as np
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame([(7, 4, 4, 3, bytearray(arr.tobytes()))],
+                               mm.PIXEL_SCHEMA)
+    out = mm.resize_pixels(df, 2, 2).collect()[0]
+    got = (np.frombuffer(bytes(out["pixels"]), dtype=np.uint8)
+             .reshape(2, 2, 3))
+    assert (got == arr[[0, 2]][:, [0, 2]]).all()
+
+
+def test_decode_pixels_real_names_missing_dependency(spark):
+    import pytest as _pytest
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\nxx"), "image", None)], mm.MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="Pillow|NotImplementedError"):
+        mm.decode_pixels(media, deterministic_fake=False).collect()
