@@ -329,3 +329,61 @@ def pixel_features(df: DataFrame, hist_bins: int = 16) -> DataFrame:
                                              in PIXEL_FEATURES_SCHEMA.fields])
 
     return df.mapInPandas(batches, PIXEL_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("rms", DoubleType(), True),          # of [-1, 1] samples
+    StructField("peak", DoubleType(), True),
+    StructField("zero_crossing_rate", DoubleType(), True),
+])
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads — stdlib ``wave``
+    + numpy end to end, no optional dependency and no fake seam. RMS /
+    peak / zero-crossing rate over normalized [-1, 1] samples are the
+    classic silence/clipping/voice-activity screens a speech corpus is
+    filtered on before any model runs. 8/16/32-bit PCM handled;
+    multi-channel audio is averaged to mono first (the standard
+    pre-filter convention)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+        widths = {1: np.uint8, 2: np.int16, 4: np.int32}
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.media_type != "audio":
+                    continue
+                payload = bytes(row.payload) if row.payload is not None else b""
+                with wave.open(io.BytesIO(payload)) as wf:
+                    rate, nch = wf.getframerate(), wf.getnchannels()
+                    width, n = wf.getsampwidth(), wf.getnframes()
+                    raw = wf.readframes(n)
+                samples = np.frombuffer(raw, dtype=widths[width]).astype(np.float64)
+                if width == 1:
+                    samples = (samples - 128.0) / 128.0  # 8-bit PCM is unsigned
+                else:
+                    samples = samples / float(2 ** (8 * width - 1))
+                if nch > 1:
+                    samples = samples.reshape(-1, nch).mean(axis=1)
+                zc = (float(np.count_nonzero(np.diff(np.signbit(samples))))
+                      / max(len(samples) - 1, 1)) if len(samples) > 1 else 0.0
+                out.append((row.media_id, rate, nch, n,
+                            int(round(n * 1000 / rate)) if rate else None,
+                            float(np.sqrt(np.mean(samples ** 2))) if n else 0.0,
+                            float(np.max(np.abs(samples))) if n else 0.0,
+                            zc))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

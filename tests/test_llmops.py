@@ -1133,3 +1133,33 @@ def test_decode_pixels_real_names_missing_dependency(spark):
         [(1, bytearray(b"\x89PNG\r\nxx"), "image", None)], mm.MEDIA_SCHEMA)
     with _pytest.raises(Exception, match="Pillow|NotImplementedError"):
         mm.decode_pixels(media, deterministic_fake=False).collect()
+
+
+def test_audio_features_real_wav_exact(spark):
+    """Real WAV PCM features with hand-computable values: a square wave
+    of amplitude 16384 (= 0.5 normalized) gives rms = peak = 0.5 exactly
+    and a zero-crossing on every adjacent sample pair (rate 1.0)."""
+    import io
+    import struct
+    import wave as wavlib
+
+    n = 8_000
+    buf = io.BytesIO()
+    with wavlib.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16_000)
+        wf.writeframes(b"".join(
+            struct.pack("<h", 16384 if i % 2 == 0 else -16384)
+            for i in range(n)))
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio", None),
+         (2, bytearray(b"\x89PNGskip"), "image", None)],  # skipped
+        mm.MEDIA_SCHEMA)
+    rows = mm.audio_features(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["sample_rate"], r["n_channels"], r["n_frames"]) == (16_000, 1, n)
+    assert r["duration_ms"] == 500
+    assert r["rms"] == 0.5 and r["peak"] == 0.5
+    assert r["zero_crossing_rate"] == 1.0
