@@ -412,24 +412,37 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     from airline_data_warehouse_spark.operators.hashing import SIMHASH_BITS
 
     sigs = simhash_signatures(df, text_col, id_col, k)
+    return hamming_near_pairs(sigs, "simhash", id_col, SIMHASH_BITS,
+                              max_hamming)
+
+
+def hamming_near_pairs(sigs: DataFrame, sig_col: str, id_col: str,
+                       bits: int, max_hamming: int) -> DataFrame:
+    """Generic pigeonhole near-pair join over integer signatures — the
+    chunk-blocking core shared by text SimHash and image average-hash
+    (operators/multimodal.py): split `bits` into max_hamming+1 chunks,
+    equi-join per chunk, verify with bit_count(xor). Works for full
+    64-bit (possibly sign-negative) signatures: arithmetic shiftright's
+    sign extension only touches bits above each chunk's mask width, so
+    chunk values stay exact, and bit_count(xor) covers the sign bit."""
     parts = max_hamming + 1
     chunk_cols = []
-    for i, (off, w) in enumerate(simhash_chunks(SIMHASH_BITS, parts)):
-        chunk = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+    for i, (off, w) in enumerate(simhash_chunks(bits, parts)):
+        chunk = F.shiftright(F.col(sig_col), off).bitwiseAND(F.lit((1 << w) - 1))
         chunk_cols.append(F.struct(F.lit(i).alias("part"), chunk.alias("chunk")))
     # persist: the self-join consumes the banded table twice, and the
     # signature derivation (shingle md5 cascade + 60 bit-count sums) is
     # the dominant cost — without the cache it runs once per join side
     banded = _persist(sigs.withColumn("_bk", F.explode(F.array(*chunk_cols)))
-                          .select(id_col, "simhash", "_bk.part", "_bk.chunk"))
+                          .select(id_col, sig_col, "_bk.part", "_bk.chunk"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.part") == F.col("b.part"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("id1"),
-                     F.col("a.simhash").alias("s1"),
+                     F.col(f"a.{sig_col}").alias("s1"),
                      F.col(f"b.{id_col}").alias("id2"),
-                     F.col("b.simhash").alias("s2"))
+                     F.col(f"b.{sig_col}").alias("s2"))
              .distinct())
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
     return (cand.select("id1", "id2", hamming.alias("hamming"))

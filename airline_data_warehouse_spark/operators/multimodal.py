@@ -387,3 +387,54 @@ def audio_features(df: DataFrame) -> DataFrame:
                                              in AUDIO_FEATURES_SCHEMA.fields])
 
     return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+def average_hash(df: DataFrame) -> DataFrame:
+    """64-bit perceptual average-hash per image (PIXEL_SCHEMA →
+    (media_id, ahash)): nearest-resize to 8×8, ITU-R 601 luma, one bit
+    per cell = luma > image mean, packed row-major. Brightness/contrast
+    shifts that move every pixel together leave the hash untouched (the
+    mean moves with them); crops and recompressions move only a few
+    bits — which is why hamming distance over this hash is the standard
+    cheap image near-dup screen (aHash; same family as pHash)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = (np.frombuffer(row.pixels, dtype=np.uint8)
+                         .reshape(row.height, row.width, row.channels)
+                         .astype(np.float64))
+                ys = (np.arange(8) * row.height) // 8
+                xs = (np.arange(8) * row.width) // 8
+                small = arr[ys][:, xs]
+                gray = small @ np.array([0.299, 0.587, 0.114]) \
+                    if row.channels == 3 else small.mean(axis=2)
+                bits = (gray > gray.mean()).reshape(-1)
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                if val >= 1 << 63:           # wrap to signed int64
+                    val -= 1 << 64
+                out.append((row.media_id, val))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return df.mapInPandas(
+        batches,
+        StructType([StructField("media_id", LongType(), False),
+                    StructField("ahash", LongType(), True)]))
+
+
+def image_near_dup_pairs(pixels: DataFrame,
+                         max_hamming: int = 4) -> DataFrame:
+    """Image near-duplicate pairs (id1 < id2, hamming <= max_hamming)
+    over the 64-bit average-hash, using the same pigeonhole chunk join
+    as text SimHash (dedup.hamming_near_pairs) — per-chunk equi-joins,
+    never all-pairs, bit_count(xor) verify. The signature step is the
+    only Python (Arrow-batched); blocking and verify are JVM columns."""
+    from airline_data_warehouse_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(average_hash(pixels), "ahash", "media_id",
+                              64, max_hamming)

@@ -1163,3 +1163,44 @@ def test_audio_features_real_wav_exact(spark):
     assert r["duration_ms"] == 500
     assert r["rms"] == 0.5 and r["peak"] == 0.5
     assert r["zero_crossing_rate"] == 1.0
+
+
+def test_image_near_dup_average_hash(spark):
+    """Perceptual invariance pinned: a uniform brightness shift moves
+    every luma cell AND the mean together, so the average-hash is
+    bit-identical (hamming 0); an inverted image flips essentially every
+    bit and must not pair at any reasonable budget."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(60, 180, size=(32, 32, 3), dtype=np.uint8)
+    brighter = (base.astype(np.int16) + 30).clip(0, 255).astype(np.uint8)
+    inverted = (255 - base).astype(np.uint8)
+    rows = [(i + 1, 32, 32, 3, bytearray(a.tobytes()))
+            for i, a in enumerate((base, brighter, inverted))]
+    px = spark.createDataFrame(rows, mm.PIXEL_SCHEMA)
+
+    hashes = {r["media_id"]: r["ahash"] for r in mm.average_hash(px).collect()}
+    assert hashes[1] == hashes[2]          # brightness-shift invariant
+    far = bin((hashes[1] ^ hashes[3]) & ((1 << 64) - 1)).count("1")
+    assert far > 32                        # inversion flips most bits
+
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             mm.image_near_dup_pairs(px, max_hamming=4).collect()}
+    dd.release_caches()
+    assert pairs == {(1, 2): 0}
+
+
+def test_hamming_near_pairs_full_64bit_sign_range(spark):
+    """The generic chunk join must stay exact when the signature's sign
+    bit is set (arithmetic shiftright sign-extends): two negative-long
+    signatures 2 bits apart pair at budget 2; a signature differing only
+    in the sign bit from its positive twin is hamming 1."""
+    neg = -(1 << 62)                      # bit 63 set (two's complement)
+    rows = [(1, neg), (2, neg ^ 0b11), (3, 5), (4, 5 | (1 << 63) - (1 << 64))]
+    sigs = spark.createDataFrame(rows, "media_id long, sig long")
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             dd.hamming_near_pairs(sigs, "sig", "media_id", 64, 2).collect()}
+    dd.release_caches()
+    assert pairs[(1, 2)] == 2
+    assert pairs[(3, 4)] == 1
