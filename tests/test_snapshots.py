@@ -1,0 +1,57 @@
+"""Snapshot-versioned tables (sources/snapshots.py): a version is
+visible iff its commit marker exists — as-of reads, crash invisibility,
+retention, and orphan handling."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airline_data_warehouse_spark.sources import snapshots as sn
+
+
+def _df(spark, n):
+    return spark.range(n).selectExpr("id", "id * 10 AS value")
+
+
+def test_commit_read_asof_and_history(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    assert sn.snapshot_commit(spark, _df(spark, 3), root) == 1
+    assert sn.snapshot_commit(spark, _df(spark, 5), root) == 2
+    assert sn.snapshot_commit(spark, _df(spark, 7), root) == 3
+    assert sn.latest_version(spark, root) == 3
+    assert sn.snapshot_read(spark, root).count() == 7
+    assert sn.snapshot_read(spark, root, version=1).count() == 3
+    hist = sn.snapshot_history(spark, root)
+    assert [(h["version"], h["rows"]) for h in hist] == [(1, 3), (2, 5), (3, 7)]
+    assert hist[0]["columns"] == ["id", "value"]
+
+
+def test_crashed_commit_is_invisible_and_number_not_reused(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_commit(spark, _df(spark, 3), root)
+    # simulate a crash mid-commit: v00002 data lands, marker never does
+    _df(spark, 99).write.parquet(f"{root}/v00002")
+    assert sn.latest_version(spark, root) == 1
+    assert sn.snapshot_read(spark, root).count() == 3
+    with pytest.raises(ValueError, match="not committed"):
+        sn.snapshot_read(spark, root, version=2)
+    # a retry must not write into the half-written directory
+    assert sn.snapshot_commit(spark, _df(spark, 4), root) == 3
+    assert sn.snapshot_read(spark, root).count() == 4
+
+
+def test_expire_keeps_newest_and_sweeps_orphans(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for n in (3, 5, 7, 9):
+        sn.snapshot_commit(spark, _df(spark, n), root)
+    _df(spark, 1).write.parquet(f"{root}/v00001b")  # not a version dir: ignored
+    assert sn.expire_snapshots(spark, root, keep=2) == [1, 2]
+    assert sn.snapshot_read(spark, root, version=3).count() == 7
+    assert sn.snapshot_read(spark, root).count() == 9
+    with pytest.raises(ValueError, match="expired or never landed"):
+        sn.snapshot_read(spark, root, version=1)
+    assert not os.path.isdir(f"{root}/v00001")
+    # immutability of survivors: the files of kept versions are untouched
+    assert os.path.isdir(f"{root}/v00004")
