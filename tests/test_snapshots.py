@@ -55,3 +55,21 @@ def test_expire_keeps_newest_and_sweeps_orphans(spark, tmp_path):
     assert not os.path.isdir(f"{root}/v00001")
     # immutability of survivors: the files of kept versions are untouched
     assert os.path.isdir(f"{root}/v00004")
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)],
+        "id long, name string, score int")
+    v2 = spark.createDataFrame(
+        [(2, "b", 25), (3, "c", None), (4, "d", 40)],
+        "id long, name string, score int")
+    sn.snapshot_commit(spark, v1, root)
+    sn.snapshot_commit(spark, v2, root)
+    got = {r["id"]: r for r in sn.snapshot_diff(spark, root, "id").collect()}
+    assert {i: r["change_type"] for i, r in got.items()} == \
+        {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged (null-safe)
+    assert got[2]["old_image"]["score"] == 20
+    assert got[2]["new_image"]["score"] == 25
+    assert got[4]["old_image"] is None
