@@ -131,16 +131,45 @@ def upsert_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
     rolls the table back to a consistent state and the idempotent retry
     converges.
     """
+    merge_parquet(spark, source, dest_path, key, partition_col,
+                  delete_condition=None, sort_within=sort_within)
+
+
+def merge_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
+                  key: str, partition_col: str,
+                  delete_condition=None,
+                  sort_within: list[str] | None = None) -> None:
+    """Full MERGE with delete support — upsert_parquet's machinery plus
+    WHEN MATCHED AND <delete_condition> THEN DELETE. Per-source-row
+    clause semantics (like SQL MERGE): a source row where the condition
+    holds removes the target row with its key and inserts nothing; every
+    other source row upserts source-wins. The targeted-delete path is
+    the right-to-be-forgotten / tombstone operation a long-lived corpus
+    needs: partition-scoped directory rewrites (a partition emptied by
+    deletes is dropped atomically in the swap), never a table rewrite,
+    with the same recover-then-idempotent-retry crash contract.
+
+    ``delete_condition``: Column or SQL string evaluated against SOURCE
+    rows; None degrades to plain upsert.
+    """
     def _sorted(df: DataFrame) -> DataFrame:
         return df.sortWithinPartitions(*sort_within) if sort_within else df
 
+    if isinstance(delete_condition, str):
+        delete_condition = F.expr(delete_condition)
+
     hpath, fs = _fs(spark, dest_path)
     recover_partitions(spark, dest_path, partition_col)
+    if delete_condition is not None:
+        inserts = source.filter(~F.coalesce(delete_condition, F.lit(False)))
+    else:
+        inserts = source
     if not fs.exists(hpath(dest_path)):
-        _sorted(source).write.partitionBy(partition_col).parquet(dest_path)
+        _sorted(inserts).write.partitionBy(partition_col).parquet(dest_path)
         return
     target = spark.read.parquet(dest_path)
     source = source.select(*target.columns)
+    inserts = inserts.select(*target.columns)
     # the delta-key joins are left to AQE: a typical delta's key set is
     # broadcast-sized and AQE picks that at runtime, but a large backfill
     # delta would make a FORCED key broadcast the OOM-at-scale hazard
@@ -150,7 +179,7 @@ def upsert_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
     keys = source.select(key).distinct()
     affected = (target.join(keys, key, "left_semi")
                       .select(partition_col)
-                      .unionByName(source.select(partition_col))
+                      .unionByName(inserts.select(partition_col))
                       .distinct())
     affected_vals = [r[0] for r in affected.collect()]
     if not affected_vals:
@@ -158,7 +187,7 @@ def upsert_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
     surviving = (target
                  .join(F.broadcast(affected), partition_col, "left_semi")
                  .join(keys, key, "left_anti"))
-    merged = surviving.unionByName(source)
+    merged = surviving.unionByName(inserts)
     staging = f"{dest_path.rstrip('/')}__upsert_staging"
     if fs.exists(hpath(staging)):
         fs.delete(hpath(staging), True)  # crashed prior attempt, pre-swap
