@@ -310,3 +310,18 @@ def test_merge_parquet_string_condition_and_null_handling(spark, tmp_path):
                                    "WHEN v = 9 THEN NULL ELSE false END")
     rows = {r["k"]: r["v"] for r in spark.read.parquet(dest).collect()}
     assert rows == {"K2": 9, "K3": 3}  # K1 deleted; NULL-cond K2 upserted
+
+
+def test_merge_parquet_fresh_table_filters_tombstones(spark, tmp_path):
+    """Bootstrapping a table through merge: tombstone rows must not be
+    inserted when there is no target to delete from."""
+    from airline_data_warehouse_spark.sources.atomic import merge_parquet
+
+    dest = str(tmp_path / "fresh")
+    src = spark.createDataFrame(
+        [("K1", 1, "A"), ("K2", 0, "A"), ("K3", 3, "B")],
+        "k string, v int, p string")
+    merge_parquet(spark, src, dest, key="k", partition_col="p",
+                  delete_condition="v = 0")
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(dest).collect()}
+    assert rows == {"K1": 1, "K3": 3}
