@@ -65,6 +65,19 @@ def split_train_holdout(df: DataFrame, holdout_fraction: float, key_col: str,
     return df.filter(h >= cut), df.filter(h < cut)
 
 
+def grouped_kfold(df: DataFrame, k: int, group_col: str,
+                  salt: str = "adw-kfold") -> DataFrame:
+    """Group-aware k-fold assignment: ``fold = hash(group) mod k``, so
+    every row of a group lands in the SAME fold and entity leakage
+    across folds is structurally impossible (the grouped k-fold of
+    evaluation methodology, e.g. "no user appears in both train and
+    validation"). One narrow column expression — no shuffle, stable
+    under reruns/repartitioning, and folds are disjoint by construction
+    rather than by bookkeeping."""
+    return df.withColumn(
+        "fold", F.pmod(_keyed_hash(group_col, salt), F.lit(k)).cast("int"))
+
+
 def deterministic_shuffle(df: DataFrame, key_col: str, n_shards: int = 64,
                           salt: str = "adw-shuffle") -> DataFrame:
     """Global training-order shuffle without a global sort: every row gets

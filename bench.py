@@ -104,6 +104,7 @@ HEADLINE = [
     "similarity_topk_ivf_trained",
     "pit_status_join",
     "weighted_sample_docs",
+    "grouped_kfold_report",
     "above_customer_average",
     "forward_fill_daily",
     "bm25_search_topk",

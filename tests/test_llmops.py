@@ -1204,3 +1204,21 @@ def test_hamming_near_pairs_full_64bit_sign_range(spark):
     dd.release_caches()
     assert pairs[(1, 2)] == 2
     assert pairs[(3, 4)] == 1
+
+
+def test_grouped_kfold_partitions_entities(spark):
+    """Leakage-proofing property: folds partition GROUPS — every row of
+    a group shares one fold, folds are disjoint over groups, and the
+    assignment is stable under repartitioning."""
+    rows = [(i, i % 37) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    folded = sp.grouped_kfold(df, 5, "user_id")
+    per_user = (folded.groupBy("user_id")
+                .agg(F.countDistinct("fold").alias("nf")).collect())
+    assert all(r["nf"] == 1 for r in per_user)
+    assert {r["fold"] for r in folded.select("fold").distinct().collect()} \
+        <= set(range(5))
+    again = sp.grouped_kfold(df.repartition(7), 5, "user_id")
+    a = {(r["event_id"], r["fold"]) for r in folded.collect()}
+    b = {(r["event_id"], r["fold"]) for r in again.collect()}
+    assert a == b
