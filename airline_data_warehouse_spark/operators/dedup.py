@@ -294,6 +294,79 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .select("id1", "id2", "jaccard"))
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
+                      threshold: float = 0.9) -> DataFrame:
+    """EXACT all-pairs set-CONTAINMENT join: every unordered pair with
+    C(x, y) = |x ∩ y| / min(|x|, |y|) >= threshold, reported as
+    (id_small, id_big, containment) with the smaller shingle set first.
+
+    Why this exists next to the Jaccard family: containment is the
+    quote-inclusion / near-superset detector. A short document embedded
+    verbatim inside a much longer one has containment ~1.0 but Jaccard
+    ~|small|/|big| — arbitrarily far below any Jaccard threshold, so
+    both the LSH path and the exact Jaccard join are structurally blind
+    to it (MinHash collision probability IS Jaccard). Training-data
+    pipelines care: boilerplate-wrapped reposts and quoted passages are
+    exactly this shape (cf. Broder 1997's resemblance/containment
+    split).
+
+    Same AllPairs skeleton as prefix_filter_jaccard_pairs, asymmetric:
+    C >= t needs overlap >= t*|small|, so the SMALLER side must share a
+    token among its first |s| - ceil(t*|s|) + 1 frequency-rarest tokens
+    — joined against the FULL inverted index of every candidate larger
+    set ("smaller" = (n, id) lexicographic, so ties pair exactly once).
+    The PPJoin-style positional bound 1 + min(n1-p1, n2-p2) >= t*n1
+    prunes matched-token rows before the pair distinct. No length
+    filter — containment has none, which is the point. Bounds are
+    DECIMAL-exact (see prefix_filter_jaccard_pairs on why double ceil
+    silently drops boundary pairs). Verify is set-exact over the
+    shingle sets; the DuckDB oracle generates candidates independently
+    (any-shared-token join, no prefix/positional pruning), so a hash
+    match certifies the pruning emitted the complete answer.
+
+    Scale shape: candidate volume = sum over smaller-side prefix tokens
+    of their posting-list length — prefix tokens are each doc's rarest,
+    so the joined postings are the corpus's shortest; never corpus².
+    Frequency table joins shuffle_hash (Heaps'-law growth, same rule as
+    tf_idf); verify arrays ship as int32.
+    """
+    from decimal import Decimal
+
+    t = F.lit(Decimal(str(threshold)).quantize(Decimal("0.000001")))
+    sh = _persist(shingled(df, text_col, id_col, k))
+    tok = sh.select(F.col(id_col), F.size("hs").alias("n"),
+                    F.explode("hs").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    pos = F.row_number().over(Window.partitionBy(id_col).orderBy("df_t", "t"))
+    ranked = _persist(tok.join(freq.hint("shuffle_hash"), "t")
+                         .withColumn("pos", pos)
+                         .select(id_col, "n", "t", "pos"))
+    a = (ranked.filter(F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+               .select(F.col(id_col).alias("id_small"), F.col("n").alias("n1"),
+                       F.col("pos").alias("p1"), "t"))
+    b = ranked.select(F.col(id_col).alias("id_big"), F.col("n").alias("n2"),
+                      F.col("pos").alias("p2"), "t")
+    smaller = (F.col("n1") < F.col("n2")) | \
+              ((F.col("n1") == F.col("n2")) & (F.col("id_small") < F.col("id_big")))
+    ub = F.lit(1) + F.least(F.col("n1") - F.col("p1"),
+                            F.col("n2") - F.col("p2"))
+    cand = (a.join(b, "t")
+             .filter(smaller & (ub >= t * F.col("n1")))
+             .select("id_small", "id_big")
+             .distinct())
+    s1 = sh.select(F.col(id_col).alias("id_small"),
+                   _i32("hs").alias("sh1")).hint("shuffle_hash")
+    s2 = sh.select(F.col(id_col).alias("id_big"),
+                   _i32("hs").alias("sh2")).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return (cand.join(s1, "id_small").join(s2, "id_big")
+                .withColumn("containment",
+                            F.round(inter.cast("double") / F.size("sh1"), 6))
+                .filter(F.col("containment") >= threshold)
+                .select("id_small", "id_big", "containment"))
+
+
 def incremental_minhash_pairs(corpus: DataFrame, increment: DataFrame,
                               text_col: str = "text", id_col: str = "doc_id",
                               k: int = DEFAULT_SHINGLE_K,

@@ -101,15 +101,18 @@ def rehash60(h: Column) -> Column:
 
 
 
-def hyperplane_weights(n_planes: int = 8, dims: int = 64) -> list[list[float]]:
+def hyperplane_weights(n_planes: int = 8, dims: int = 64,
+                       seed: str = "adw-plane") -> list[list[float]]:
     """Deterministic ±1 random-hyperplane weights derived from md5 —
     computed driver-side once and inlined as literals, so the Spark plan
-    and the SQL oracle share the exact same planes."""
+    and the SQL oracle share the exact same planes. ``seed`` namespaces
+    independent plane families (LSH buckets vs random projection) so two
+    operators never silently share hyperplanes."""
     planes = []
     for j in range(n_planes):
         row = []
         for i in range(dims):
-            digest = hashlib.md5(f"adw-plane:{j}:{i}".encode()).digest()
+            digest = hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()
             row.append(1.0 if digest[0] % 2 == 0 else -1.0)
         planes.append(row)
     return planes

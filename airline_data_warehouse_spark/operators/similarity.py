@@ -16,6 +16,8 @@ with id tie-breaks so rankings are engine-independent.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -447,6 +449,43 @@ def quantize_embeddings_int8(corpus: DataFrame, id_col: str = "vec_id",
          .otherwise(F.round(F.aggregate(sq_err, F.lit(0.0),
                                         lambda acc, x: acc + x)
                             / F.size("_vd"), 9)).alias("mse"))
+
+
+def random_projection(corpus: DataFrame, out_dims: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dims: int = 64) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce each vector to
+    ``out_dims`` coordinates p_j = <v, s_j> / sqrt(out_dims), where s_j
+    are deterministic ±1 sign vectors (Achlioptas, "Database-friendly
+    random projections", 2001 — ±1 entries preserve pairwise distances
+    in expectation just like Gaussian planes, and stay exactly
+    representable so both engines compute identical products).
+
+    The dimensionality-reduction step a 100 TB embedding pipeline runs
+    before clustering or coarse ANN when the full width is too wide to
+    shuffle: 64→8 dims is an 8× cut in shuffle bytes for every
+    downstream groupBy/join on vectors. Pure map over the corpus — no
+    shuffle, no UDF; one whole-stage-codegen projection per output dim,
+    built as a single parsed SQL expression (the py4j-cheap path, same
+    trade as hyperplane_bucket). Signs use their own md5 seed family
+    ("adw-rp") so the projection never aliases the LSH bucket planes.
+
+    Each dot is rounded to 9 dp, then scaled and rounded to 6 dp — the
+    identical double-rounding the DuckDB oracle replays, making the
+    approximate operator bit-exactly checkable (the repo-wide parity
+    convention, similarity.py cosine / hyperplane_bucket).
+    """
+    planes = hyperplane_weights(out_dims, dims, seed="adw-rp")
+    inv = 1.0 / math.sqrt(out_dims)
+    cols = []
+    for j, w in enumerate(planes):
+        arr = "array(" + ",".join(f"{x!r}D" for x in w) + ")"
+        dot = (f"aggregate(zip_with(`{vec_col}`, {arr}, "
+               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               "0.0D, (acc, x) -> acc + x)")
+        cols.append(F.expr(f"round(round({dot}, 9) * {inv!r}D, 6)")
+                    .alias(f"p{j}"))
+    return corpus.select(F.col(id_col), *cols)
 
 
 def kmeans_assign(corpus: DataFrame, k: int = 8, iters: int = 2,

@@ -72,6 +72,7 @@ HEADLINE = [
     # r06 additions
     "chunk_documents",
     "embedding_quantize_int8",
+    "embedding_random_projection",
     "decontaminated_train_split",
     "materialize_mixture",
     "chunked_packing_pipeline",

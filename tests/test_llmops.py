@@ -78,6 +78,39 @@ def test_prefix_filter_boundary_subset_pair(spark):
     assert got == {(1, 2): 0.6}
 
 
+def test_containment_catches_jaccard_blind_inclusion(spark):
+    """The op's reason to exist: a short doc verbatim inside a long one.
+    k=1 char shingles → set containment == char-set containment. Doc 2
+    ('abc') is fully inside doc 1 (16 distinct chars): containment 1.0,
+    Jaccard 3/16 ≈ 0.19 — invisible to the exact Jaccard join at any
+    threshold ≥ 0.2, while the containment join reports it."""
+    long = "abcdefghijklmnop"
+    df = spark.createDataFrame([(1, long), (2, "abc")],
+                               "doc_id long, text string")
+    got = {(r["id_small"], r["id_big"]): r["containment"] for r in
+           dd.containment_pairs(df, k=1, threshold=0.9).collect()}
+    assert got == {(2, 1): 1.0}
+    jac = dd.prefix_filter_jaccard_pairs(df, k=1, threshold=0.5).collect()
+    assert jac == []  # Jaccard path is blind to the inclusion
+
+
+def test_containment_boundary_and_ties(spark):
+    """Boundary exactness and tie-size pairing: C = 4/5 exactly at
+    t = 0.8 survives only under decimal bounds (double ceil(0.8*5) = 4
+    keeps the prefix length 2 — but the positional bound lands exactly
+    on 1 + min(n-p) = t*n); equal-size sets pair exactly once with
+    id_small = the lower id."""
+    df = spark.createDataFrame(
+        [(1, "abcde"), (2, "abcd"),        # C(2→1) = 4/4 = 1.0
+         (3, "vwxyz"), (4, "vwxyq")],      # C = 4/5 = 0.8, equal sizes
+        "doc_id long, text string")
+    got = {(r["id_small"], r["id_big"]): r["containment"] for r in
+           dd.containment_pairs(df, k=1, threshold=0.8).collect()}
+    assert got[(2, 1)] == 1.0
+    assert got[(3, 4)] == 0.8
+    assert (4, 3) not in got  # unordered pair emitted exactly once
+
+
 def test_simhash_similarity(spark, near_dup_docs):
     sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(near_dup_docs).collect()}
     assert sigs[1] == sigs[5]
@@ -657,6 +690,40 @@ def test_int8_quantization_properties(spark):
     em = got[5]  # empty vector: no divide-by-zero mse, zero dims
     assert em["n_dims"] == 0 and em["scale"] == 0.0 and em["mse"] == 0.0
     assert em["codes_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_random_projection_properties(spark):
+    """JL projection invariants: zero vector → zero projection; the map
+    is exactly linear up to the pinned 6-dp rounding (p(a+b) =
+    p(a)+p(b)); sign vectors are ±1 only; and on a deterministic
+    64-dim sample the mean squared-distance ratio proj/orig sits near 1
+    (the Achlioptas expectation — individual pairs vary at k=8, the
+    MEAN over pairs is what the lemma pins down)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    rows = [(100, [0.0] * 64)] + vecs
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+           for r in sim.random_projection(df).collect()}
+    assert got[100] == [0.0] * 8
+    # linearity: projection of (v0 + v1) equals p(v0) + p(v1) within the
+    # 6-dp output rounding (2e-6 headroom for the two roundings)
+    s = [(200, [a + b for a, b in zip(vecs[0][1], vecs[1][1])])]
+    sdf = spark.createDataFrame(s, "vec_id long, embedding array<double>")
+    ps = [r for r in sim.random_projection(sdf).collect()][0]
+    for j in range(8):
+        assert abs(ps[f"p{j}"] - (got[0][j] + got[1][j])) <= 2e-6
+    # distance preservation in expectation over all pairs of the sample
+    ratios = []
+    for (i1, v1), (i2, v2) in itertools.combinations(vecs, 2):
+        d_orig = sum((a - b) ** 2 for a, b in zip(v1, v2))
+        d_proj = sum((a - b) ** 2 for a, b in zip(got[i1], got[i2]))
+        ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 <= mean <= 1.25, mean
 
 
 def test_curation_pipeline_end_to_end(spark, tmp_path):

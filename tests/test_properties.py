@@ -386,6 +386,42 @@ def test_encode_decode_roundtrip_without_oov(spark):
         assert " ".join(inv[i] for i in ids) == text
 
 
+def test_containment_exactness_property(spark):
+    """The exactness CLAIM of containment_pairs, adversarially: random
+    low-entropy corpora (8-char alphabet, k=1 — maximal token collision,
+    where the asymmetric prefix + positional pruning does all the work)
+    must reproduce the brute-force all-pairs containment answer
+    bit-for-bit, including threshold 1.0 (strict subset detection) and a
+    non-terminating t."""
+    from airline_data_warehouse_spark.operators import dedup as dd
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(st.text(alphabet="abcdefgh", max_size=12),
+                    min_size=40, max_size=40))
+    def check(texts):
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        sets = {i: set(t) for i, t in enumerate(texts) if t}
+        for thr in (0.7, 0.9, 1.0):
+            got = {(r["id_small"], r["id_big"]): r["containment"] for r in
+                   dd.containment_pairs(df, k=1, threshold=thr).collect()}
+            dd.release_caches()
+            want = {}
+            for i in sets:
+                for j in sets:
+                    if i == j:
+                        continue
+                    ni, nj = len(sets[i]), len(sets[j])
+                    # smaller side = (n, id) lexicographic, pairs once
+                    if (ni, i) < (nj, j):
+                        cv = round(len(sets[i] & sets[j]) / ni, 6)
+                        if cv >= thr:
+                            want[(i, j)] = cv
+            assert got == want, thr
+
+    check()
+
+
 def test_prefix_filter_exactness_property(spark):
     """The exactness CLAIM of prefix_filter_jaccard_pairs, adversarially:
     random low-entropy corpora (8-char alphabet, k=1 shingles — maximal

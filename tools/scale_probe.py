@@ -50,6 +50,7 @@ PROBE_QUERIES = [
     # r06: new pipeline operators
     "chunk_documents",
     "embedding_quantize_int8",
+    "embedding_random_projection",
     "decontaminated_train_split",
     "materialize_mixture",
     "chunked_packing_pipeline",
@@ -57,6 +58,7 @@ PROBE_QUERIES = [
     "curation_pipeline",
     "dedup_cascade",
     "dedup_prefix_filter_exact",
+    "dedup_containment_exact",
     # r07 second wave: substring dedup, tokenize-to-ids, kmeans, search,
     # rolling features, curriculum
     "repeated_ngram_spans",
