@@ -153,6 +153,22 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     shrink) and add bands to hold recall. Candidate ids are deduped
     across bands BEFORE vectors are joined back, so the exact-cosine
     stage never rescores a pair per collision."""
+    scored = _lsh_scored(corpus, queries, id_col, vec_col,
+                         bands, rows_per_band, dims)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "score",
+                          F.col("rank").cast("int").alias("rank")))
+
+
+def _lsh_scored(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, bands: int, rows_per_band: int,
+                dims: int) -> DataFrame:
+    """Shared LSH candidate + exact-cosine scoring stage of lsh_topk /
+    hard_negatives: (query_id, neighbor_id, score) for every banded
+    collision, deduped across bands before vectors join back."""
     keys = hyperplane_band_keys_sql(vec_col, bands, rows_per_band, dims)
     banded_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -173,15 +189,39 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.col(vec_col).alias("cv"),
                           _norm(F.col(vec_col)).alias("cn"))
                   .hint("shuffle_hash"))
-    scored = (cand.join(F.broadcast(qvec), "query_id")
-                  .join(cvec, "neighbor_id")
-                  .select("query_id", "neighbor_id",
-                          F.round(_dot(F.col("qv"), F.col("cv"))
-                                  / (F.col("qn") * F.col("cn")), 6)
-                           .alias("score")))
+    return (cand.join(F.broadcast(qvec), "query_id")
+                .join(cvec, "neighbor_id")
+                .select("query_id", "neighbor_id",
+                        F.round(_dot(F.col("qv"), F.col("cv"))
+                                / (F.col("qn") * F.col("cn")), 6)
+                         .alias("score")))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   low: float = 0.3, high: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   bands: int = 8, rows_per_band: int = 4,
+                   dims: int = 64) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each anchor (query), the top-k most-similar corpus vectors whose
+    cosine sits in [low, high) — similar enough to be informative
+    negatives, but below the near-duplicate band where a "negative" is
+    really an unlabeled positive (the classic false-negative trap in
+    dense-retriever training; cf. DPR / ANCE hard-negative selection).
+
+    Same banded-LSH candidate + exact-cosine machinery as lsh_topk
+    (identical scale shape: queries broadcast, corpus never broadcast,
+    candidates ∝ bands × n / 2^rows); the score band filters BEFORE the
+    per-anchor rank window, so top-k ranks negatives only. At 100 TB
+    this is the mining pass a retrieval pipeline runs per training
+    epoch against the frozen corpus index.
+    """
+    scored = _lsh_scored(corpus, queries, id_col, vec_col,
+                         bands, rows_per_band, dims)
+    banded = scored.filter((F.col("score") >= low) & (F.col("score") < high))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (banded.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "score",
                           F.col("rank").cast("int").alias("rank")))

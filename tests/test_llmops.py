@@ -119,6 +119,36 @@ def test_simhash_similarity(spark, near_dup_docs):
     assert ham_near < ham_far  # near-dup closer in hamming space
 
 
+def test_hard_negatives_exclude_near_dup_band(spark):
+    """The mining trap the op exists to avoid: vector 101 is a
+    near-copy of anchor 1 (cosine ~0.9998) — a naive top-k returns it
+    at rank 1, but mined as a 'negative' it would be an unlabeled
+    positive. hard_negatives must skip it and rank only the [low, high)
+    band, in the same order the naive top-k ranks those same vectors."""
+    import math
+    base = [1.0] + [0.0] * 63
+
+    def rot(theta):  # rotate in the (dim0, dim1) plane → cosine = cos θ
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    rows = [(1, base), (101, rot(0.02)),              # near-dup, cos ≈ 1
+            (2, rot(0.6)), (3, rot(0.9)), (4, rot(1.2)),   # the band
+            (5, rot(2.8))]                             # far: cos < low
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = df.filter(F.col("vec_id") == 1)
+    naive = sim.lsh_topk(df, anchors, k=5, bands=16, rows_per_band=4)
+    assert [r["neighbor_id"] for r in
+            naive.orderBy("rank").collect()][0] == 101
+    got = sim.hard_negatives(df, anchors, k=5, low=0.2, high=0.95,
+                             bands=16, rows_per_band=4).orderBy("rank").collect()
+    ids = [r["neighbor_id"] for r in got]
+    assert 101 not in ids and 5 not in ids
+    assert ids == [2, 3, 4]  # band members, most-similar first
+    assert all(0.2 <= r["score"] < 0.95 for r in got)
+
+
 def test_brute_force_topk_self_similarity(spark):
     rows = [(i, [float(i == j) for j in range(8)]) for i in range(4)]
     rows.append((10, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # ~= vec 0
