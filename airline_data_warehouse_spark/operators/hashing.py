@@ -17,6 +17,7 @@ oracle-checkable.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -103,16 +104,58 @@ def rehash60(h: Column) -> Column:
 
 def hyperplane_weights(n_planes: int = 8, dims: int = 64,
                        seed: str = "adw-plane") -> list[list[float]]:
-    """Deterministic ±1 random-hyperplane weights derived from md5 —
-    computed driver-side once and inlined as literals, so the Spark plan
-    and the SQL oracle share the exact same planes. ``seed`` namespaces
-    independent plane families (LSH buckets vs random projection) so two
-    operators never silently share hyperplanes."""
+    """Deterministic ±1 (Rademacher) weights derived from md5 — computed
+    driver-side once and inlined as literals, so the Spark plan and the
+    SQL oracle share the exact same planes. ``seed`` namespaces
+    independent plane families so two operators never silently share
+    hyperplanes.
+
+    CORRECT USE: Johnson–Lindenstrauss random PROJECTION (Achlioptas
+    2001: ±1 entries preserve pairwise distances in expectation and stay
+    exactly representable in both engines).
+
+    DO NOT use for sign-quantized LSH banding: every ±1 plane restricted
+    to a 2-D coordinate subspace has its decision boundary on a ±45°
+    diagonal, so sign-LSH over low-rank / axis-aligned / sparse inputs
+    collapses to at most 4 distinguishable cells per 2-D subspace and
+    adding bands only adds identically-quantized planes — recall cannot
+    recover (blind spot diagnosed in round 7; production-dense
+    embeddings hide it, quantized or structured ones do not). Sign-LSH
+    paths use :func:`gaussian_plane_weights` instead, whose continuous
+    entries place boundaries at arbitrary angles in every subspace."""
     planes = []
     for j in range(n_planes):
         row = []
         for i in range(dims):
             digest = hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()
             row.append(1.0 if digest[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def gaussian_plane_weights(n_planes: int = 8, dims: int = 64,
+                           seed: str = "adw-gplane") -> list[list[float]]:
+    """Deterministic N(0,1) hyperplane weights for sign-quantized cosine
+    LSH (Charikar 2002 SimHash planes: for Gaussian planes
+    P[sign collision] = 1 - θ/π exactly, in EVERY 2-D subspace — the
+    rotation-invariance that ±1 Rademacher planes lack; see the blind
+    spot documented on :func:`hyperplane_weights`).
+
+    Entries are Box–Muller transforms of two md5-derived uniforms,
+    rounded to 6 dp so the decimal literal inlined into the Spark
+    expression and the DuckDB oracle SQL is short, round-trips exactly,
+    and both engines parse the identical double — keeping sign-LSH band
+    keys bit-identical across engines (the repo-wide parity
+    convention)."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dims):
+            d1 = hashlib.md5(f"{seed}:{j}:{i}:u1".encode()).digest()
+            d2 = hashlib.md5(f"{seed}:{j}:{i}:u2".encode()).digest()
+            u1 = (int.from_bytes(d1[:8], "big") + 0.5) / 2.0 ** 64
+            u2 = int.from_bytes(d2[:8], "big") / 2.0 ** 64
+            z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+            row.append(round(z, 6))
         planes.append(row)
     return planes

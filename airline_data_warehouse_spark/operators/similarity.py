@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airline_data_warehouse_spark.operators.dedup import _persist
-from airline_data_warehouse_spark.operators.hashing import hyperplane_weights
+from airline_data_warehouse_spark.operators.hashing import (
+    gaussian_plane_weights, hyperplane_weights)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -84,6 +85,13 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def hyperplane_bucket(vec: Column | str, n_planes: int = 8, dims: int = 64) -> Column:
     """Random-hyperplane LSH bucket id: bit j = sign of <vec, plane_j>.
 
+    Planes are deterministic GAUSSIAN (Charikar 2002 SimHash: collision
+    probability 1 - θ/π holds in every subspace). The r07 ±1 Rademacher
+    planes had a diagnosed blind spot — on low-rank / axis-aligned
+    inputs every ±1 boundary lies on a ±45° subspace diagonal, so
+    banding could never recover recall there; see
+    hashing.gaussian_plane_weights / hyperplane_weights docstrings.
+
     Pass the vector COLUMN NAME to get the fast construction path: the
     whole bucket expression is generated as one SQL string and parsed in
     a single py4j call. The Column path builds the identical expression
@@ -93,7 +101,7 @@ def hyperplane_bucket(vec: Column | str, n_planes: int = 8, dims: int = 64) -> C
     CONSTRUCTION is paid per query even when execution is distributed).
     Both paths produce the same aggregate(zip_with(...)) expression tree,
     so results are bit-identical."""
-    planes = hyperplane_weights(n_planes, dims)
+    planes = gaussian_plane_weights(n_planes, dims)
     if isinstance(vec, str):
         terms = []
         for j, w in enumerate(planes):
@@ -117,7 +125,7 @@ def hyperplane_band_keys_sql(vec: str, bands: int, rows_per_band: int,
     construction path (one py4j call per band instead of ~25 ms of
     lambda round trips per plane; same expression tree and rounding as
     `hyperplane_band_keys`, so keys are bit-identical)."""
-    planes = hyperplane_weights(bands * rows_per_band, dims)
+    planes = gaussian_plane_weights(bands * rows_per_band, dims)
     keys = []
     for b in range(bands):
         terms = []
@@ -236,7 +244,7 @@ def hyperplane_band_keys(vec: Column, bands: int = 4, rows_per_band: int = 8,
     of the within-bucket self-join — comes from 2^rows_per_band per band.
     At larger corpus sizes raise rows_per_band (buckets grow 2^R) and
     bands together to hold recall."""
-    planes = hyperplane_weights(bands * rows_per_band, dims)
+    planes = gaussian_plane_weights(bands * rows_per_band, dims)
     keys = []
     for b in range(bands):
         key = F.lit(0)
@@ -271,7 +279,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     path re-evaluated per band key — 2× slower measured at sf0.1, worse
     as bands grow. Fold order and rounding are unchanged, so keys stay
     bit-identical to the SQL oracle's."""
-    planes = hyperplane_weights(bands * rows_per_band, dims)
+    planes = gaussian_plane_weights(bands * rows_per_band, dims)
     plane_mat = _lit_mat(planes)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dots = F.transform(plane_mat, lambda p: F.round(
