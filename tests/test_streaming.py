@@ -506,3 +506,64 @@ def test_stream_neardup_full_corpus_state_by_default(spark, tmp_path):
     pairs = {(r["inc_id"], r["corpus_id"])
              for r in spark.read.parquet(f"{store}/pairs").collect()}
     assert (4, 1) in pairs
+
+
+def test_stream_neardup_corrupt_store_fails_batch(spark, tmp_path):
+    """A corrupt band-store READ must FAIL the micro-batch (so structured
+    streaming retries it), never be treated as 'first batch': the old
+    read-and-swallow probe would silently skip that batch's pairs against
+    the whole accumulated corpus while still appending its bands — losing
+    the pairs permanently (ADVICE r06/r07). Only path-not-found means
+    first batch; that is probed via the FileSystem API, not by catching
+    read errors."""
+    import glob
+    import json as jsonlib
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_neardup_ingest,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the market "
+            "data pipeline keeps shuffling partitions across cluster nodes")
+    in_dir = tmp_path / "cr_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "cr_store")
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_neardup_ingest(src, store,
+                             checkpoint_dir=str(tmp_path / "cr_ckpt"))
+    try:
+        with open(in_dir / "b0.json", "w") as f:
+            f.write(jsonlib.dumps({"doc_id": 1, "text": base}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # corrupt every bands parquet footer in place (path still EXISTS,
+    # so this is a read failure, not the legitimate first-batch case)
+    band_files = glob.glob(f"{store}/bands/*.parquet")
+    assert band_files
+    for p in band_files:
+        with open(p, "wb") as f:
+            f.write(b"not a parquet file")
+
+    src2 = (spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q2 = start_neardup_ingest(src2, store,
+                              checkpoint_dir=str(tmp_path / "cr_ckpt2"))
+    try:
+        with open(in_dir / "b1.json", "w") as f:
+            f.write(jsonlib.dumps({"doc_id": 2, "text": base + " tail"})
+                    + "\n")
+        with pytest.raises(StreamingQueryException):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # the failed batch appended NOTHING: doc 2's shingles are absent
+    # (a silent skip would have appended them while dropping its pairs)
+    shingles = spark.read.parquet(f"{store}/shingles")
+    assert shingles.filter("doc_id = 2").count() == 0
