@@ -11,11 +11,28 @@ disjunctive pushdown predicates, and anti-join dormancy checks.
 Every query follows the house conventions (plans/registry.py module
 docstring): money math in DECIMAL(18,2) so sums are exact and
 order-independent, doubles only at the output boundary, deterministic
-tie-breaks on every LIMIT, dimensions broadcast explicitly.
+tie-breaks on every LIMIT.
+
+Broadcast contract (r08, VERDICT r07 watch item): an explicit
+F.broadcast() hint is reserved for sides whose size is BOUNDED BY
+SCHEMA, not by business volume — nation (25 rows, fixed geography),
+region (5), 1-row decorrelated scalars (global thresholds / maxima /
+averages), and per-bounded-vocabulary aggregates (e.g. per-brand mins:
+the brand catalog is an enum-like attribute, not an entity table).
+customer / supplier / part and anything derived per-entity from them
+(per-part averages or totals, brand- or region-filtered subsets) GROW
+with the business: at a 100M-row customer dim a pinned hint breaks the
+job outright, while AQE degrades gracefully — it still converts to a
+runtime broadcast whenever the actual post-filter size is under the
+threshold, and falls back to shuffle join when it is not. So growing
+sides carry NO hint. Pinned by
+tests/test_plans.py::test_dimension_broadcasts_are_explicit_hints
+(bounded dims must broadcast even with the threshold disabled) and
+test_growing_dims_carry_no_broadcast_hint (growing dims must not).
 
 Scale posture (100 TB): each shape's only wide exchange is a shuffle on
 its aggregation key; every correlated subquery is decorrelated into
-either a broadcast 1-row scalar or a broadcast per-group aggregate, so
+either a broadcast 1-row scalar or a bounded per-group aggregate, so
 no query here re-executes a subplan per outer row (the classic
 correlated-subquery scale failure). The two-scan shapes (Q15/Q17-style)
 re-read the fact rather than caching it: at 100 TB a second columnar
@@ -56,7 +73,9 @@ _DISC_PRICE_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2))"
     description="TPC-H Q2 shape (groupwise minimum): the cheapest part "
                 "per brand, written as the decorrelation of a correlated "
                 "MIN subquery — aggregate once per group, broadcast the "
-                "25-row min table, join back on (group, min). Ties keep "
+                "per-brand min table (bounded: brands are an enum-like "
+                "catalog attribute, not an entity), join back on "
+                "(group, min). Ties keep "
                 "every minimal part (deterministic set, no limit). At "
                 "100 TB the per-group aggregate is partial map-side and "
                 "the join-back is a broadcast, so the fact is scanned "
@@ -97,8 +116,10 @@ def groupwise_min_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "supplier side) under different aliases — the "
                 "role-playing-dimension pattern from the reference's "
                 "origin/destination airport joins (SURVEY §2.3 J5). The "
-                "disjunctive nation filter applies after both broadcast "
-                "joins; Catalyst still prunes with it before the groupBy.",
+                "disjunctive nation filter applies after both joins "
+                "(nation broadcasts by hint; customer/supplier are "
+                "AQE-planned — growing dims carry no pinned hint, r08); "
+                "Catalyst still prunes with it before the groupBy.",
 )
 def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -117,8 +138,8 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_2")
                & (F.col("cust_nation") == "NATION_1")))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(supp, li.l_suppkey == supp.s_suppkey)
               .join(F.broadcast(cn), cust.c_nationkey == cn.cnk)
               .join(F.broadcast(sn), supp.s_nationkey == sn.snk)
               .filter(pair)
@@ -148,9 +169,10 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nation per year, revenue minus a retail-price-derived "
                 "holding cost, restricted to one product family via a "
                 "contains predicate on the part name. The part filter "
-                "prunes the broadcast part dim BEFORE the fact join, so "
-                "the fact rows for other parts exit at the (broadcast) "
-                "join, not at the aggregate. All money terms stay in "
+                "prunes the part side BEFORE the fact join, so the "
+                "fact rows for other parts exit at the join, not at "
+                "the aggregate (part grows with the business, so the "
+                "join strategy is AQE's call, r08). Money terms stay in "
                 "DECIMAL until the output cast.",
 )
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,8 +186,8 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate", "l_extendedprice", "l_discount")
     cost = (dec2("p_retailprice") * dec2("l_quantity")
             * F.lit("0.05").cast(DecimalType(4, 2)))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
+              .join(supp, li.l_suppkey == supp.s_suppkey)
               .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
               .groupBy(F.col("n_name").alias("nation"),
                        F.year("l_shipdate").alias("ship_year"))
@@ -208,7 +230,7 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal", "c_nationkey")
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
               .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
               .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
               .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
@@ -251,7 +273,7 @@ def important_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("thr")))
     return (supp_rev.crossJoin(F.broadcast(threshold))
                     .filter(F.col("rev") > F.col("thr"))
-                    .join(F.broadcast(supp),
+                    .join(supp,
                           F.col("l_suppkey") == supp.s_suppkey)
                     .select("s_suppkey", "s_name",
                             F.col("rev").cast("double").alias("revenue")))
@@ -318,7 +340,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_partkey", "l_extendedprice", "l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", _disc_price()) \
              .otherwise(F.lit(0).cast(DecimalType(18, 2)))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
               .agg(F.round(F.lit(100.0)
                            * F.sum(promo).cast("double")
                            / F.sum(_disc_price()).cast("double"), 6)
@@ -359,7 +381,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = supp_rev.agg(F.max("rev").alias("max_rev"))
     return (supp_rev.crossJoin(F.broadcast(max_rev))
                     .filter(F.col("rev") == F.col("max_rev"))
-                    .join(F.broadcast(supp),
+                    .join(supp,
                           F.col("l_suppkey") == supp.s_suppkey)
                     .select("s_suppkey", "s_name",
                             F.col("rev").cast("double")
@@ -384,10 +406,12 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q16 shape (parts/supplier relationship): how "
                 "many distinct suppliers ship each surviving (brand, "
                 "type, size) combination, excluding a blacklisted "
-                "supplier set via NOT IN — expressed as a broadcast "
-                "left-anti join (the blacklist has no NULL keys, so "
-                "anti-join and NOT IN agree). All part predicates prune "
-                "the broadcast dim before the fact join; the distinct "
+                "supplier set via NOT IN — expressed as a left-anti "
+                "join (the blacklist has no NULL keys, so "
+                "anti-join and NOT IN agree; both part and blacklist "
+                "sides grow with the business, so join strategies are "
+                "AQE's call, r08). Part predicates prune "
+                "the dim before the fact join; the distinct "
                 "count shuffles once on the group key.",
 )
 def parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,8 +423,8 @@ def parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = (load(spark, sf_dir, "supplier")
                 .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-              .join(F.broadcast(bad_supp),
+    return (li.join(part, li.l_partkey == part.p_partkey)
+              .join(bad_supp,
                     li.l_suppkey == bad_supp.s_suppkey, "left_anti")
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
@@ -440,14 +464,14 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select("p_partkey"))
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
-    li_brand = li.join(F.broadcast(brand_parts),
+    li_brand = li.join(brand_parts,
                        li.l_partkey == brand_parts.p_partkey)
     part_avg = (li_brand.groupBy(F.col("l_partkey").alias("pk"))
                 .agg((F.lit(0.2)
                       * (F.sum(dec2("l_quantity")).cast("double")
                          / F.count("*")))
                      .alias("qty_threshold")))
-    return (li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+    return (li.join(part_avg, li.l_partkey == part_avg.pk)
               .filter(F.col("l_quantity") < F.col("qty_threshold"))
               .agg((F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0))
                     .cast("double").alias("avg_yearly")))
@@ -486,7 +510,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (big.join(orders, big.l_orderkey == orders.o_orderkey)
-               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+               .join(cust, orders.o_custkey == cust.c_custkey)
                .select("c_custkey", "c_name", "o_orderkey",
                        F.col("o_orderdate").cast("date").alias("order_date"),
                        F.col("o_totalprice").cast("double")
@@ -513,7 +537,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q19 shape (discounted revenue): an OR-of-ANDs "
                 "predicate mixing part attributes and fact attributes. "
                 "Catalyst extracts the common implications: the brand "
-                "disjunction prunes the broadcast part dim, and the "
+                "disjunction prunes the part dim pre-join, and the "
                 "derived quantity range (1..30) pushes to the fact "
                 "scan, so the disjunction is only evaluated post-join "
                 "on pre-filtered rows — the pattern that keeps Q19 "
@@ -531,7 +555,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(20, 30)),
     ]
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
               .filter(arm[0] | arm[1] | arm[2])
               .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
 
@@ -649,7 +673,9 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conditional-aggregation ratio computed over a "
                 "seven-table star. Every dimension (part filtered to "
                 "the type, supplier+nation, customer+nation+region "
-                "filtered to the market) broadcasts; the only shuffle "
+                "filtered to the market) is pre-pruned; nation/region "
+                "broadcast by hint, the entity-sized dims by AQE when "
+                "their runtime size allows (r08). The widest shuffle "
                 "join is fact-to-orders on orderkey, and the date "
                 "range prunes the orders scan before it. Numerator "
                 "and denominator are exact DECIMAL sums divided once "
@@ -682,10 +708,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("supp_nation") == "NATION_5", _disc_price()) \
               .otherwise(F.lit(0).cast(DecimalType(18, 2)))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(part, li.l_partkey == part.p_partkey)
+              .join(supp, li.l_suppkey == supp.s_suppkey)
               .join(F.broadcast(sn), supp.s_nationkey == sn.snk)
-              .join(F.broadcast(market_cust),
+              .join(market_cust,
                     orders.o_custkey == market_cust.c_custkey)
               .groupBy(F.year("o_orderdate").alias("o_year"))
               .agg(F.round(F.sum(target).cast("double")
@@ -768,7 +794,8 @@ def late_line_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "per-part threshold, then a semi-join chain up to the "
                 "supplier dimension) is Q20's. The threshold compare "
                 "stays in exact DECIMAL; the per-part totals table is "
-                "|parts|-row (dimension-sized) and broadcasts.",
+                "|parts|-row — it grows with the part catalog, so its "
+                "join strategy is AQE's call, not a pinned hint (r08).",
 )
 def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = (load(spark, sf_dir, "part")
@@ -778,7 +805,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter((F.col("l_shipdate") >= "1998-01-01")
                   & (F.col("l_shipdate") < "1999-01-01"))
           .select("l_partkey", "l_suppkey", "l_quantity"))
-    pp = (li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    pp = (li.join(parts, li.l_partkey == parts.p_partkey)
             .groupBy(F.col("l_partkey").alias("pk"),
                      F.col("l_suppkey").alias("sk"))
             .agg(F.sum(dec2("l_quantity")).alias("qty")))
@@ -787,12 +814,12 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey")
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (pp.join(F.broadcast(totals), pp.pk == totals.tpk)
+    return (pp.join(totals, pp.pk == totals.tpk)
               .filter(F.col("qty")
                       > F.col("part_total")
                       * F.lit("0.3").cast(DecimalType(2, 1)))
               .select("sk").distinct()
-              .join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
+              .join(supp, F.col("sk") == supp.s_suppkey)
               .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
               .select("s_suppkey", "s_name", "n_name"))
 
@@ -849,7 +876,7 @@ def blamed_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.countDistinct(late_supp).alias("n_late"),
                         F.max(late_supp).alias("blamed")))
     return (per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-                     .join(F.broadcast(supp),
+                     .join(supp,
                            F.col("blamed") == supp.s_suppkey)
                      .groupBy("s_name")
                      .agg(F.count("*").alias("waiting_orders"))
@@ -897,7 +924,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     base = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
               .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
               .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
               .agg(F.sum(_disc_price()).alias("_rev")))

@@ -118,6 +118,15 @@ _REVALIDATE: tuple[str, ...] = (
     "dedup_cluster_representatives",
     "dedup_incremental_minhash",
     "dedup_embedding_cosine",
+    # r08: the sign-LSH plane family switched from ±1 Rademacher to
+    # deterministic Gaussian (Charikar 2002) after the low-rank-subspace
+    # recall blind spot was diagnosed (hashing.gaussian_plane_weights);
+    # band keys — and therefore candidate sets — changed for every
+    # hyperplane-banded query. similarity_topk_lsh /
+    # dedup_embedding_cosine are already listed above; all four were
+    # locally hash-verified post-switch via tools/check_correctness.py.
+    "hard_negative_mining",
+    "dedup_cascade",
 )
 
 

@@ -3,8 +3,17 @@
 The reference's warehouse shapes transfer onto the TPC-H-ish testdata:
 orders/lineitem play fact_sales, customer/nation/region/supplier/part play
 the dimensions, events plays flight_status_updates. Every query is a
-declarative DataFrame plan — Catalyst broadcasts the small dims, pushes
-filters into the parquet scans, and keeps aggregation partial (map-side).
+declarative DataFrame plan — filters push into the parquet scans and
+aggregation stays partial (map-side).
+
+Broadcast contract (r08, shared with plans/olap.py — see its module
+docstring for the full rationale): explicit F.broadcast() hints are
+reserved for schema-bounded sides (nation 25 rows, region 5, 1-row
+scalars, fixed lookup maps, per-column profiling stats bounded by the
+schema width). customer / supplier / part grow with the business and
+carry NO pinned hint — AQE converts to a runtime broadcast when the
+actual size permits and degrades to a shuffle join when it doesn't,
+which a pinned hint cannot do at a 100M-row dim.
 """
 
 from __future__ import annotations
@@ -52,7 +61,7 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, nation, region = (load(spark, sf_dir, t) for t in ("customer", "nation", "region"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+          .join(customer, orders.o_custkey == customer.c_custkey)
           .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
           .groupBy(
@@ -92,8 +101,8 @@ def role_playing_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn, sn = nation.alias("cn"), nation.alias("sn")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-          .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+          .join(customer, orders.o_custkey == customer.c_custkey)
+          .join(supplier, li.l_suppkey == supplier.s_suppkey)
           .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
           .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
           .groupBy(F.col("cn.n_name").alias("cust_nation"),
@@ -531,7 +540,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
     nation, region = load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
-    joined = (orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    joined = (orders.join(customer, orders.o_custkey == customer.c_custkey)
                     .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
                     .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
                     .select(F.col("r_name").alias("region_name"), "o_orderpriority",
@@ -1583,7 +1592,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="J1,A5,O2",
     description="TPC-H Q3 shape (shipping priority): unshipped-order "
                 "revenue for one market segment, top 10. The segment "
-                "filter prunes customer BEFORE its broadcast, both date "
+                "filter prunes customer BEFORE its join (strategy is "
+                "AQE's call — customer grows with the business, no "
+                "pinned hint, r08), both date "
                 "predicates push to the parquet scans, and the top-10 is "
                 "a TakeOrdered — never a global sort.",
 )
@@ -1600,7 +1611,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("l_shipdate") > cutoff)
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
               .groupBy("l_orderkey",
                        F.col("o_orderdate").cast("date").alias("order_date"),
                        "o_orderpriority")
@@ -1633,10 +1644,12 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="J1-J5,A5",
     description="TPC-H Q5 shape (local supplier volume): revenue where "
                 "customer and supplier share a nation inside one region, "
-                "grouped by nation. Every dimension (customer, supplier, "
-                "nation, region) broadcasts; the c_nationkey = "
-                "s_nationkey equi-condition rides the same broadcast "
-                "joins, so the only shuffle is the final small groupBy.",
+                "grouped by nation. nation/region broadcast by hint "
+                "(bounded by geography); customer/supplier are "
+                "AQE-planned (growing dims carry no pinned hint, r08). "
+                "The c_nationkey = s_nationkey equi-condition rides "
+                "the same joins, so the widest shuffle is "
+                "fact-to-orders, then the small groupBy.",
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name",
@@ -1655,8 +1668,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-              .join(F.broadcast(supp),
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(supp,
                     (li.l_suppkey == supp.s_suppkey)
                     & (cust.c_nationkey == supp.s_nationkey))
               .join(F.broadcast(nat_in),
@@ -1752,8 +1765,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     operators="J8,A1,P4",
     description="Composed data-quality report (dbt-test shape): FK "
-                "integrity via anti-join counts (customer broadcasts; "
-                "the lineitem->orders check is the honest shuffle), key "
+                "integrity via anti-join counts (join strategies are "
+                "AQE's call — both sides grow with the business; the "
+                "lineitem->orders check is the honest shuffle), key "
                 "uniqueness, accepted-values, non-negativity, and "
                 "non-emptiness — one row per check. Each check is a "
                 "partial-agg count; the union is 6 rows.",
@@ -1770,7 +1784,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.count(F.lit(1)).alias("n_violations"))
 
     fk_oc = one("fk_orders_customer",
-                orders.join(F.broadcast(customer.select("c_custkey")),
+                orders.join(customer.select("c_custkey"),
                             orders.o_custkey == F.col("c_custkey"),
                             "left_anti"))
     fk_lo = one("fk_lineitem_orders",

@@ -37,7 +37,10 @@ def registry():
 
 def test_star_join_broadcasts_all_dims(spark, sf_dir, registry):
     plan = plan_of(registry["flagship_star_revenue"].builder(spark, sf_dir))
-    # 4 dims (orders is fact-side) → all broadcast, zero sort-merge joins
+    # 4 dims (orders is fact-side) → all broadcast at test scale, zero
+    # sort-merge joins: nation/region by explicit hint (schema-bounded),
+    # customer by the size threshold (growing dim, no pinned hint — r08
+    # broadcast contract, plans/olap.py module docstring)
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     # (codegen markers only appear in the AQE final plan post-execution;
@@ -485,12 +488,13 @@ def test_forward_fill_carries_last_value_across_gaps(spark, tmp_path):
 
 
 def test_dimension_broadcasts_are_explicit_hints(spark, sf_dir, registry):
-    """The star-join dimension broadcasts must come from EXPLICIT
+    """SCHEMA-BOUNDED dimension broadcasts must come from EXPLICIT
     broadcast() hints, not the size-threshold heuristic: with
-    autoBroadcastJoinThreshold disabled (-1), the flagship and both
-    TPC-H shapes still plan BroadcastHashJoins — at 100 TB the
+    autoBroadcastJoinThreshold disabled (-1), queries joining
+    nation/region still plan BroadcastHashJoins — at 100 TB the
     threshold estimator sees sampled stats, while the hint encodes the
-    designer's knowledge that a dimension is bounded."""
+    designer's knowledge that geography is bounded (nation=25,
+    region=5 rows by schema, not by business volume)."""
     import io
     from contextlib import redirect_stdout
 
@@ -498,8 +502,7 @@ def test_dimension_broadcasts_are_explicit_hints(spark, sf_dir, registry):
     old = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try:
-        for name in ("flagship_star_revenue", "shipping_priority_topk",
-                     "local_supplier_volume"):
+        for name in ("flagship_star_revenue", "local_supplier_volume"):
             df = registry[name].builder(spark, sf_dir)
             buf = io.StringIO()
             with redirect_stdout(buf):
@@ -507,6 +510,69 @@ def test_dimension_broadcasts_are_explicit_hints(spark, sf_dir, registry):
             assert "BroadcastHashJoin" in buf.getvalue(), name
     finally:
         spark.conf.set(key, old)
+
+
+def test_growing_dims_carry_no_broadcast_hint(spark, sf_dir, registry):
+    """The r08 broadcast contract's other half (VERDICT r07 watch item):
+    customer / supplier / part scale with the business, so no plan may
+    PIN a broadcast on them — at a 100M-row customer dim a pinned hint
+    OOMs the build side where AQE would have degraded to a shuffle
+    join. Two pins:
+
+    1. Runtime: TPC-H Q3 (shipping_priority_topk) joins only growing
+       sides (orders, customer) — with the size threshold disabled its
+       plan must contain NO BroadcastHashJoin at all. If a hint sneaks
+       back onto customer, this catches it.
+    2. Source: no F.broadcast(<entity-dim name>) call anywhere in the
+       warehouse plan modules; the allowlist names every side whose
+       bound is written down.
+    """
+    import io
+    import os
+    import re
+    from contextlib import redirect_stdout
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = registry["shipping_priority_topk"].builder(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BroadcastHashJoin" not in buf.getvalue()
+    finally:
+        spark.conf.set(key, old)
+
+    # Source-level pin. Allowed hint targets and their written bounds:
+    allowed = {
+        "nation": "25 rows, fixed geography",
+        "region": "5 rows, fixed geography",
+        "nat": "nation projection",
+        "cn": "nation role-play alias",
+        "sn": "nation role-play alias",
+        "nat_in": "nation semi-joined to region: <= 25 rows",
+        "reg": "region projection",
+        "threshold": "1-row decorrelated scalar",
+        "max_rev": "1-row decorrelated scalar",
+        "avg_bal": "1-row decorrelated scalar",
+        "mins": "per-brand aggregate: brand is an enum-like catalog "
+                "attribute (bounded vocabulary), not an entity table",
+        "lang_map": "fixed language-code lookup",
+        "rng": "per-column profiling stats: bounded by schema width",
+        "offsets": "per-(column,bucket) offsets: schema width x 1000",
+        "med": "per-column medians: bounded by schema width",
+    }
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "airline_data_warehouse_spark", "plans")
+    for fname in ("olap.py", "relational.py"):
+        with open(os.path.join(root, fname)) as f:
+            src = f.read()
+        for m in re.finditer(r"F\.broadcast\((\w+)[),.]", src):
+            assert m.group(1) in allowed, (
+                f"{fname}: F.broadcast({m.group(1)}) is not in the "
+                "bounded-side allowlist — either document its bound "
+                "here or drop the hint and let AQE choose")
 
 
 def test_last_touch_attribution_rules(spark, tmp_path):
