@@ -501,7 +501,12 @@ def hamming_near_pairs(sigs: DataFrame, sig_col: str, id_col: str,
     parts = max_hamming + 1
     chunk_cols = []
     for i, (off, w) in enumerate(simhash_chunks(bits, parts)):
-        chunk = F.shiftright(F.col(sig_col), off).bitwiseAND(F.lit((1 << w) - 1))
+        # w == 64 (single chunk, e.g. max_hamming=0 over 64-bit sigs as
+        # an exact-dup screen): (1 << 64) - 1 overflows int64 and the
+        # literal becomes a decimal that breaks bitwiseAND — mask with
+        # -1 (all bits set in two's complement) instead (ADVICE r07)
+        mask = -1 if w == 64 else (1 << w) - 1
+        chunk = F.shiftright(F.col(sig_col), off).bitwiseAND(F.lit(mask))
         chunk_cols.append(F.struct(F.lit(i).alias("part"), chunk.alias("chunk")))
     # persist: the self-join consumes the banded table twice, and the
     # signature derivation (shingle md5 cascade + 60 bit-count sums) is

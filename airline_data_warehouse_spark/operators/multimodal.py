@@ -348,9 +348,13 @@ def audio_features(df: DataFrame) -> DataFrame:
     + numpy end to end, no optional dependency and no fake seam. RMS /
     peak / zero-crossing rate over normalized [-1, 1] samples are the
     classic silence/clipping/voice-activity screens a speech corpus is
-    filtered on before any model runs. 8/16/32-bit PCM handled;
-    multi-channel audio is averaged to mono first (the standard
-    pre-filter convention)."""
+    filtered on before any model runs. 8/16/24/32-bit PCM handled
+    (24-bit — a common field-recording format numpy has no native dtype
+    for — is widened to int32 by left-packing the 3 bytes, which scales
+    by 256 and cancels exactly in the 2^31 normalization; ADVICE r07);
+    any other width raises a descriptive NotImplementedError instead of
+    an opaque executor-side KeyError. Multi-channel audio is averaged
+    to mono first (the standard pre-filter convention)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
@@ -369,11 +373,28 @@ def audio_features(df: DataFrame) -> DataFrame:
                     rate, nch = wf.getframerate(), wf.getnchannels()
                     width, n = wf.getsampwidth(), wf.getnframes()
                     raw = wf.readframes(n)
-                samples = np.frombuffer(raw, dtype=widths[width]).astype(np.float64)
-                if width == 1:
-                    samples = (samples - 128.0) / 128.0  # 8-bit PCM is unsigned
+                if width == 3:
+                    # 24-bit PCM: left-pack each little-endian 3-byte
+                    # sample into the top bytes of an int32 (value*256),
+                    # normalize by 2^31 — net effect sample/2^23 exact
+                    tri = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                    quad = np.zeros((tri.shape[0], 4), dtype=np.uint8)
+                    quad[:, 1:] = tri
+                    samples = (quad.view("<i4").ravel().astype(np.float64)
+                               / float(2 ** 31))
+                elif width not in widths:
+                    raise NotImplementedError(
+                        f"audio_features: unsupported WAV sample width "
+                        f"{width} bytes (media_id={row.media_id}); supported "
+                        f"widths are 1/2/3/4 (8/16/24/32-bit PCM)")
                 else:
-                    samples = samples / float(2 ** (8 * width - 1))
+                    samples = (np.frombuffer(raw, dtype=widths[width])
+                               .astype(np.float64))
+                    if width == 1:
+                        # 8-bit PCM is unsigned
+                        samples = (samples - 128.0) / 128.0
+                    else:
+                        samples = samples / float(2 ** (8 * width - 1))
                 if nch > 1:
                     samples = samples.reshape(-1, nch).mean(axis=1)
                 zc = (float(np.count_nonzero(np.diff(np.signbit(samples))))

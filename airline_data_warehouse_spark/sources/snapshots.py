@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airline_data_warehouse_spark.sources.atomic import _fs
 
-_VDIR = re.compile(r"^v(\d{5})$")
+# 5+ digits: %05d pads but does NOT truncate, so version 100000 writes
+# v100000 — a 5-digit-only regex would make it invisible to _committed,
+# the allocator would re-pick 100000, and every later commit would fail
+# on mode('error'), wedging the table permanently (ADVICE r07). Sorting
+# is numeric (int keys), so 6-digit versions order correctly too.
+_VDIR = re.compile(r"^v(\d{5,})$")
 
 
 def _marker_dir(root: str) -> str:

@@ -1262,6 +1262,61 @@ def test_audio_features_real_wav_exact(spark):
     assert r["zero_crossing_rate"] == 1.0
 
 
+def test_audio_features_24bit_and_unsupported_width(spark):
+    """24-bit PCM (sampwidth 3 — common field-recording format, ADVICE
+    r07): a ±2^22 square wave normalizes to exactly 0.5, like the 16-bit
+    twin above. A hand-crafted 40-bit WAV raises a descriptive
+    NotImplementedError, not a bare executor-side KeyError."""
+    import io
+    import struct
+    import wave as wavlib
+
+    import pytest
+
+    n = 4_000
+    buf = io.BytesIO()
+    with wavlib.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8_000)
+        wf.writeframes(b"".join(
+            ((4194304 if i % 2 == 0 else -4194304) & 0xFFFFFF)
+            .to_bytes(3, "little") for i in range(n)))
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio", None)], mm.MEDIA_SCHEMA)
+    r = mm.audio_features(media).collect()[0]
+    assert (r["sample_rate"], r["n_frames"]) == (8_000, n)
+    assert r["rms"] == 0.5 and r["peak"] == 0.5
+    assert r["zero_crossing_rate"] == 1.0
+
+    # minimal RIFF/WAVE header claiming 40-bit PCM (wave reads any width)
+    def wav40(payload: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 5, 5, 40)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    bad = spark.createDataFrame(
+        [(7, bytearray(wav40(b"\x00" * 40)), "audio", None)],
+        mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="unsupported WAV sample width 5"):
+        mm.audio_features(bad).collect()
+
+
+def test_hamming_near_pairs_single_chunk_exact_screen(spark):
+    """max_hamming=0 over 64-bit signatures (one 64-wide chunk — the
+    exact-duplicate screen image_near_dup_pairs offers): the chunk mask
+    must be -1, since the naive (1 << 64) - 1 literal overflows int64
+    and broke the plan (ADVICE r07). Only identical signatures pair,
+    including sign-negative ones."""
+    rows = [(1, -42), (2, -42), (3, 42), (4, 41)]
+    sigs = spark.createDataFrame(rows, "media_id long, sig long")
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             dd.hamming_near_pairs(sigs, "sig", "media_id", 64, 0).collect()}
+    dd.release_caches()
+    assert pairs == {(1, 2): 0}
+
+
 def test_image_near_dup_average_hash(spark):
     """Perceptual invariance pinned: a uniform brightness shift moves
     every luma cell AND the mean together, so the average-hash is

@@ -28,6 +28,31 @@ def test_commit_read_asof_and_history(spark, tmp_path):
     assert hist[0]["columns"] == ["id", "value"]
 
 
+def test_version_100000_stays_visible_and_allocates_past(spark, tmp_path):
+    """%05d pads but does not truncate, so version 100000 writes a
+    6-digit v100000 dir — a 5-digit-only matcher made it invisible, the
+    allocator re-picked 100000, and every later commit failed on
+    mode('error'): the table wedged permanently (ADVICE r07). The
+    matcher accepts 5+ digits and sorts numerically."""
+    import json
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_commit(spark, _df(spark, 3), root)
+    # fabricate a committed 6-digit version (data + marker)
+    _df(spark, 9).write.parquet(f"{root}/v100000")
+    with open(os.path.join(root, "_commits", "v100000"), "w") as f:
+        json.dump({"version": 100000, "rows": 9,
+                   "columns": ["id", "value"]}, f)
+    assert sn.latest_version(spark, root) == 100000
+    assert sn.snapshot_read(spark, root).count() == 9
+    # the allocator sees it and moves past — no re-pick, no wedge
+    assert sn.snapshot_commit(spark, _df(spark, 4), root) == 100001
+    assert sn.latest_version(spark, root) == 100001
+    assert sn.snapshot_read(spark, root).count() == 4
+    hist = [(h["version"], h["rows"]) for h in sn.snapshot_history(spark, root)]
+    assert hist == [(1, 3), (100000, 9), (100001, 4)]
+
+
 def test_crashed_commit_is_invisible_and_number_not_reused(spark, tmp_path):
     root = str(tmp_path / "tbl")
     sn.snapshot_commit(spark, _df(spark, 3), root)

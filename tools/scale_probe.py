@@ -271,6 +271,39 @@ def recall_probe(spark, sf_dir: str, sample_docs: int = 300,
     out["embedding_pair_recall"] = round(
         len(vgot & vtruth) / max(len(vtruth), 1), 3)
     out["embedding_truth_pairs"] = len(vtruth)
+
+    # --- Hard-negative mining recall vs the exact [low, high) band ---
+    # The probe class that caught lsh_topk's recall 0.04 (r07), applied
+    # to the mining path (VERDICT r07 item 7): truth = per anchor, the
+    # exact-cosine top-5 of the band [0.2, 0.95) over the registry
+    # query's own augmented corpus; recall = mined ∩ truth / truth.
+    from pyspark.sql import Window
+
+    from airline_data_warehouse_spark.plans.llmops import _vec_corpus
+
+    hn_corpus = _vec_corpus(spark, sf_dir)
+    qa = (hn_corpus.filter(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv")))
+    ca = hn_corpus.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("embedding").alias("cv"))
+    hcos = sim.cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id").asc())
+    hn_truth = {(r["query_id"], r["neighbor_id"]) for r in
+                (ca.crossJoin(F.broadcast(qa))
+                   .filter(F.col("query_id") != F.col("neighbor_id"))
+                   .withColumn("c", hcos)
+                   .filter((F.col("c") >= 0.2) & (F.col("c") < 0.95))
+                   .withColumn("rk", F.row_number().over(w))
+                   .filter(F.col("rk") <= 5)
+                   .select("query_id", "neighbor_id")).collect()}
+    mined = {(r["query_id"], r["neighbor_id"]) for r in
+             reg["hard_negative_mining"].builder(spark, sf_dir).collect()}
+    dd.release_caches()
+    out["hard_negative_recall_at5"] = round(
+        len(mined & hn_truth) / max(len(hn_truth), 1), 3)
+    out["hard_negative_truth_pairs"] = len(hn_truth)
     return out
 
 
