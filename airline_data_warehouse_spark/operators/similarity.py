@@ -58,6 +58,23 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
+def _finite_ok(vec: Column) -> Column:
+    """Scoring-path hygiene predicate: fully finite AND nonzero norm.
+
+    Both Spark and DuckDB order NaN above every real AND evaluate
+    NaN >= t as true, so one poisoned vector ranks first in every
+    cosine top-k and passes every threshold filter it touches — at
+    100 TB one corrupt shard silently wins every query (pinned by
+    tests/test_fuzz.py::test_adversarial_embeddings). Since r08 every
+    cosine-scoring operator applies this guard at entry (the DuckDB
+    oracles carry the identical predicate, so parity is structural);
+    `finite_vectors` remains the explicit pre-filter for when a
+    dimension check or an early cut is wanted."""
+    return (F.forall(vec, lambda x: ~F.isnan(x)
+                     & (x > float("-inf")) & (x < float("inf")))
+            & (_norm(vec) > 0))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k neighbors for each query (self-match excluded).
@@ -65,6 +82,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Norms are hoisted into the per-side projections — computed once per
     vector, not once per (query, neighbor) pair; same doubles, same
     rounding, so results are bit-identical to the naive form."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
+    queries = queries.filter(_finite_ok(F.col(vec_col)))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        _norm(F.col(vec_col)).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
@@ -177,6 +196,8 @@ def _lsh_scored(corpus: DataFrame, queries: DataFrame, id_col: str,
     """Shared LSH candidate + exact-cosine scoring stage of lsh_topk /
     hard_negatives: (query_id, neighbor_id, score) for every banded
     collision, deduped across bands before vectors join back."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
+    queries = queries.filter(_finite_ok(F.col(vec_col)))
     keys = hyperplane_band_keys_sql(vec_col, bands, rows_per_band, dims)
     banded_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -279,6 +300,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     path re-evaluated per band key — 2× slower measured at sf0.1, worse
     as bands grow. Fold order and rounding are unchanged, so keys stay
     bit-identical to the SQL oracle's."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
     planes = gaussian_plane_weights(bands * rows_per_band, dims)
     plane_mat = _lit_mat(planes)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -347,6 +369,7 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
     for LAION); for unbounded corpora with fixed k, use
     embedding_near_dup_pairs, which is collision-linear. Norms are
     hoisted per vector before the join."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
     assigned = _persist(ivf_assign(corpus, centroids, id_col, vec_col)
                         .withColumn("_n", _norm(F.col(vec_col))))
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -367,6 +390,7 @@ def label_centroids(corpus: DataFrame, id_col: str = "vec_id",
     (one shuffle keyed on (label, dim)). Exact-decimal accumulation so
     the result is independent of aggregation order — float32 inputs are
     exactly representable in DECIMAL(20,10)."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
     exploded = corpus.select(
         F.col(label_col),
         F.posexplode(F.col(vec_col)).alias("dim", "val"))
@@ -419,6 +443,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_probe: int = 3
     inverted lists, exact cosine only within them. Complements lsh_topk:
     IVF recall degrades gracefully with n_probe instead of bucket
     boundaries."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
+    queries = queries.filter(_finite_ok(F.col(vec_col)))
     cents = centroid_vectors(corpus, label_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
@@ -562,6 +588,7 @@ def kmeans_assign(corpus: DataFrame, k: int = 8, iters: int = 2,
     Returns the FINAL assignment (id, cluster_id, score): cluster_id
     is the seed vec_id, score the rounded cosine to the final centroid.
     """
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
     seeds = (corpus.orderBy(F.col(id_col).asc()).limit(k)
              .select(F.col(id_col).alias("list_id"),
                      F.col(vec_col).cast("array<double>").alias("centroid")))
@@ -659,6 +686,7 @@ def ivf_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 5,
     tie-breaks, same within-list ranking.
     """
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    queries = queries.filter(_finite_ok(F.col(vec_col)))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
     q = q.withColumn("qn", _norm(F.col("qv")))
@@ -698,17 +726,18 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding",
     rows whose embedding is fully finite (no NaN/±Inf), has a nonzero
     norm, and — when ``dims`` is given — the expected length.
 
-    Why this exists as a SEPARATE step: both Spark and DuckDB order NaN
-    above every real number, so a single NaN-poisoned vector ranks
-    FIRST in every cosine top-k it touches (pinned by
-    tests/test_fuzz.py::test_adversarial_embeddings) — at 100 TB one
-    corrupt shard silently wins every query. Zero-norm and
-    wrong-dimension vectors score NULL and sink to the bottom — noisy
-    but not toxic. Run this before index build / search when inputs are
-    untrusted; the scoring operators themselves stay un-guarded so
-    their certified plans (and their DuckDB oracle parity) are
-    unchanged. `ivf_index_build` applies it unconditionally — an index
-    must never ingest garbage.
+    Both Spark and DuckDB order NaN above every real number, so a
+    single NaN-poisoned vector ranks FIRST in every cosine top-k it
+    touches (pinned by tests/test_fuzz.py::test_adversarial_embeddings)
+    — at 100 TB one corrupt shard silently wins every query. Since r08
+    the cosine-scoring operators apply the finite+nonzero-norm part of
+    this guard at entry themselves (see `_finite_ok`; the DuckDB
+    oracles carry the identical predicate, so certified parity holds
+    structurally — the deferred-to-r08 item in PLANS.md). This explicit
+    pre-filter remains the API for the DIMENSION check (scoring can't
+    know the expected width) and for cutting garbage once, early, ahead
+    of a multi-operator pipeline. `ivf_index_build` applies it
+    unconditionally — an index must never ingest garbage.
     """
     v = F.col(vec_col)
     finite = F.forall(v, lambda x: ~F.isnan(x)

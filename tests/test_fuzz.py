@@ -116,11 +116,17 @@ def test_fuzzed_documents_through_text_suite(spark):
 
 
 def test_adversarial_embeddings(spark):
-    """Vector-poisoning contract, pinned: a NaN embedding ranks FIRST in
-    raw cosine top-k (NaN sorts above every real in Spark AND DuckDB —
-    toxic at scale), zero-norm and wrong-dimension vectors sink as NULL
-    scores; `finite_vectors` removes all three classes, and an IVF index
-    built from poisoned input never ingests them."""
+    """Vector-poisoning contract, pinned: NaN sorts above every real in
+    Spark AND DuckDB, so unguarded cosine top-k would rank a poisoned
+    vector FIRST — since r08 every scoring operator excludes
+    non-finite / zero-norm vectors at entry (similarity._finite_ok), so
+    the poisoned corpus ranks clean WITHOUT a manual pre-filter;
+    `finite_vectors` additionally removes wrong-dimension vectors
+    (scoring can't know the expected width — vec 6 still scores, as
+    NULL, without it), and an IVF index built from poisoned input never
+    ingests any garbage class."""
+    import math
+
     from pyspark.sql import functions as F
 
     from airline_data_warehouse_spark.operators import similarity as sim
@@ -130,9 +136,26 @@ def test_adversarial_embeddings(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = df.filter(F.col("vec_id") == 1)
 
+    # the hazard the guard exists for, demonstrated on the raw scores:
+    # an UNguarded cosine ranks the NaN vector first in both engines
+    naive = (F.broadcast(q.select(F.col("vec_id").alias("query_id"),
+                                  F.col("embedding").alias("qv")))
+             .crossJoin(df.select(F.col("vec_id").alias("neighbor_id"),
+                                  F.col("embedding").alias("cv")))
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("neighbor_id", sim.cosine(F.col("qv"), F.col("cv"))
+                     .alias("score"))
+             .orderBy(F.col("score").desc()).collect())
+    # both the NaN vector (3) and the Inf vector (4, whose cosine is
+    # inf/inf = NaN) tie at NaN and outrank every real score
+    assert math.isnan(naive[0]["score"]) and naive[0]["neighbor_id"] in (3, 4)
+
+    # the guarded operator excludes NaN/Inf/zero-norm on its own; the
+    # wrong-width vector 6 survives (scores NULL, sinks to the bottom)
     raw = sim.brute_force_topk(df, q, k=6).orderBy("rank").collect()
-    import math
-    assert math.isnan(raw[0]["score"])        # poison wins — the hazard
+    assert [r["neighbor_id"] for r in raw] == [2, 6]
+    assert raw[0]["score"] is not None and raw[1]["score"] is None
+
     clean = sim.finite_vectors(df, dims=2)
     assert {r["vec_id"] for r in clean.collect()} == {1, 2}
     good = sim.brute_force_topk(clean, q, k=6).orderBy("rank").collect()
