@@ -665,3 +665,173 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
             "the pair graph has a longer chain than expected — rerun with "
             "a larger max_iter (rounds needed ~ log2(chain length))")
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def cascade_store_build(docs: DataFrame, emb: DataFrame, store_dir: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        vec_col: str = "embedding",
+                        overwrite: bool = False) -> None:
+    """Materialize the accumulated-corpus dedup state the three-tier
+    cascade needs, so a daily ingest (see `incremental_cascade`) never
+    rescans or re-shingles corpus text / re-hashes corpus vectors:
+
+    * ``hashes``    — (text_md5, keeper): exact-tier lookup, keeper =
+      lowest corpus doc_id per distinct text (the cascade's keep-rule).
+    * ``bands``     — the MinHash LSH band table (minhash_band_table):
+      lexical-tier candidates come from an increment-bands ⋈
+      store-bands join, cost ∝ |increment| × collision rate.
+    * ``shingles``  — (doc_id, hs int32): the exact-Jaccard verify side.
+    * ``emb_bands`` — hyperplane band keys (4 bands × 8 sign bits, the
+      embedding_near_dup_pairs family) of the corpus vectors.
+    * ``vectors``   — (vec_id, v, n): finite, nonzero-norm corpus
+      vectors with hoisted norms for the semantic-tier exact-cosine
+      verify.
+
+    ``overwrite=False`` (the default used by the registry query) reuses
+    an existing store — the daily-ingest contract is that the store is
+    an output of YESTERDAY's run, amortized across batches; per-frame
+    parquet writes go to the final paths in one action each, and the
+    ``_built`` marker lands last, so a crashed build is rebuilt rather
+    than half-read (the snapshot-commit marker convention)."""
+    import os
+
+    from airline_data_warehouse_spark.operators import similarity as sim
+
+    marker = os.path.join(store_dir, "_built")
+    if not overwrite and os.path.exists(marker):
+        return
+    d = docs.filter(F.col(text_col).isNotNull())
+    (d.select(F.md5(text_col).alias("text_md5"), F.col(id_col))
+      .groupBy("text_md5").agg(F.min(id_col).alias("keeper"))
+      .write.mode("overwrite").parquet(os.path.join(store_dir, "hashes")))
+    sh = _persist(shingled(d, text_col, id_col))
+    (sh.select(id_col, _i32("hs").alias("hs"))
+       .write.mode("overwrite").parquet(os.path.join(store_dir, "shingles")))
+    (minhash_band_table(sh, id_col)
+       .write.mode("overwrite").parquet(os.path.join(store_dir, "bands")))
+    release_caches()
+    ev = (emb.filter(sim._finite_ok(F.col(vec_col)))
+             .select(F.col(id_col if id_col in emb.columns else "vec_id")
+                     .alias("vec_id"),
+                     F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                      .alias("v")))
+    keys = sim.hyperplane_band_keys_sql("v", bands=4, rows_per_band=8)
+    (ev.select("vec_id", F.posexplode(F.array(*keys)).alias("band", "band_key"))
+       .select("vec_id", F.col("band").cast("int").alias("band"), "band_key")
+       .write.mode("overwrite").parquet(os.path.join(store_dir, "emb_bands")))
+    (ev.select("vec_id", "v", sim._norm(F.col("v")).alias("n"))
+       .write.mode("overwrite").parquet(os.path.join(store_dir, "vectors")))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def incremental_cascade(spark, store_dir: str, inc_docs: DataFrame,
+                        inc_emb: DataFrame, threshold: float = 0.6,
+                        cos_threshold: float = 0.99,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """The daily-ingest form of the three-tier dedup cascade: classify
+    each INCREMENT document against the accumulated corpus STATE
+    (`cascade_store_build`) — never against raw corpus text or vectors —
+    with each tier consuming only the previous tier's survivors:
+
+    1. exact    — md5(text) hits the store's hash table; partner = the
+       stored keeper.
+    2. near_dup — survivor bands ⋈ store bands (MinHash LSH), exact
+       9-gram Jaccard ≥ threshold against store shingles; partner = the
+       lowest matching corpus doc.
+    3. semantic — survivor embeddings banded (hyperplane, 4×8) ⋈ store
+       emb_bands, exact cosine ≥ cos_threshold against store vectors;
+       partner = the lowest matching corpus vec (vec_id = doc_id by
+       corpus convention).
+
+    Returns (doc_id, verdict ∈ {exact, near_dup, semantic, kept},
+    partner_id). 100 TB shape: every stage is increment-driven — the
+    corpus appears only through its persisted signature stores, joined
+    band-keyed or id-keyed, so the per-batch cost scales with
+    |increment| × collision rate while corpus state grows append-only
+    (the batch twin of streaming/dedup.start_neardup_ingest, with the
+    semantic tier the stream variant doesn't have). Store-side verify
+    frames are hinted shuffle_hash — corpus-proportional array payloads
+    must never reach a broadcast build (SCALING.md r07).
+
+    Cite: cascade semantics mirror plans/llmops.dedup_cascade (the
+    from-scratch batch form); the driver certifies this operator's
+    store-mediated answer equals DuckDB recomputing from raw tables."""
+    import os
+
+    from airline_data_warehouse_spark.operators import similarity as sim
+
+    inc = _persist(inc_docs.select(F.col(id_col), F.col(text_col)))
+
+    hashes = spark.read.parquet(os.path.join(store_dir, "hashes"))
+    # hash table is corpus-proportional: shuffle_hash, never broadcast
+    t1 = _persist(inc.select(id_col, F.md5(text_col).alias("text_md5"))
+                  .join(hashes.hint("shuffle_hash"), "text_md5", "left")
+                  .select(id_col, F.col("keeper").alias("e_partner")))
+    s1 = inc.join(t1.filter(F.col("e_partner").isNotNull()).select(id_col),
+                  id_col, "left_anti")
+
+    ish = _persist(shingled(s1, text_col, id_col))
+    ibands = minhash_band_table(ish, id_col).select(
+        F.col(id_col).alias("inc_id"), "band", "band_key")
+    cbands = spark.read.parquet(os.path.join(store_dir, "bands")).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_key")
+    cand = (ibands.join(cbands, ["band", "band_key"])
+                  .select("inc_id", "corpus_id").distinct())
+    s_i = (ish.select(F.col(id_col).alias("inc_id"), _i32("hs").alias("sh1"))
+              .hint("shuffle_hash"))
+    s_c = (spark.read.parquet(os.path.join(store_dir, "shingles"))
+           .select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("sh2"))
+           .hint("shuffle_hash"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    near = _persist(
+        cand.join(s_i, "inc_id").join(s_c, "corpus_id")
+            .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .groupBy(F.col("inc_id").alias(id_col))
+            .agg(F.min("corpus_id").alias("n_partner")))
+    s2 = s1.select(id_col).join(near.select(id_col), id_col, "left_anti")
+
+    iv = (inc_emb.filter(sim._finite_ok(F.col(vec_col)))
+          .select(F.col("vec_id").alias(id_col),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                   .alias("v"))
+          .join(s2, id_col, "left_semi"))
+    keys = sim.hyperplane_band_keys_sql("v", bands=4, rows_per_band=8)
+    ivb = (iv.select(id_col,
+                     F.posexplode(F.array(*keys)).alias("band", "band_key"))
+             .select(id_col, F.col("band").cast("int").alias("band"),
+                     "band_key"))
+    cvb = spark.read.parquet(os.path.join(store_dir, "emb_bands")).select(
+        F.col("vec_id").alias("corpus_id"), "band", "band_key")
+    vcand = (ivb.join(cvb, ["band", "band_key"])
+                .select(id_col, "corpus_id").distinct())
+    v_i = (iv.withColumn("n1", sim._norm(F.col("v")))
+             .select(id_col, F.col("v").alias("v1"), "n1")
+             .hint("shuffle_hash"))
+    v_c = (spark.read.parquet(os.path.join(store_dir, "vectors"))
+           .select(F.col("vec_id").alias("corpus_id"),
+                   F.col("v").alias("v2"), F.col("n").alias("n2"))
+           .hint("shuffle_hash"))
+    cos = F.round(sim._dot(F.col("v1"), F.col("v2"))
+                  / (F.col("n1") * F.col("n2")), 6)
+    sem = (vcand.join(v_i, id_col).join(v_c, "corpus_id")
+                .withColumn("score", cos)
+                .filter(F.col("score") >= cos_threshold)
+                .groupBy(id_col)
+                .agg(F.min("corpus_id").alias("s_partner")))
+
+    return (inc.select(id_col)
+            .join(t1, id_col, "left")
+            .join(near, id_col, "left")
+            .join(sem, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("e_partner").isNotNull(), F.lit("exact"))
+                 .when(F.col("n_partner").isNotNull(), F.lit("near_dup"))
+                 .when(F.col("s_partner").isNotNull(), F.lit("semantic"))
+                 .otherwise(F.lit("kept")).alias("verdict"),
+                F.coalesce("e_partner", "n_partner", "s_partner")
+                 .cast("long").alias("partner_id")))

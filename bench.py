@@ -81,6 +81,7 @@ HEADLINE = [
     # exact -> lexical -> semantic dedup cascade
     "curation_pipeline",
     "dedup_cascade",
+    "incremental_cascade_ingest",
     "dedup_prefix_filter_exact",
     "segment_spend_deciles",
     "scd2_status_dimension",

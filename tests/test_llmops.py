@@ -851,6 +851,61 @@ def test_dedup_cascade_tiers_catch_planted_dups(spark, tmp_path):
         assert out[1000000 + i] == ("semantic", i)
 
 
+def test_incremental_cascade_against_persisted_store(spark, tmp_path):
+    """The daily-ingest cascade classifies increment docs against the
+    PERSISTED corpus signature stores (hashes/bands/shingles/emb_bands/
+    vectors), tier by tier: verbatim copies (+2M) die at tier 1 with
+    the stored keeper as partner, truncations (+3M) at tier 2 via the
+    band-store join, reversed-word paraphrases with nudged embeddings
+    (+4M) at tier 3, and reversed texts with NEGATED embeddings (+5M)
+    are kept. A second run reuses the store (the ``_built`` marker) and
+    returns the identical classification."""
+    import os
+    import random
+
+    from airline_data_warehouse_spark.plans.registry import all_queries
+
+    rng = random.Random(11)
+    words = ["apple", "borough", "crystal", "dynamo", "ember", "falcon",
+             "granite", "harbor", "indigo", "jasmine", "kestrel", "lantern",
+             "meadow", "nectar", "onyx", "prairie"]
+    docs = []
+    for i in range(10):
+        toks = rng.sample(words, 12) + [f"u{i}x{j}" for j in range(12)]
+        rng.shuffle(toks)
+        docs.append((i, " ".join(toks)))  # ~150 chars, mutually distinct
+    spark.createDataFrame(docs, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(10)]
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int") \
+         .write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    builder = all_queries()["incremental_cascade_ingest"].builder
+    out = {r["doc_id"]: (r["verdict"], r["partner_id"]) for r in
+           builder(spark, str(tmp_path)).collect()}
+
+    for i in (0, 7):   # % 7 == 0 → verbatim copy
+        assert out[2000000 + i] == ("exact", i)
+    for i in (1, 8):   # % 7 == 1, len >= 100 → 90% truncation
+        assert out[3000000 + i] == ("near_dup", i)
+    for i in (2, 9):   # % 7 == 2 → reversed words + nudged embedding
+        assert out[4000000 + i] == ("semantic", i)
+    assert out[5000003] == ("kept", None)  # % 7 == 3 → negated embedding
+    assert len(out) == 7  # nothing else in the increment
+
+    # the store was materialized and is REUSED on the second run
+    import hashlib
+    import tempfile
+    store = os.path.join(tempfile.gettempdir(), "adw_cascade_store_"
+                         + hashlib.md5(str(tmp_path).encode()).hexdigest()[:10])
+    for frame in ("hashes", "bands", "shingles", "emb_bands", "vectors"):
+        assert os.path.isdir(os.path.join(store, frame)), frame
+    assert os.path.exists(os.path.join(store, "_built"))
+    again = {r["doc_id"]: (r["verdict"], r["partner_id"]) for r in
+             builder(spark, str(tmp_path)).collect()}
+    assert again == out
+
+
 def test_decontaminated_split_partitions_corpus(spark):
     """The composed pipeline query: sides partition the corpus exactly;
     a train doc that verbatim-contains a holdout doc's text is dropped

@@ -57,6 +57,7 @@ PROBE_QUERIES = [
     # r07: composed pipelines
     "curation_pipeline",
     "dedup_cascade",
+    "incremental_cascade_ingest",
     "dedup_prefix_filter_exact",
     "dedup_containment_exact",
     # r07 second wave: substring dedup, tokenize-to-ids, kmeans, search,
