@@ -249,3 +249,125 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def start_semantic_ingest(stream: DataFrame, store_dir: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          checkpoint_dir: str | None = None,
+                          threshold: float = 0.99,
+                          retention_batches: int | None = None,
+                          compact_every: int | None = 16):
+    """Continuous SEMANTIC near-duplicate ingest — the embedding twin of
+    `start_neardup_ingest`: every micro-batch of (id, vector) rows is
+    hyperplane-banded (4 bands × 8 Gaussian sign bits, the
+    embedding_near_dup_pairs family) and joined against the ACCUMULATED
+    corpus band store; band-collision candidates are verified with
+    exact cosine against the accumulated vector store, pairs at/above
+    ``threshold`` are appended to ``{store_dir}/pairs``, and the
+    batch's own bands/vectors are appended — closing the tier the text
+    stream variant lacks (the streaming counterpart of
+    operators/dedup.incremental_cascade's tier 3; the store layout is
+    cascade_store_build's emb_bands/vectors, so a nightly batch build
+    and a continuous ingest can share state).
+
+    Same 100 TB contract as the text twin: per-batch cost ∝ |batch| ×
+    band collision rate, never corpus²; non-finite / zero-norm vectors
+    are excluded at entry (similarity._finite_ok — one NaN shard must
+    not poison every later batch's verify); vector frames are hinted
+    shuffle_hash (corpus-proportional array payloads never reach a
+    broadcast build); the corpus store appears only through band-keyed
+    or id-keyed joins. ``retention_batches`` / ``compact_every`` bound
+    the state and file-count growth axes exactly as documented on
+    `start_neardup_ingest`, reusing the same atomic swap + crash
+    recovery; a corrupt store READ fails the micro-batch (structured
+    streaming retries) rather than being mistaken for the first batch.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import similarity as sim
+    from airline_data_warehouse_spark.operators.dedup import release_caches
+
+    bands_dir = os.path.join(store_dir, "emb_bands")
+    vectors_dir = os.path.join(store_dir, "vectors")
+    pairs_dir = os.path.join(store_dir, "pairs")
+
+    def store_exists(spark) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(bands_dir)
+        return path.getFileSystem(conf).exists(path)
+
+    def retained(df: DataFrame, batch_id: int) -> DataFrame:
+        if retention_batches is None:
+            return df
+        return df.filter(F.col("batch_id") > batch_id - retention_batches)
+
+    def compact(spark, path: str, batch_id: int) -> None:
+        store = retained(spark.read.parquet(path), batch_id).dropDuplicates()
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+        staging = f"{path.rstrip('/')}__compacting"
+        store.coalesce(n_files).write.mode("overwrite").parquet(staging)
+        _swap_store_dir(spark, staging, path)
+
+    keys = sim.hyperplane_band_keys_sql("v", bands=4, rows_per_band=8)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = (batch_df.filter(sim._finite_ok(F.col(vec_col)))
+              .select(F.col(id_col),
+                      F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                       .alias("v")))
+        new_vecs = ev.select(id_col, "v", sim._norm(F.col("v")).alias("n")) \
+                     .persist()
+        new_bands = (ev.select(id_col, F.posexplode(F.array(*keys))
+                               .alias("band", "band_key"))
+                     .select(id_col, F.col("band").cast("int").alias("band"),
+                             "band_key")
+                     .persist())
+        try:
+            _recover_store_dir(spark, bands_dir)
+            _recover_store_dir(spark, vectors_dir)
+            corpus_bands = (retained(spark.read.parquet(bands_dir), batch_id)
+                            if store_exists(spark) else None)
+            if corpus_bands is not None:
+                cand = (new_bands.alias("i")
+                        .join(corpus_bands.alias("c"), ["band", "band_key"])
+                        .filter(F.col(f"i.{id_col}") != F.col(f"c.{id_col}"))
+                        .select(F.col(f"i.{id_col}").alias("inc_id"),
+                                F.col(f"c.{id_col}").alias("corpus_id"))
+                        .distinct())
+                v1 = (new_vecs.select(F.col(id_col).alias("inc_id"),
+                                      F.col("v").alias("v1"),
+                                      F.col("n").alias("n1"))
+                      .hint("shuffle_hash"))
+                v2 = (retained(spark.read.parquet(vectors_dir), batch_id)
+                      .select(F.col(id_col).alias("corpus_id"),
+                              F.col("v").alias("v2"), F.col("n").alias("n2"))
+                      .hint("shuffle_hash"))
+                score = F.round(sim._dot(F.col("v1"), F.col("v2"))
+                                / (F.col("n1") * F.col("n2")), 6)
+                flagged = (cand.join(v1, "inc_id").join(v2, "corpus_id")
+                           .withColumn("score", score)
+                           .filter(F.col("score") >= threshold)
+                           .select("inc_id", "corpus_id", "score"))
+                (flagged.withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("append").parquet(pairs_dir))
+            (new_bands.withColumn("batch_id", F.lit(batch_id))
+                      .coalesce(4).write.mode("append").parquet(bands_dir))
+            (new_vecs.withColumn("batch_id", F.lit(batch_id))
+                     .coalesce(4).write.mode("append").parquet(vectors_dir))
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact(spark, bands_dir, batch_id)
+                compact(spark, vectors_dir, batch_id)
+        finally:
+            new_vecs.unpersist()
+            new_bands.unpersist()
+            release_caches()
+
+    writer = stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -41,7 +41,8 @@ def test_headline_query_compiles(strict_codegen, sf_dir, name):
 
 @pytest.mark.parametrize("name", ["dedup_ngram_jaccard",
                                   "dedup_incremental_minhash",
-                                  "dedup_embedding_cosine"])
+                                  "dedup_embedding_cosine",
+                                  "incremental_cascade_ingest"])
 def test_array_verify_joins_never_broadcast(spark, sf_dir, name):
     """Broadcast-hazard tripwire (r07): the shingle/vector-ARRAY sides of
     the verify joins must plan as ShuffledHashJoin, never

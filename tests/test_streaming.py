@@ -567,3 +567,59 @@ def test_stream_neardup_corrupt_store_fails_batch(spark, tmp_path):
     # (a silent skip would have appended them while dropping its pairs)
     shingles = spark.read.parquet(f"{store}/shingles")
     assert shingles.filter("doc_id = 2").count() == 0
+
+
+def test_stream_semantic_ingest_flags_embedding_neardups(spark, tmp_path):
+    """The embedding twin of the near-dup ingest: a vector arriving in a
+    later micro-batch that cosine-matches an earlier corpus vector is
+    flagged against the ACCUMULATED band+vector store; negated and
+    NaN-poisoned vectors are not (the NaN row is excluded at entry and
+    never stored). Within-batch pairs are not reported (text-twin
+    contract parity). Axis-aligned vectors exercise the r08 Gaussian
+    planes — under the old ±1 planes this fixture's band keys were
+    degenerate."""
+    import json as jsonlib
+    import math
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_semantic_ingest,
+    )
+
+    def vec(*pairs):
+        v = [0.0] * 64
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    b1 = [(1, vec((0, 1.0))), (2, vec((1, 1.0)))]
+    b2 = [(3, vec((0, 1.0), (2, 0.02))),          # cos(3,1) ~ 0.9998
+          (4, vec((0, -1.0))),                     # cos(4,1) = -1
+          (9, [float("nan")] * 64)]                # poisoned: excluded
+    b3 = [(5, vec((0, 1.0), (3, 0.01)))]           # matches 1 AND 3
+
+    in_dir = tmp_path / "sem_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "sem_store")
+    src = (spark.readStream.schema("vec_id long, embedding array<double>")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_semantic_ingest(src, store,
+                              checkpoint_dir=str(tmp_path / "sem_ckpt"))
+    try:
+        for i, batch in enumerate([b1, b2, b3]):
+            with open(in_dir / f"b{i}.json", "w") as f:
+                for vid, v in batch:
+                    f.write(jsonlib.dumps({"vec_id": vid, "embedding": v})
+                            + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["inc_id"], r["corpus_id"]): r["score"] for r in
+           spark.read.parquet(f"{store}/pairs").collect()}
+    assert set(got) == {(3, 1), (5, 1), (5, 3)}
+    assert got[(3, 1)] == round(1 / math.sqrt(1 + 0.02 ** 2), 6)
+    assert got[(5, 1)] == round(1 / math.sqrt(1 + 0.01 ** 2), 6)
+    # the poisoned vector was excluded at entry, never stored
+    stored = {r["vec_id"] for r in
+              spark.read.parquet(f"{store}/vectors").collect()}
+    assert stored == {1, 2, 3, 4, 5}
