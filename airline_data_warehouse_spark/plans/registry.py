@@ -202,28 +202,36 @@ def all_queries() -> dict[str, QueryDef]:
         # not squat in the bounded validation window ahead of keys that
         # CAN be certified (approx_distinct_count burned one sample slot
         # per round in tier 0 forever).
+        #
+        # Tier order rebalanced r08 per the r07 verdict's explicit ask
+        # ("certify the 17-key tail; the rewritten keys land in
+        # CORRECTNESS_r08"): with ~42 overdue keys and a ~50-key driver
+        # window, the old overdue-first order would have crowded out
+        # both the never-certified tail AND every plan-changed
+        # revalidation for another full round. Never-certified keys have
+        # NO driver record at all and plan-changed keys' last record
+        # predates their current code — both are strictly less
+        # certified than an overdue key whose green row still describes
+        # the running plan — so they rank first; overdue staleness
+        # burns down with the remaining slots, oldest first.
         if _REGISTRY[name].oracle is None:
             return (4, last_green.get(name, 0))
-        if name in last_green and name not in _REVALIDATE \
-                and last_green[name] <= max_round - 2:
-            # OVERDUE: certified, but 2+ rounds behind the newest
-            # certification round. Refactors have touched shared helpers
-            # since its last independent check, so its drift risk beats a
-            # brand-new key that was locally hash-verified at authoring
-            # time — overdue debt burns down before first-time
-            # certification when the window is tight.
-            return (0, last_green[name])
         if name not in last_green:
-            return (1, 0)          # never driver-certified
-        if name not in _REVALIDATE:
-            return (2, last_green[name])  # certified: stalest first
-        # Plan changed since its last green row: re-certifiable, but its
-        # last green WAS a real certification — genuinely stale keys
-        # (some never re-checked since r2) outrank it in the window.
-        # Every _REVALIDATE key is locally hash-verified via
-        # tools/check_correctness.py when it enters the list, so the
-        # exposure until the driver re-certifies it is bounded.
-        return (3, last_green[name])
+            return (0, 0)          # never driver-certified
+        if name in _REVALIDATE:
+            # Plan changed since its last green row: that row certifies
+            # code that no longer exists. Every _REVALIDATE key is
+            # locally hash-verified via tools/check_correctness.py when
+            # it enters the list, so exposure until the driver
+            # re-certifies is bounded — but it must not wait behind
+            # keys whose certification is merely old.
+            return (1, last_green[name])
+        if last_green[name] <= max_round - 2:
+            # OVERDUE: certified, but 2+ rounds behind the newest
+            # certification round; refactors have touched shared
+            # helpers since. Stalest first.
+            return (2, last_green[name])
+        return (3, last_green[name])  # freshly certified: stalest first
 
     ordered = sorted(_REGISTRY, key=priority)  # stable: registration order within tiers
     return {name: _REGISTRY[name] for name in ordered}

@@ -82,6 +82,7 @@ HEADLINE = [
     "curation_pipeline",
     "dedup_cascade",
     "incremental_cascade_ingest",
+    "hard_negative_mining",
     "dedup_prefix_filter_exact",
     "segment_spend_deciles",
     "scd2_status_dimension",
