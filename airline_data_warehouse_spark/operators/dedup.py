@@ -760,28 +760,56 @@ def incremental_cascade(spark, store_dir: str, inc_docs: DataFrame,
     store-mediated answer equals DuckDB recomputing from raw tables."""
     import os
 
+    hashes = spark.read.parquet(os.path.join(store_dir, "hashes"))
+    bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+    shingles = spark.read.parquet(os.path.join(store_dir, "shingles"))
+    emb_bands = spark.read.parquet(os.path.join(store_dir, "emb_bands"))
+    vectors = spark.read.parquet(os.path.join(store_dir, "vectors"))
+    return cascade_classify(inc_docs, inc_emb, hashes, bands, shingles,
+                            emb_bands, vectors, threshold=threshold,
+                            cos_threshold=cos_threshold, text_col=text_col,
+                            id_col=id_col, vec_col=vec_col)
+
+
+def cascade_classify(inc_docs: DataFrame, inc_emb: DataFrame,
+                     hashes: DataFrame, bands: DataFrame,
+                     shingles: DataFrame, emb_bands: DataFrame,
+                     vectors: DataFrame, threshold: float = 0.6,
+                     cos_threshold: float = 0.99, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Frame-level core of `incremental_cascade`, shared with the
+    streaming `start_cascade_ingest` (which passes retention-filtered
+    store reads): classify the increment against corpus-state FRAMES.
+    ``hashes`` rows are (text_md5, keeper) and may contain several rows
+    per hash (the streaming store appends one keeper per batch) — the
+    exact-tier partner is the MIN keeper over matching rows, which
+    reduces to the stored keeper when the table is pre-aggregated (the
+    batch store build). Tier plumbing and scale posture as documented
+    on `incremental_cascade`."""
     from airline_data_warehouse_spark.operators import similarity as sim
 
     inc = _persist(inc_docs.select(F.col(id_col), F.col(text_col)))
 
-    hashes = spark.read.parquet(os.path.join(store_dir, "hashes"))
     # hash table is corpus-proportional: shuffle_hash, never broadcast
-    t1 = _persist(inc.select(id_col, F.md5(text_col).alias("text_md5"))
-                  .join(hashes.hint("shuffle_hash"), "text_md5", "left")
-                  .select(id_col, F.col("keeper").alias("e_partner")))
+    matched = (inc.select(id_col, F.md5(text_col).alias("text_md5"))
+               .join(hashes.hint("shuffle_hash"), "text_md5")
+               .groupBy(id_col)
+               .agg(F.min("keeper").alias("e_partner")))
+    t1 = _persist(inc.select(id_col).join(matched, id_col, "left"))
     s1 = inc.join(t1.filter(F.col("e_partner").isNotNull()).select(id_col),
                   id_col, "left_anti")
 
     ish = _persist(shingled(s1, text_col, id_col))
     ibands = minhash_band_table(ish, id_col).select(
         F.col(id_col).alias("inc_id"), "band", "band_key")
-    cbands = spark.read.parquet(os.path.join(store_dir, "bands")).select(
-        F.col(id_col).alias("corpus_id"), "band", "band_key")
+    cbands = bands.select(F.col(id_col).alias("corpus_id"), "band",
+                          "band_key")
     cand = (ibands.join(cbands, ["band", "band_key"])
                   .select("inc_id", "corpus_id").distinct())
     s_i = (ish.select(F.col(id_col).alias("inc_id"), _i32("hs").alias("sh1"))
               .hint("shuffle_hash"))
-    s_c = (spark.read.parquet(os.path.join(store_dir, "shingles"))
+    s_c = (shingles
            .select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("sh2"))
            .hint("shuffle_hash"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
@@ -804,14 +832,14 @@ def incremental_cascade(spark, store_dir: str, inc_docs: DataFrame,
                      F.posexplode(F.array(*keys)).alias("band", "band_key"))
              .select(id_col, F.col("band").cast("int").alias("band"),
                      "band_key"))
-    cvb = spark.read.parquet(os.path.join(store_dir, "emb_bands")).select(
-        F.col("vec_id").alias("corpus_id"), "band", "band_key")
+    cvb = emb_bands.select(F.col("vec_id").alias("corpus_id"), "band",
+                           "band_key")
     vcand = (ivb.join(cvb, ["band", "band_key"])
                 .select(id_col, "corpus_id").distinct())
     v_i = (iv.withColumn("n1", sim._norm(F.col("v")))
              .select(id_col, F.col("v").alias("v1"), "n1")
              .hint("shuffle_hash"))
-    v_c = (spark.read.parquet(os.path.join(store_dir, "vectors"))
+    v_c = (vectors
            .select(F.col("vec_id").alias("corpus_id"),
                    F.col("v").alias("v2"), F.col("n").alias("n2"))
            .hint("shuffle_hash"))

@@ -38,7 +38,8 @@ def _lit_vec(w: list[float]) -> Column:
     EVERY plan construction — where the SQL parser does it in ~5 ms.
     repr() is Python's shortest round-trip form and the D suffix parses
     as an exact double, so values are bit-identical to the lit path
-    (asserted equal at introduction; planes are ±1.0 anyway)."""
+    (asserted equal at introduction; holds for the ±1 JL planes and the
+    6-dp Gaussian LSH planes alike — both round-trip exactly)."""
     return F.expr("array(" + ",".join(f"{x!r}D" for x in w) + ")")
 
 

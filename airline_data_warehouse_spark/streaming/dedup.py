@@ -371,3 +371,142 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def start_cascade_ingest(stream: DataFrame, store_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         vec_col: str = "embedding",
+                         checkpoint_dir: str | None = None,
+                         threshold: float = 0.6,
+                         cos_threshold: float = 0.99,
+                         retention_batches: int | None = None,
+                         compact_every: int | None = 16):
+    """The full three-tier cascade, CONTINUOUSLY: every micro-batch of
+    (id, text, embedding) rows is classified against the accumulated
+    corpus state — exact (md5 hash store) → lexical near-dup (MinHash
+    band + shingle stores) → semantic (hyperplane band + vector stores)
+    — and per-doc verdicts land in ``{store_dir}/verdicts`` while the
+    batch's own signatures append to the same five stores
+    `cascade_store_build` writes, so a nightly batch build, a daily
+    `incremental_cascade` run, and this stream can hand the SAME state
+    to each other. Classification is `operators.dedup.cascade_classify`
+    — the identical frame-level core the certified batch key runs, so
+    stream-vs-batch parity is structural, not reimplemented.
+
+    First batch (no store yet): every doc is ``kept`` — the corpus is
+    empty; within-batch duplicates are NOT classified against each
+    other (the text/semantic twins' contract: run the batch operators
+    over the silver table for intra-batch pairs). The ``hashes`` store
+    appends one (text_md5, keeper=min id) row per batch per hash;
+    `cascade_classify` takes the min over matching rows, so replayed
+    or cross-batch keepers resolve deterministically.
+
+    Scale/state posture identical to `start_neardup_ingest` /
+    `start_semantic_ingest` (shared retention/compaction knobs, atomic
+    swap + crash recovery, corrupt-read-fails-the-batch, shuffle_hash
+    on every corpus-proportional side, finite-guarded vectors)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import similarity as sim
+    from airline_data_warehouse_spark.operators.dedup import (
+        _i32,
+        cascade_classify,
+        minhash_band_table,
+        release_caches,
+        shingled,
+    )
+
+    dirs = {name: os.path.join(store_dir, name)
+            for name in ("hashes", "bands", "shingles", "emb_bands",
+                         "vectors", "verdicts")}
+
+    def store_exists(spark) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(dirs["hashes"])
+        return path.getFileSystem(conf).exists(path)
+
+    def retained(df: DataFrame, batch_id: int) -> DataFrame:
+        if retention_batches is None:
+            return df
+        return df.filter(F.col("batch_id") > batch_id - retention_batches)
+
+    def compact(spark, path: str, batch_id: int) -> None:
+        store = retained(spark.read.parquet(path), batch_id).dropDuplicates()
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+        staging = f"{path.rstrip('/')}__compacting"
+        store.coalesce(n_files).write.mode("overwrite").parquet(staging)
+        _swap_store_dir(spark, staging, path)
+
+    emb_keys = sim.hyperplane_band_keys_sql("v", bands=4, rows_per_band=8)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(id_col, text_col).persist()
+        emb = batch_df.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col)).persist()
+        sh = shingled(docs.filter(F.col(text_col).isNotNull()),
+                      text_col, id_col).persist()
+        ev = (batch_df.filter(sim._finite_ok(F.col(vec_col)))
+              .select(F.col(id_col).alias("vec_id"),
+                      F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                       .alias("v"))
+              .persist())
+        try:
+            for name in ("hashes", "bands", "shingles", "emb_bands",
+                         "vectors"):
+                _recover_store_dir(spark, dirs[name])
+            if store_exists(spark):
+                verdicts = cascade_classify(
+                    docs, emb,
+                    retained(spark.read.parquet(dirs["hashes"]), batch_id),
+                    retained(spark.read.parquet(dirs["bands"]), batch_id),
+                    retained(spark.read.parquet(dirs["shingles"]), batch_id),
+                    retained(spark.read.parquet(dirs["emb_bands"]), batch_id),
+                    retained(spark.read.parquet(dirs["vectors"]), batch_id),
+                    threshold=threshold, cos_threshold=cos_threshold,
+                    text_col=text_col, id_col=id_col, vec_col=vec_col)
+            else:
+                verdicts = docs.select(
+                    id_col, F.lit("kept").alias("verdict"),
+                    F.lit(None).cast("long").alias("partner_id"))
+            (verdicts.withColumn("batch_id", F.lit(batch_id))
+                     .coalesce(4).write.mode("append")
+                     .parquet(dirs["verdicts"]))
+            bid = F.lit(batch_id)
+            (docs.filter(F.col(text_col).isNotNull())
+                 .select(F.md5(text_col).alias("text_md5"), F.col(id_col))
+                 .groupBy("text_md5").agg(F.min(id_col).alias("keeper"))
+                 .withColumn("batch_id", bid)
+                 .coalesce(4).write.mode("append").parquet(dirs["hashes"]))
+            (minhash_band_table(sh, id_col).withColumn("batch_id", bid)
+             .coalesce(4).write.mode("append").parquet(dirs["bands"]))
+            (sh.select(id_col, _i32("hs").alias("hs"))
+               .withColumn("batch_id", bid)
+               .coalesce(4).write.mode("append").parquet(dirs["shingles"]))
+            (ev.select("vec_id", F.posexplode(F.array(*emb_keys))
+                       .alias("band", "band_key"))
+               .select("vec_id", F.col("band").cast("int").alias("band"),
+                       "band_key")
+               .withColumn("batch_id", bid)
+               .coalesce(4).write.mode("append").parquet(dirs["emb_bands"]))
+            (ev.select("vec_id", "v", sim._norm(F.col("v")).alias("n"))
+               .withColumn("batch_id", bid)
+               .coalesce(4).write.mode("append").parquet(dirs["vectors"]))
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                for name in ("hashes", "bands", "shingles", "emb_bands",
+                             "vectors"):
+                    compact(spark, dirs[name], batch_id)
+        finally:
+            docs.unpersist()
+            emb.unpersist()
+            sh.unpersist()
+            ev.unpersist()
+            release_caches()
+
+    writer = stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1429,3 +1429,33 @@ def test_grouped_kfold_partitions_entities(spark):
     a = {(r["event_id"], r["fold"]) for r in folded.collect()}
     b = {(r["event_id"], r["fold"]) for r in again.collect()}
     assert a == b
+
+
+def test_plane_families_are_pinned_and_distinct():
+    """Golden pins for both deterministic plane families: every LSH band
+    key and every certified oracle derives from these driver-side
+    literals, so an accidental reseed or formula change would silently
+    re-key every banded operator — this fails first. The Gaussian family
+    (sign-LSH, r08) must be continuous N(0,1)-ish and 6-dp-rounded; the
+    Rademacher family (JL projection) stays exactly ±1; and the two must
+    never alias (independent md5 seed namespaces)."""
+    import statistics
+
+    from airline_data_warehouse_spark.operators.hashing import (
+        gaussian_plane_weights,
+        hyperplane_weights,
+    )
+
+    assert gaussian_plane_weights(2, 4) == [
+        [1.166545, -0.780894, 0.759304, 1.311346],
+        [1.699659, 0.054427, -1.280487, -0.629769]]
+    assert hyperplane_weights(2, 4) == [
+        [-1.0, 1.0, -1.0, -1.0], [-1.0, -1.0, 1.0, -1.0]]
+    flat = [x for row in gaussian_plane_weights(32, 64) for x in row]
+    assert abs(statistics.mean(flat)) < 0.05
+    assert 0.9 < statistics.stdev(flat) < 1.1
+    assert all(x == round(x, 6) for x in flat)        # 6-dp contract
+    assert gaussian_plane_weights(1, 8) != hyperplane_weights(1, 8)
+    # distinct seed families: same params, different seeds, different planes
+    assert (gaussian_plane_weights(1, 8, seed="other")
+            != gaussian_plane_weights(1, 8))

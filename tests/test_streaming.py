@@ -623,3 +623,75 @@ def test_stream_semantic_ingest_flags_embedding_neardups(spark, tmp_path):
     stored = {r["vec_id"] for r in
               spark.read.parquet(f"{store}/vectors").collect()}
     assert stored == {1, 2, 3, 4, 5}
+
+
+def test_stream_cascade_ingest_three_tiers_accumulate(spark, tmp_path):
+    """The continuous three-tier cascade: batch-2 docs classify against
+    batch-1 state (exact copy -> exact, truncation -> near_dup,
+    reversed text + nudged embedding -> semantic, fresh doc -> kept),
+    and batch-3 classifies against the ACCUMULATED state (an exact copy
+    of batch-2's fresh doc is caught with that doc as partner). The
+    classify core is the same cascade_classify the certified batch key
+    runs, so this pins the streaming plumbing: store appends,
+    first-batch kept semantics, per-batch verdict parquet."""
+    import json as jsonlib
+    import random
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_cascade_ingest,
+    )
+
+    rng = random.Random(13)
+    words = ["apple", "borough", "crystal", "dynamo", "ember", "falcon",
+             "granite", "harbor", "indigo", "jasmine", "kestrel", "lantern"]
+
+    def doc(i):
+        toks = rng.sample(words, 10) + [f"u{i}x{j}" for j in range(12)]
+        rng.shuffle(toks)
+        return " ".join(toks)
+
+    def emb():
+        return [rng.uniform(-1, 1) for _ in range(64)]
+
+    texts = {i: doc(i) for i in range(3)}
+    vecs = {i: emb() for i in range(3)}
+    pert0 = [vecs[0][0] + 0.05] + vecs[0][1:]
+    neg = lambda v: [-x for x in v]
+
+    b1 = [(i, texts[i], vecs[i]) for i in range(3)]
+    b2 = [(10, texts[0], neg(vecs[0])),                       # exact of 0
+          (11, texts[1][:int(len(texts[1]) * 0.9)], neg(vecs[1])),  # near 1
+          (12, " ".join(reversed(texts[0].split(" "))), pert0),     # sem 0
+          (13, doc(99), neg(emb()))]                          # fresh: kept
+    b3 = [(20, doc(99 + 0), neg(emb())),  # fresh again (new rng draw)
+          (21, b2[3][1], neg(emb()))]     # exact copy of batch-2 doc 13
+
+    in_dir = tmp_path / "casc_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "casc_store")
+    src = (spark.readStream
+           .schema("doc_id long, text string, embedding array<double>")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_cascade_ingest(src, store,
+                             checkpoint_dir=str(tmp_path / "casc_ckpt"))
+    try:
+        for i, batch in enumerate([b1, b2, b3]):
+            with open(in_dir / f"b{i}.json", "w") as f:
+                for d, tx_, v in batch:
+                    f.write(jsonlib.dumps(
+                        {"doc_id": d, "text": tx_, "embedding": v}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["doc_id"]: (r["verdict"], r["partner_id"], r["batch_id"])
+           for r in spark.read.parquet(f"{store}/verdicts").collect()}
+    for i in range(3):                       # first batch: empty corpus
+        assert out[i] == ("kept", None, 0)
+    assert out[10] == ("exact", 0, 1)
+    assert out[11] == ("near_dup", 1, 1)
+    assert out[12] == ("semantic", 0, 1)
+    assert out[13] == ("kept", None, 1)
+    assert out[21] == ("exact", 13, 2)       # batch-2 state accumulated
+    assert out[20][0] == "kept"
+    assert len(out) == 9
