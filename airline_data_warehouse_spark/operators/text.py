@@ -893,3 +893,97 @@ def bpe_vocab(words: DataFrame) -> DataFrame:
     final symbol (one explode + one aggregation)."""
     return (words.select("count", F.explode("syms").alias("symbol"))
                  .groupBy("symbol").agg(F.sum("count").alias("count")))
+
+
+def train_quality_classifier(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", iters: int = 3,
+                             lr: float = 0.5) -> DataFrame:
+    """TRAIN the quality classifier instead of shipping literal weights:
+    distributed logistic regression (full-batch gradient descent,
+    ``iters`` unrolled steps from w = 0) over the same three features
+    `model_quality_score` scores with, distilling that hand-set
+    teacher's keep/filter verdicts into learned weights — the
+    weak-supervision → classifier loop a CCNet/fastText-style curation
+    pipeline runs when it replaces heuristics with a model.
+
+    Per iteration: ONE keyed-nothing aggregation over the corpus (4
+    partial-agg sums + a count; map-side combined, ~bytes of shuffle)
+    and a 1-row collect of the updated weights — the k-means /
+    connected-components "1-row training scalar per round" precedent;
+    nothing else leaves the executors, nothing scales with corpus².
+
+    Cross-engine exactness (the repo's certify-the-approximate
+    convention): features are SCALED INTEGERS (round(f × 1e6) — ratios
+    of exact ints / a rounded transcendental, never a product at a
+    decimal boundary), the per-row gradient contribution is an INT64
+    product summed in DECIMAL(38,0) — exact, order-independent, no
+    double-accumulation drift — and each weight update rounds to 6 dp
+    IN-ENGINE before collection, so the DuckDB oracle unrolling the
+    same ``iters`` steps reproduces bit-identical weights, scores, and
+    verdicts. Output: (doc_id, p_trained, predicted, teacher_verdict,
+    agree)."""
+    text = F.col(text_col)
+    toks = _tokens(F.lower(text))
+    n_tokens = F.size(toks).cast("int")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("int")
+    n_chars = F.length(text).cast("int")
+    n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("int")
+    fstop6 = F.round(n_stop.cast("double") * 1000000.0 / n_tokens).cast("long")
+    falpha6 = F.round(n_alpha.cast("double") * 1000000.0 / n_chars).cast("long")
+    flntok6 = F.round(F.log(F.lit(1.0) + n_tokens) * 1000000.0).cast("long")
+    # teacher: model_quality_score's exact formula (6-dp features,
+    # unrounded logit, 6-dp sigmoid)
+    f_stop = F.round(n_stop.cast("double") / n_tokens, 6)
+    f_alpha = F.round(n_alpha.cast("double") / n_chars, 6)
+    f_lntok = F.round(F.log(F.lit(1.0) + n_tokens), 6)
+    tw = QUALITY_MODEL_WEIGHTS
+    tz = (F.lit(tw["bias"]) + F.lit(tw["stopword_ratio"]) * f_stop
+          + F.lit(tw["alpha_ratio"]) * f_alpha
+          + F.lit(tw["ln1p_tokens"]) * f_lntok)
+    tprob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-tz)), 6)
+    feat = (df.filter(F.length(F.trim(text)) > 0)
+              .select(F.col(id_col), fstop6.alias("fstop6"),
+                      falpha6.alias("falpha6"), flntok6.alias("flntok6"),
+                      F.when(tprob >= 0.5, 1).otherwise(0)
+                       .cast("long").alias("y"))
+              .persist())
+    try:
+        D38 = "decimal(38,0)"
+        w = [0.0, 0.0, 0.0, 0.0]
+        for _ in range(iters):
+            z = (F.lit(w[0])
+                 + F.lit(w[1]) * (F.col("fstop6") / 1000000.0)
+                 + F.lit(w[2]) * (F.col("falpha6") / 1000000.0)
+                 + F.lit(w[3]) * (F.col("flntok6") / 1000000.0))
+            sig6 = (F.round(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))
+                    .cast("long"))
+            err = sig6 - F.col("y") * 1000000
+            agg = feat.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((err * 1000000).cast(D38)).alias("s0"),
+                F.sum((err * F.col("fstop6")).cast(D38)).alias("s1"),
+                F.sum((err * F.col("falpha6")).cast(D38)).alias("s2"),
+                F.sum((err * F.col("flntok6")).cast(D38)).alias("s3"))
+            row = agg.select(*[
+                F.round(F.lit(w[j]) - F.lit(lr)
+                        * (F.col(f"s{j}").cast("double")
+                           / (F.lit(1000000000000.0)
+                              * F.col("n").cast("double"))), 6)
+                 .alias(f"w{j}") for j in range(4)]).collect()[0]
+            w = [row[f"w{j}"] for j in range(4)]
+        zf = (F.lit(w[0])
+              + F.lit(w[1]) * (F.col("fstop6") / 1000000.0)
+              + F.lit(w[2]) * (F.col("falpha6") / 1000000.0)
+              + F.lit(w[3]) * (F.col("flntok6") / 1000000.0))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 6)
+        predicted = F.when(p >= 0.5, "keep").otherwise("filter")
+        teacher = F.when(F.col("y") == 1, "keep").otherwise("filter")
+        out = feat.select(
+            F.col(id_col), p.alias("p_trained"),
+            predicted.alias("predicted"), teacher.alias("teacher_verdict"),
+            (predicted == teacher).alias("agree"))
+        # materialization happens on the caller's action; the persist is
+        # only needed during the training loop's aggregates
+        return out
+    finally:
+        feat.unpersist(blocking=False)

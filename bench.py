@@ -83,6 +83,7 @@ HEADLINE = [
     "dedup_cascade",
     "incremental_cascade_ingest",
     "hard_negative_mining",
+    "train_quality_classifier",
     "dedup_prefix_filter_exact",
     "segment_spend_deciles",
     "scd2_status_dimension",

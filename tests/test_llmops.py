@@ -1459,3 +1459,36 @@ def test_plane_families_are_pinned_and_distinct():
     # distinct seed families: same params, different seeds, different planes
     assert (gaussian_plane_weights(1, 8, seed="other")
             != gaussian_plane_weights(1, 8))
+
+
+def test_train_quality_classifier_learns_separation(spark, tmp_path):
+    """On a BALANCED corpus (stopword-rich prose vs keyword salad) the
+    3-step GD actually learns the teacher's decision: both classes are
+    predicted correctly (agreement 1.0), and every prose doc outscores
+    every salad doc — the trained model separates, it doesn't just vote
+    the majority class. Also pins determinism: two runs produce
+    identical scores (the exact-DECIMAL gradient makes training
+    order-independent)."""
+    prose = ("the history of the region and the growth of a city to the "
+             "north of the river and the role of the port in trade")
+    salad = "buy cheap deals discount sale offer price shop now click"
+    rows = ([(i, prose + f" u{i}") for i in range(30)]
+            + [(100 + i, salad + f" u{i}") for i in range(30)])
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from airline_data_warehouse_spark.plans.registry import all_queries
+    builder = all_queries()["train_quality_classifier"].builder
+    out = {r["doc_id"]: r for r in builder(spark, str(tmp_path)).collect()}
+    assert len(out) == 60
+    assert all(out[i]["teacher_verdict"] == "keep" for i in range(30))
+    assert all(out[100 + i]["teacher_verdict"] == "filter"
+               for i in range(30))
+    assert all(r["agree"] for r in out.values())
+    worst_keep = min(out[i]["p_trained"] for i in range(30))
+    best_filter = max(out[100 + i]["p_trained"] for i in range(30))
+    assert worst_keep >= 0.5 > best_filter
+    assert worst_keep > best_filter + 0.1  # a real margin, not a coin flip
+    again = {r["doc_id"]: r["p_trained"] for r in
+             builder(spark, str(tmp_path)).collect()}
+    assert again == {k: v["p_trained"] for k, v in out.items()}

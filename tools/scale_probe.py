@@ -58,6 +58,7 @@ PROBE_QUERIES = [
     "curation_pipeline",
     "dedup_cascade",
     "incremental_cascade_ingest",
+    "train_quality_classifier",
     "dedup_prefix_filter_exact",
     "dedup_containment_exact",
     # r07 second wave: substring dedup, tokenize-to-ids, kmeans, search,
