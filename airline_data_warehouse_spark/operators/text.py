@@ -987,3 +987,84 @@ def train_quality_classifier(df: DataFrame, text_col: str = "text",
         return out
     finally:
         feat.unpersist(blocking=False)
+
+
+def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) bigram rows over lowercased whitespace tokens — the
+    shared front end of bigram_logprob_score / dsir_importance_weights."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    base = (df.filter(F.size(toks) >= 2)
+              .select(F.col(id_col).alias("_doc"), toks.alias("_t")))
+    return (base.select(
+        "_doc",
+        F.explode(F.zip_with(
+            F.slice(F.col("_t"), 1, F.size("_t") - 1),
+            F.slice(F.col("_t"), 2, F.size("_t") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+         .alias("bg"))
+        .select("_doc", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2")))
+
+
+def dsir_importance_weights(raw: DataFrame, target: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per raw-corpus doc,
+    log_weight = mean bigram log-probability under an add-one-smoothed
+    LM trained on the TARGET domain minus the same under the RAW-corpus
+    LM — docs that look like the target domain get weight > 1, generic
+    docs < 1. This is the length-normalized (per-bigram mean) variant:
+    the paper's summed form makes exp() overflow for long documents,
+    while the mean stays in exp(±~10) and still orders docs by
+    domain-likeness. Feed the ``weight`` column to
+    sampling.weighted_sample_topk for the resampling step (the
+    composed registry query dsir_importance_sample does exactly that).
+
+    Cross-engine exactness: counts are exact ints; a raw bigram absent
+    from the target LM scores via the same smoothing with COALESCEd
+    zero counts (never dropped); ln is rounded 6 dp per bigram and
+    per-doc means divide exact decimal sums (the bigram_logprob_score
+    contract); log_weight is the unrounded difference of two such means
+    (identical doubles on both engines); only the final exp is rounded
+    (6 dp — weights below 5e-7 round to 0 and are excluded by A-ES's
+    w > 0 rule, i.e. docs more than ~14.5 nats off-domain have zero
+    selection probability).
+
+    Shape: two (bigram → count) tables, both joined to the raw corpus's
+    bigram rows by SHUFFLE on the bigram key (both LM tables grow with
+    their corpora — the tf/idf no-broadcast rule); vocab sizes are
+    1-row broadcasts. Output: (id, n_bigrams, lp_target, lp_raw,
+    log_weight, weight)."""
+    pairs = _bigram_pairs(raw, text_col, id_col)
+    tpairs = _bigram_pairs(target, text_col, id_col)
+
+    def lm_score(p, lm_pairs, alias):
+        bc = lm_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        uc = lm_pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        v = (lm_pairs.select(F.col("w1").alias("w")).union(
+                 lm_pairs.select(F.col("w2").alias("w")))
+             .agg(F.countDistinct("w").alias("v")))
+        lp = F.round(F.log((F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                           .cast("double")
+                           / (F.coalesce(F.col("c1"), F.lit(0))
+                              + F.col("v"))), 6)
+        return (p.join(bc, ["w1", "w2"], "left")
+                 .join(uc, "w1", "left")
+                 .crossJoin(F.broadcast(v))
+                 .select("_doc", lp.alias("lp"))
+                 .groupBy("_doc")
+                 .agg(F.count(F.lit(1)).cast("int").alias(f"n_{alias}"),
+                      F.round(F.sum(F.col("lp").cast("decimal(20,6)"))
+                               .cast("double") / F.count(F.lit(1)), 6)
+                       .alias(f"lp_{alias}")))
+
+    t = lm_score(pairs, tpairs, "target")
+    r = lm_score(pairs, pairs, "raw")
+    lw = F.col("lp_target") - F.col("lp_raw")
+    return (t.join(r, "_doc")
+             .select(F.col("_doc").alias(id_col),
+                     F.col("n_raw").alias("n_bigrams"),
+                     "lp_target", "lp_raw",
+                     lw.alias("log_weight"),
+                     F.round(F.exp(lw), 6).alias("weight")))

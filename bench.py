@@ -84,6 +84,7 @@ HEADLINE = [
     "incremental_cascade_ingest",
     "hard_negative_mining",
     "train_quality_classifier",
+    "dsir_importance_sample",
     "dedup_prefix_filter_exact",
     "segment_spend_deciles",
     "scd2_status_dimension",

@@ -1492,3 +1492,36 @@ def test_train_quality_classifier_learns_separation(spark, tmp_path):
     again = {r["doc_id"]: r["p_trained"] for r in
              builder(spark, str(tmp_path)).collect()}
     assert again == {k: v["p_trained"] for k, v in out.items()}
+
+
+def test_dsir_weights_tilt_toward_target_domain(spark):
+    """DSIR semantics on engineered domains: docs phrased like the
+    target domain get log_weight > 0 (likelier under the target LM than
+    the raw LM), off-domain docs get log_weight < 0, and every
+    on-domain doc outweighs every off-domain doc — so A-ES resampling
+    by these weights tilts the corpus toward the domain. Bigrams unseen
+    by the target LM must smooth (COALESCE), not drop: the off-domain
+    docs' bigrams appear nowhere in the target corpus."""
+    from airline_data_warehouse_spark.operators import text as tx
+
+    cook = "stir the sauce and simmer the onions in the pan with butter"
+    tech = "compile the kernel and flash the firmware to the board rom"
+    rows = ([(i, "cook", cook + f" batch u{i}") for i in range(8)]
+            + [(100 + i, "web", cook + f" home u{i}") for i in range(4)]
+            + [(200 + i, "web", tech + f" rev u{i}") for i in range(4)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = docs.filter(F.col("source") == "cook")
+    got = {r["doc_id"]: r for r in
+           tx.dsir_importance_weights(docs, target).collect()}
+    assert len(got) == 16
+    # target-corpus docs: likelier under their own LM than the mixed one
+    assert all(got[k]["log_weight"] > 0 and got[k]["weight"] > 1
+               for k in range(8))
+    # held-out cook-phrased docs: their unique suffix bigrams are unseen
+    # by the target LM (smoothed, slightly penalized — near 0), but they
+    # still outweigh every off-domain doc by a wide margin
+    held_out = [got[100 + i]["log_weight"] for i in range(4)]
+    tech_like = [got[200 + i]["log_weight"] for i in range(4)]
+    assert max(tech_like) < -0.5 and min(held_out) > -0.1
+    assert min(held_out) > max(tech_like) + 0.5
+    assert all(got[200 + i]["weight"] < 0.5 for i in range(4))

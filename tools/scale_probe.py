@@ -59,6 +59,7 @@ PROBE_QUERIES = [
     "dedup_cascade",
     "incremental_cascade_ingest",
     "train_quality_classifier",
+    "dsir_importance_sample",
     "dedup_prefix_filter_exact",
     "dedup_containment_exact",
     # r07 second wave: substring dedup, tokenize-to-ids, kmeans, search,
