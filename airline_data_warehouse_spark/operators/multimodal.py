@@ -343,6 +343,43 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
+def _wav_samples(payload: bytes):
+    """Decode a WAV payload to (mono float64 samples in [-1, 1], rate,
+    n_channels, n_frames) — the shared decode front end of
+    audio_features / audio_fingerprint. 8/16/24/32-bit PCM (24-bit is
+    widened to int32 by left-packing, which scales by 256 and cancels
+    exactly in the 2^31 normalization; ADVICE r07); any other width
+    raises a descriptive NotImplementedError instead of an opaque
+    executor-side KeyError. Multi-channel audio averages to mono."""
+    import io
+    import wave
+
+    import numpy as np
+    widths = {1: np.uint8, 2: np.int16, 4: np.int32}
+    with wave.open(io.BytesIO(payload)) as wf:
+        rate, nch = wf.getframerate(), wf.getnchannels()
+        width, n = wf.getsampwidth(), wf.getnframes()
+        raw = wf.readframes(n)
+    if width == 3:
+        tri = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        quad = np.zeros((tri.shape[0], 4), dtype=np.uint8)
+        quad[:, 1:] = tri
+        samples = quad.view("<i4").ravel().astype(np.float64) / float(2 ** 31)
+    elif width not in widths:
+        raise NotImplementedError(
+            f"unsupported WAV sample width {width} bytes; supported "
+            f"widths are 1/2/3/4 (8/16/24/32-bit PCM)")
+    else:
+        samples = np.frombuffer(raw, dtype=widths[width]).astype(np.float64)
+        if width == 1:
+            samples = (samples - 128.0) / 128.0   # 8-bit PCM is unsigned
+        else:
+            samples = samples / float(2 ** (8 * width - 1))
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, rate, nch, n
+
+
 def audio_features(df: DataFrame) -> DataFrame:
     """REAL audio feature extraction over WAV payloads — stdlib ``wave``
     + numpy end to end, no optional dependency and no fake seam. RMS /
@@ -357,46 +394,15 @@ def audio_features(df: DataFrame) -> DataFrame:
     to mono first (the standard pre-filter convention)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
-        import wave
-
         import numpy as np
         import pandas as pd
-        widths = {1: np.uint8, 2: np.int16, 4: np.int32}
         for pdf in it:
             out = []
             for row in pdf.itertuples(index=False):
                 if row.media_type != "audio":
                     continue
                 payload = bytes(row.payload) if row.payload is not None else b""
-                with wave.open(io.BytesIO(payload)) as wf:
-                    rate, nch = wf.getframerate(), wf.getnchannels()
-                    width, n = wf.getsampwidth(), wf.getnframes()
-                    raw = wf.readframes(n)
-                if width == 3:
-                    # 24-bit PCM: left-pack each little-endian 3-byte
-                    # sample into the top bytes of an int32 (value*256),
-                    # normalize by 2^31 — net effect sample/2^23 exact
-                    tri = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
-                    quad = np.zeros((tri.shape[0], 4), dtype=np.uint8)
-                    quad[:, 1:] = tri
-                    samples = (quad.view("<i4").ravel().astype(np.float64)
-                               / float(2 ** 31))
-                elif width not in widths:
-                    raise NotImplementedError(
-                        f"audio_features: unsupported WAV sample width "
-                        f"{width} bytes (media_id={row.media_id}); supported "
-                        f"widths are 1/2/3/4 (8/16/24/32-bit PCM)")
-                else:
-                    samples = (np.frombuffer(raw, dtype=widths[width])
-                               .astype(np.float64))
-                    if width == 1:
-                        # 8-bit PCM is unsigned
-                        samples = (samples - 128.0) / 128.0
-                    else:
-                        samples = samples / float(2 ** (8 * width - 1))
-                if nch > 1:
-                    samples = samples.reshape(-1, nch).mean(axis=1)
+                samples, rate, nch, n = _wav_samples(payload)
                 zc = (float(np.count_nonzero(np.diff(np.signbit(samples))))
                       / max(len(samples) - 1, 1)) if len(samples) > 1 else 0.0
                 out.append((row.media_id, rate, nch, n,
@@ -459,3 +465,72 @@ def image_near_dup_pairs(pixels: DataFrame,
 
     return hamming_near_pairs(average_hash(pixels), "ahash", "media_id",
                               64, max_hamming)
+
+
+def audio_fingerprint(df: DataFrame, n_frames: int = 64) -> DataFrame:
+    """64-bit perceptual audio fingerprint per WAV payload — the audio
+    twin of the image average-hash: split the mono signal into
+    ``n_frames`` equal windows, bit i = window-RMS energy above the
+    MEAN window energy, packed in time order (the aHash convention —
+    a median degenerates to all-zero bits whenever one of two energy
+    levels holds the majority). Comparing to the mean, which scales
+    with the signal, makes the hash GAIN-INVARIANT
+    — re-encoded or volume-normalized copies of a recording keep the
+    identical fingerprint, local edits flip only their windows' bits —
+    so hamming distance over it is the cheap audio near-dup screen
+    (the energy-profile family chromaprint/shazam-style fingerprints
+    refine with spectral detail; this stays stdlib-wave + numpy).
+
+    Clips shorter than ``n_frames`` samples fingerprint as NULL (too
+    short to window). Arrow-batched mapInPandas over MEDIA_SCHEMA rows,
+    partition-preserving; pair generation belongs to
+    `audio_near_dup_pairs`, which reuses the generic pigeonhole
+    hamming join."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.media_type != "audio":
+                    continue
+                payload = bytes(row.payload) if row.payload is not None else b""
+                samples, _rate, _nch, _n = _wav_samples(payload)
+                if len(samples) < n_frames:
+                    out.append((row.media_id, None))
+                    continue
+                frames = np.array_split(samples, n_frames)
+                energy = np.array([float(np.sqrt(np.mean(f ** 2)))
+                                   for f in frames])
+                bits = energy > float(energy.mean())
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                if val >= 1 << 63:           # wrap to signed int64
+                    val -= 1 << 64
+                out.append((row.media_id, val))
+            # nullable Int64, NOT a plain column: a single None (short
+            # clip) would coerce plain ints to float64, silently rounding
+            # away the fingerprint's low bits (>2^53)
+            yield pd.DataFrame({
+                "media_id": pd.array([m for m, _ in out], dtype="Int64"),
+                "afp": pd.array([v for _, v in out], dtype="Int64")})
+
+    return df.mapInPandas(
+        batches,
+        StructType([StructField("media_id", LongType(), False),
+                    StructField("afp", LongType(), True)]))
+
+
+def audio_near_dup_pairs(df: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Audio near-duplicate pairs (id1 < id2, hamming <= max_hamming)
+    over the 64-bit energy fingerprint — same pigeonhole chunk join as
+    text SimHash and image aHash (dedup.hamming_near_pairs): per-chunk
+    equi-joins, never all-pairs, bit_count(xor) verify. The decode +
+    fingerprint is the only Python (Arrow-batched); blocking and
+    verify are JVM columns."""
+    from airline_data_warehouse_spark.operators.dedup import hamming_near_pairs
+
+    fps = audio_fingerprint(df).filter(F.col("afp").isNotNull())
+    return hamming_near_pairs(fps, "afp", "media_id", 64, max_hamming)

@@ -130,3 +130,59 @@ def test_decode_media_real_path_end_to_end(spark):
     assert decoded[3]["duration_ms"] == 200
     for mid, src in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])):
         assert decoded[mid]["checksum"] == hashlib.md5(src).hexdigest()
+
+
+def make_patterned_wav(pattern, seg_len: int = 100, loud: int = 16384,
+                       quiet: int = 1638, scale: float = 1.0) -> bytes:
+    """WAV whose per-segment loudness follows ``pattern`` (one bool per
+    segment): alternating-amplitude square waves, optionally gain-scaled."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        frames = b""
+        for is_loud in pattern:
+            amp = int((loud if is_loud else quiet) * scale)
+            frames += b"".join(
+                struct.pack("<h", amp if i % 2 == 0 else -amp)
+                for i in range(seg_len))
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_gain_invariant_near_dup(spark):
+    """The audio energy fingerprint pins its contract: a gain-scaled
+    copy hashes IDENTICALLY (windows compare to the median, which
+    scales with them), a copy with 3 of 64 segments' loudness flipped
+    lands within the hamming budget, and the inverted-pattern signal is
+    far. audio_near_dup_pairs flags exactly the near pairs; a too-short
+    clip fingerprints NULL and never pairs."""
+    from airline_data_warehouse_spark.operators import multimodal as mm
+    from airline_data_warehouse_spark.operators.dedup import release_caches
+
+    base = [i % 2 == 0 for i in range(64)]
+    edited = list(base)
+    for i in (5, 21, 40):
+        edited[i] = not edited[i]
+    inverted = [not b for b in base]
+    rows = [
+        (1, bytearray(make_patterned_wav(base)), "audio", None),
+        (2, bytearray(make_patterned_wav(base, scale=0.25)), "audio", None),
+        (3, bytearray(make_patterned_wav(edited)), "audio", None),
+        (4, bytearray(make_patterned_wav(inverted)), "audio", None),
+        (5, bytearray(make_wav(n_frames=10)), "audio", None),  # too short
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    fps = {r["media_id"]: r["afp"] for r in
+           mm.audio_fingerprint(media).collect()}
+    assert fps[1] == fps[2]                      # gain invariance, exact
+    assert bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1") == 3
+    assert bin((fps[1] ^ fps[4]) & ((1 << 64) - 1)).count("1") == 64
+    assert fps[5] is None
+
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             mm.audio_near_dup_pairs(media, max_hamming=4).collect()}
+    release_caches()
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 3 and pairs[(2, 3)] == 3
+    assert not any(4 in p or 5 in p for p in pairs)
