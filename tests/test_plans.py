@@ -261,17 +261,18 @@ def test_no_cartesian_products(spark, sf_dir, registry):
     bad = ea.cartesian_violations(spark, sf_dir, registry)
     assert not bad, f"CartesianProduct in: {bad}"
 
-
-def test_registry_orders_stalest_certified_last_green_first(monkeypatch):
+def test_registry_orders_uncertified_code_first(monkeypatch):
     """The driver validates a bounded registry prefix per round, so
-    ordering IS the recertification schedule (VERDICT r05 item 1):
-    OVERDUE certified entries (2+ rounds behind the newest
-    certification) first, then never-certified, then the remaining
-    certified entries oldest-round-first, then _REVALIDATE (plan
-    changed, but holding a real certification and locally re-verified),
-    and oracle-less entries dead last — they can only ever earn a
-    rows-only check, so a sample slot spent on them certifies nothing
-    (r07)."""
+    ordering IS the recertification schedule. Rebalanced r08 per the
+    r07 verdict's explicit ask (the 17-key never-certified tail and
+    every post-rewrite key must land in the next record, not wait
+    behind merely-old certifications): NEVER-certified first — no
+    driver record at all — then _REVALIDATE (their last record
+    certifies code that no longer exists; locally re-verified on
+    entry), then certified entries oldest-round-first (overdue before
+    fresh), and oracle-less entries dead last — they can only ever earn
+    a rows-only check, so a sample slot spent on them certifies
+    nothing (r07)."""
     from airline_data_warehouse_spark.plans import registry as reg
 
     qdefs = reg.all_queries()  # also triggers @register imports
@@ -287,18 +288,17 @@ def test_registry_orders_stalest_certified_last_green_first(monkeypatch):
     def tier(n):
         if qdefs[n].oracle is None:
             return 4
-        if n in fake_rounds and n not in reg._REVALIDATE \
-                and fake_rounds[n] <= max_round - 2:
-            return 0
         if n not in fake_rounds:
+            return 0
+        if n in reg._REVALIDATE:
             return 1
-        return 3 if n in reg._REVALIDATE else 2
+        return 2 if fake_rounds[n] <= max_round - 2 else 3
 
     tiers = [tier(n) for n in ordered]
-    assert tiers == sorted(tiers), "tier order: overdue, never, " \
-        "certified-oldest-first, revalidate, oracle-less"
-    assert tier(never) == 1 and never in ordered[:sum(t <= 1 for t in tiers)]
-    for t in (0, 2, 3):
+    assert tiers == sorted(tiers), "tier order: never, revalidate, " \
+        "overdue-oldest-first, fresh, oracle-less"
+    assert tier(never) == 0 and never in ordered[:sum(t == 0 for t in tiers)]
+    for t in (1, 2, 3):
         rounds = [fake_rounds[n] for n in ordered if tier(n) == t]
         assert rounds == sorted(rounds), \
             f"tier {t} must sort oldest-certified-first"
