@@ -747,3 +747,119 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding",
     if dims is not None:
         ok = ok & (F.size(v) == dims)
     return df.filter(ok)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI) — the memory-compressed ANN
+# path that completes the family: brute force (exact), LSH (bucketed),
+# IVF (partition-pruned), PQ (byte-coded). At 100 TB of float32
+# embeddings the corpus itself is the bottleneck; PQ replaces each
+# 64-dim x 4-byte vector with m=4 sub-codes (k=16 -> 4 nibbles), so the
+# ADC scan reads codes, never vectors — a 64x smaller scan whose lookup
+# tables fit in a broadcast no matter how large the corpus grows.
+
+
+def _sqdist(a: Column, b: Column, aa: Column | None = None,
+            bb: Column | None = None) -> Column:
+    """Rounded squared L2 distance via the dot-product identity
+    ||a-b||^2 = (<a,a> - 2<a,b>) + <b,b> — built from the same
+    sequential-fold dot product the cosine family uses, so the DuckDB
+    oracle (list_dot_product with the identical association) is
+    bit-for-bit. ``aa``/``bb`` let callers hoist the self-dots out of a
+    join fan-out; the value is unchanged."""
+    aa = _dot(a, a) if aa is None else aa
+    bb = _dot(b, b) if bb is None else bb
+    return F.round(aa - F.lit(2.0) * _dot(a, b) + bb, 6)
+
+
+def _pq_subvectors(df: DataFrame, m: int, sub_dims: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """Explode each vector into its m contiguous subvectors:
+    (id, sub, sv, _svv) with _svv = <sv,sv> hoisted once per row."""
+    v = F.col(vec_col).cast("array<double>")
+    slices = F.array(*[F.slice(v, j * sub_dims + 1, sub_dims)
+                       for j in range(m)])
+    return (df.select(F.col(id_col), F.posexplode(slices).alias("sub", "sv"))
+              .select(id_col, F.col("sub").cast("int").alias("sub"), "sv",
+                      _dot(F.col("sv"), F.col("sv")).alias("_svv")))
+
+
+def _pq_sub_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-(subspace, code) centroid update: exact DECIMAL(20,10)
+    accumulation per dimension (order-independent at any parallelism,
+    float32 inputs exactly representable), rounded to 6 dp and
+    re-assembled in dim order — label_centroids generalized to the
+    (sub, list_id) composite key."""
+    exploded = assigned.select(
+        "sub", "list_id", F.posexplode("sv").alias("dim", "val"))
+    summed = (exploded.groupBy("sub", "list_id", "dim")
+              .agg(F.sum(F.col("val").cast("decimal(20,10)")).alias("s"),
+                   F.count("*").alias("n")))
+    per_dim = summed.select(
+        "sub", "list_id", "dim",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("cv"))
+    return (per_dim.groupBy("sub", "list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cv")))
+                  .alias("pairs"))
+            .select("sub", "list_id",
+                    F.transform("pairs", lambda p: p["cv"]).alias("centroid")))
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame,
+               id_col: str) -> DataFrame:
+    """One product-quantizer assignment step: nearest centroid per
+    (vector, subspace) by rounded squared L2, code-id tie-break. The
+    codebook (m x k rows) is broadcast; the argmin is a window over the
+    k-fanout partitioned by (vector, subspace) — nothing corpus^2."""
+    cb = codebook.withColumn("_cc", _dot(F.col("centroid"), F.col("centroid")))
+    scored = (subs.join(F.broadcast(cb), "sub")
+              .select(id_col, "sub", "sv", "_svv", "list_id",
+                      _sqdist(F.col("sv"), F.col("centroid"),
+                              aa=F.col("_svv"), bb=F.col("_cc")).alias("d2")))
+    w = Window.partitionBy(id_col, "sub").orderBy(F.col("d2").asc(),
+                                                  F.col("list_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(id_col, "sub", "sv", "_svv", "list_id", "d2"))
+
+
+def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
+             dims: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Train a product quantizer and encode the corpus in one pass:
+    per-subspace L2 k-means (Lloyd's, ``iters`` bounded like
+    kmeans_assign) over the m contiguous dims/m-wide subvectors.
+
+    Deterministic by the family conventions so the DuckDB oracle can
+    unroll the loop: seeds are the k lowest-id vectors' subvectors
+    (code id = seed vec_id — stable, no order-assigning window over the
+    corpus); assignment is argmin ROUNDED squared L2 with a code-id
+    tie-break; updates are exact-decimal per-dim means. All m subspaces
+    train in ONE DataFrame (a `sub` column), so each iteration is one
+    broadcast of the m*k codebook + one (vec, sub)-argmin window + one
+    (sub, code, dim)-keyed mean — per-iteration cost is a corpus scan,
+    never corpus^2, and no centroid state lives on the driver.
+
+    Returns (codes, codebook): codes = (id, sub, list_id, d2) — the
+    FINAL assignment against the last-updated codebook — and that
+    codebook (sub, list_id, centroid), which is what ADC scoring must
+    use for the d2 values to be reconstruction errors under it.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
+    subs = _pq_subvectors(corpus, m, dims // m, id_col, vec_col)
+    seed_rows = corpus.orderBy(F.col(id_col).asc()).limit(k)
+    codebook = (_pq_subvectors(seed_rows, m, dims // m, id_col, vec_col)
+                .select("sub", F.col(id_col).alias("list_id"),
+                        F.col("sv").alias("centroid")))
+    assigned = None
+    for it in range(iters):
+        assigned = _pq_assign(subs, codebook, id_col)
+        if it + 1 < iters:
+            codebook = _pq_sub_centroids(assigned)
+    codes = assigned.select(id_col, "sub",
+                            F.col("list_id").cast("long").alias("list_id"),
+                            "d2")
+    return codes, codebook
