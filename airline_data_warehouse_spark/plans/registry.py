@@ -89,44 +89,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # bucketing, contiguous-id vocab, SQL-string signature fast paths — all
 # hash-matched in CORRECTNESS_r06 and was cleared.)
 _REVALIDATE: tuple[str, ...] = (
-    # r07: quantization scale no longer rounded to 9 dp (relative
-    # rounding instead), codes clamped to int8 range, empty-array guard
-    "embedding_quantize_int8",
-    # r07: mean now propagates NaN when the column holds NaN values
-    # (matches DuckDB avg), instead of silently dropping NaN from the
-    # numerator only
-    "profile_numeric_columns",
-    # r07: extended through the r6 stages — decontaminated split,
-    # chunking, and (shard, bin, offset) packing grafted into the DAG
-    "curation_pipeline",
-    # r07: banded OR-amplification rewrite (recall@5 was 0.04 vs brute
-    # force under the single-bucket design; see similarity.lsh_topk)
-    "similarity_topk_lsh",
-    # r07: ngram_overlap_join no longer force-broadcasts the benchmark
-    # side (corpus-proportional for the holdout callers — OOMed the 8×
-    # probe; AQE picks the strategy from runtime sizes now)
-    "benchmark_contamination",
-    "decontaminated_train_split",
-    # r07: same fix class — tf_idf's per-term idf table (Heaps'-law
-    # growth) no longer force-broadcast
-    "text_tfidf_top_terms",
-    # r07: shingle/vector-array verify-join sides now hinted
-    # shuffle_hash so AQE can never pick a driver-side broadcast build
-    # for a corpus-proportional array payload (the dedup_cascade 8×
-    # OOM; in-heap hash-map expansion defeats the size threshold)
-    "dedup_ngram_jaccard",
-    "dedup_cluster_representatives",
-    "dedup_incremental_minhash",
-    "dedup_embedding_cosine",
-    # r08: the sign-LSH plane family switched from ±1 Rademacher to
-    # deterministic Gaussian (Charikar 2002) after the low-rank-subspace
-    # recall blind spot was diagnosed (hashing.gaussian_plane_weights);
-    # band keys — and therefore candidate sets — changed for every
-    # hyperplane-banded query. similarity_topk_lsh /
-    # dedup_embedding_cosine are already listed above; all four were
-    # locally hash-verified post-switch via tools/check_correctness.py.
-    "hard_negative_mining",
-    "dedup_cascade",
+    # (The r07/r08 cohort — Gaussian-plane switch, de-broadcast of
+    # Heaps'-law sides, shuffle_hash verify joins, quantization/profile
+    # semantics — all hash-matched in CORRECTNESS_r08 and was cleared.)
+    #
+    # r08 eccd529 de-broadcast hygiene (VERDICT r08 item 5): these keys'
+    # physical plans changed when pinned F.broadcast() hints on
+    # business-growing dims (customer/supplier/part derivatives) were
+    # handed to AQE, but their last driver cert predates that commit.
+    # The change is logically result-neutral and every key below was
+    # locally hash-verified post-change (commit eccd529 re-ran all 19
+    # touched queries), yet the priority contract says: a cert older
+    # than the plan it certifies must rotate back into the window.
+    "flagship_star_revenue",       # r5 cert; F.broadcast(customer) removed
+    "role_playing_dim_join",       # r5 cert; customer+supplier hints removed
+    "revenue_rollup",              # r6 cert; F.broadcast(customer) removed
+    "nation_pair_trade_volume",    # r7 cert; customer+supplier hints removed
+    "profit_by_nation_year",       # r7 cert; part+supplier hints removed
+    "shipping_priority_topk",      # r7 cert; F.broadcast(cust) removed
+    "local_supplier_volume",       # r7 cert; cust+supp hints removed
+    "data_quality_report",         # r7 cert; FK-check broadcast removed
 )
 
 

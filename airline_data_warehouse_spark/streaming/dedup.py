@@ -79,6 +79,55 @@ def _recover_store_dir(spark, dest: str) -> None:
         raise IOError(f"store recovery: rename {backup} -> {dest} failed")
 
 
+def _store_dir_exists(spark, path: str) -> bool:
+    # Explicit existence probe via the Hadoop FileSystem API, instead of
+    # read-and-swallow: a transient/corrupt-store READ failure must fail
+    # the micro-batch (structured streaming retries it) rather than
+    # silently skipping near-dup detection for the whole batch while
+    # still appending its signatures — which would lose that batch's
+    # pairs permanently (ADVICE r06).
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf).exists(hpath)
+
+
+def _read_store(spark, path: str, empty_like: DataFrame, batch_id: int,
+                retention_batches: int | None) -> DataFrame:
+    """Read ONE signature store dir for classification, independently of
+    its siblings. Three contracts in one place:
+
+    * MISSING dir → empty frame with ``empty_like``'s schema. Batch 0's
+      appends are sequential, so a crash between them strands a
+      partially-present store; probing a single representative dir and
+      then reading all siblings (the pre-r09 shape) made every retry
+      fail on the missing-path read before any append could create it —
+      permanently wedging the stream (ADVICE r08 medium). A store dir
+      is only ever absent before its first successful append, so empty
+      IS its true content.
+    * EXISTING-but-corrupt dir → the read raises and the micro-batch
+      fails; structured streaming retries it (test
+      test_stream_neardup_corrupt_store_fails_batch pins this).
+    * rows with ``batch_id >= `` the current batch are excluded: under
+      foreachBatch's at-least-once retry they can only be a crashed
+      attempt of THIS batch, and matching a batch against its own
+      partial appends would flag every retried doc as a duplicate of
+      itself. Normal operation appends strictly after classification,
+      so the filter is a no-op there. It also makes retried verdicts
+      byte-identical to the crashed attempt's, keeping the
+      dedup-on-read story for the verdicts/pairs sinks honest.
+
+    ``retention_batches`` applies the same horizon the compactor
+    enforces (see start_neardup_ingest).
+    """
+    if not _store_dir_exists(spark, path):
+        return empty_like.limit(0)
+    df = spark.read.parquet(path).filter(F.col("batch_id") < F.lit(batch_id))
+    if retention_batches is not None:
+        df = df.filter(F.col("batch_id") > batch_id - retention_batches)
+    return df
+
+
 def _swap_store_dir(spark, staging: str, dest: str) -> None:
     import os
 
@@ -163,18 +212,6 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
     shingles_dir = os.path.join(store_dir, "shingles")
     pairs_dir = os.path.join(store_dir, "pairs")
 
-    def store_exists(spark) -> bool:
-        # Explicit existence probe via the Hadoop FileSystem API, instead
-        # of read-and-swallow: a transient/corrupt-store READ failure must
-        # fail the micro-batch (structured streaming retries it) rather
-        # than silently skipping near-dup detection for the whole batch
-        # while still appending its bands — which would lose that batch's
-        # pairs permanently (ADVICE r06).
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(bands_dir)
-        return path.getFileSystem(conf).exists(path)
-
     def retained(df: DataFrame, batch_id: int) -> DataFrame:
         if retention_batches is None:
             return df
@@ -196,10 +233,15 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
         try:
             _recover_store_dir(spark, bands_dir)
             _recover_store_dir(spark, shingles_dir)
-            # first batch: no store yet → skip the corpus join only then
-            corpus_bands = (retained(spark.read.parquet(bands_dir), batch_id)
-                            if store_exists(spark) else None)
-            if corpus_bands is not None:
+            # each store dir probed INDIVIDUALLY; a dir missing because
+            # batch 0 crashed between the sequential appends reads as
+            # empty instead of wedging every retry (_read_store)
+            # the gate is a cheap FS probe — batch 0 (no store at all)
+            # skips the corpus join; any partially-present sibling on a
+            # retry reads as empty through _read_store instead
+            if _store_dir_exists(spark, bands_dir):
+                corpus_bands = _read_store(spark, bands_dir, new_bands,
+                                           batch_id, retention_batches)
                 cand = (new_bands.alias("i")
                         .join(corpus_bands.alias("c"), ["band", "band_key"])
                         .filter(F.col(f"i.{id_col}") != F.col(f"c.{id_col}"))
@@ -214,7 +256,8 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
                 # it grows with the accumulated corpus and its array
                 # payload's in-heap expansion defeats AQE's size check
                 # (same rule as the batch operators, r07)
-                s2 = (retained(spark.read.parquet(shingles_dir), batch_id)
+                s2 = (_read_store(spark, shingles_dir, sh, batch_id,
+                                  retention_batches)
                       .select(F.col(id_col).alias("corpus_id"),
                               F.col("hs").cast("array<int>").alias("sh2"))
                       .hint("shuffle_hash"))
@@ -294,12 +337,6 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
     vectors_dir = os.path.join(store_dir, "vectors")
     pairs_dir = os.path.join(store_dir, "pairs")
 
-    def store_exists(spark) -> bool:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(bands_dir)
-        return path.getFileSystem(conf).exists(path)
-
     def retained(df: DataFrame, batch_id: int) -> DataFrame:
         if retention_batches is None:
             return df
@@ -330,9 +367,13 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
         try:
             _recover_store_dir(spark, bands_dir)
             _recover_store_dir(spark, vectors_dir)
-            corpus_bands = (retained(spark.read.parquet(bands_dir), batch_id)
-                            if store_exists(spark) else None)
-            if corpus_bands is not None:
+            # cheap FS probe gates batch 0 only; a vectors dir stranded
+            # missing by a crash between the two appends reads as empty
+            # on retry instead of wedging the stream (_read_store,
+            # ADVICE r08 medium)
+            if _store_dir_exists(spark, bands_dir):
+                corpus_bands = _read_store(spark, bands_dir, new_bands,
+                                           batch_id, retention_batches)
                 cand = (new_bands.alias("i")
                         .join(corpus_bands.alias("c"), ["band", "band_key"])
                         .filter(F.col(f"i.{id_col}") != F.col(f"c.{id_col}"))
@@ -343,7 +384,8 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
                                       F.col("v").alias("v1"),
                                       F.col("n").alias("n1"))
                       .hint("shuffle_hash"))
-                v2 = (retained(spark.read.parquet(vectors_dir), batch_id)
+                v2 = (_read_store(spark, vectors_dir, new_vecs, batch_id,
+                                  retention_batches)
                       .select(F.col(id_col).alias("corpus_id"),
                               F.col("v").alias("v2"), F.col("n").alias("n2"))
                       .hint("shuffle_hash"))
@@ -422,12 +464,6 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
             for name in ("hashes", "bands", "shingles", "emb_bands",
                          "vectors", "verdicts")}
 
-    def store_exists(spark) -> bool:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(dirs["hashes"])
-        return path.getFileSystem(conf).exists(path)
-
     def retained(df: DataFrame, batch_id: int) -> DataFrame:
         if retention_batches is None:
             return df
@@ -454,18 +490,40 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
                       F.transform(F.col(vec_col), lambda x: x.cast("double"))
                        .alias("v"))
               .persist())
+        # the batch's own signature frames — appended to the five stores
+        # below, and (as .limit(0)) the schema templates _read_store
+        # substitutes for a sibling dir stranded missing by a crash
+        # between the sequential appends (ADVICE r08 medium)
+        new_hashes = (docs.filter(F.col(text_col).isNotNull())
+                      .select(F.md5(text_col).alias("text_md5"),
+                              F.col(id_col))
+                      .groupBy("text_md5").agg(F.min(id_col).alias("keeper")))
+        new_bands = minhash_band_table(sh, id_col)
+        new_shingles = sh.select(id_col, _i32("hs").alias("hs"))
+        new_emb_bands = (ev.select("vec_id",
+                                   F.posexplode(F.array(*emb_keys))
+                                    .alias("band", "band_key"))
+                         .select("vec_id",
+                                 F.col("band").cast("int").alias("band"),
+                                 "band_key"))
+        new_vectors = ev.select("vec_id", "v", sim._norm(F.col("v")).alias("n"))
+        empty_like = {"hashes": new_hashes, "bands": new_bands,
+                      "shingles": new_shingles, "emb_bands": new_emb_bands,
+                      "vectors": new_vectors}
         try:
             for name in ("hashes", "bands", "shingles", "emb_bands",
                          "vectors"):
                 _recover_store_dir(spark, dirs[name])
-            if store_exists(spark):
+            # gate on the FIRST-appended store only to detect a truly
+            # fresh stream; each of the five reads probes its own dir
+            # (crash-stranded siblings → empty, never a wedged retry)
+            if _store_dir_exists(spark, dirs["hashes"]):
                 verdicts = cascade_classify(
                     docs, emb,
-                    retained(spark.read.parquet(dirs["hashes"]), batch_id),
-                    retained(spark.read.parquet(dirs["bands"]), batch_id),
-                    retained(spark.read.parquet(dirs["shingles"]), batch_id),
-                    retained(spark.read.parquet(dirs["emb_bands"]), batch_id),
-                    retained(spark.read.parquet(dirs["vectors"]), batch_id),
+                    *(_read_store(spark, dirs[n], empty_like[n], batch_id,
+                                  retention_batches)
+                      for n in ("hashes", "bands", "shingles", "emb_bands",
+                                "vectors")),
                     threshold=threshold, cos_threshold=cos_threshold,
                     text_col=text_col, id_col=id_col, vec_col=vec_col)
             else:
@@ -476,24 +534,16 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
                      .coalesce(4).write.mode("append")
                      .parquet(dirs["verdicts"]))
             bid = F.lit(batch_id)
-            (docs.filter(F.col(text_col).isNotNull())
-                 .select(F.md5(text_col).alias("text_md5"), F.col(id_col))
-                 .groupBy("text_md5").agg(F.min(id_col).alias("keeper"))
-                 .withColumn("batch_id", bid)
-                 .coalesce(4).write.mode("append").parquet(dirs["hashes"]))
-            (minhash_band_table(sh, id_col).withColumn("batch_id", bid)
+            (new_hashes.withColumn("batch_id", bid)
+                       .coalesce(4).write.mode("append")
+                       .parquet(dirs["hashes"]))
+            (new_bands.withColumn("batch_id", bid)
              .coalesce(4).write.mode("append").parquet(dirs["bands"]))
-            (sh.select(id_col, _i32("hs").alias("hs"))
-               .withColumn("batch_id", bid)
+            (new_shingles.withColumn("batch_id", bid)
                .coalesce(4).write.mode("append").parquet(dirs["shingles"]))
-            (ev.select("vec_id", F.posexplode(F.array(*emb_keys))
-                       .alias("band", "band_key"))
-               .select("vec_id", F.col("band").cast("int").alias("band"),
-                       "band_key")
-               .withColumn("batch_id", bid)
+            (new_emb_bands.withColumn("batch_id", bid)
                .coalesce(4).write.mode("append").parquet(dirs["emb_bands"]))
-            (ev.select("vec_id", "v", sim._norm(F.col("v")).alias("n"))
-               .withColumn("batch_id", bid)
+            (new_vectors.withColumn("batch_id", bid)
                .coalesce(4).write.mode("append").parquet(dirs["vectors"]))
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                 for name in ("hashes", "bands", "shingles", "emb_bands",

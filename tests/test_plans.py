@@ -670,3 +670,37 @@ def test_small_qty_decorrelation_matches_textbook_correlated_avg(spark, sf_dir):
     got = (all_queries()["small_qty_order_revenue"]
            .builder(spark, sf_dir).collect()[0]["avg_yearly"])
     assert got == textbook
+
+
+def test_no_oracle_emits_hugeint_columns(sf_dir):
+    """Tripwire for the r08 red cell (late_line_priority_mix): DuckDB
+    types SUM(integer) as HUGEINT (INT128), which the external driver's
+    canonicalizer renders differently from Spark's BIGINT even when the
+    values are equal — so the hash comparison fails on a correct answer.
+    The registry convention (registry.py module docstring) is that every
+    integer aggregate in an oracle is CAST to BIGINT/INT.  Regex can't
+    see through aliased CTE columns, so pin it at the source of truth:
+    DESCRIBE every registered oracle in DuckDB and assert no OUTPUT
+    column is HUGEINT/UHUGEINT.  (Interior CTE columns may be HUGEINT —
+    only what reaches the driver's canonicalizer matters.)"""
+    import duckdb
+
+    from airline_data_warehouse_spark.plans.registry import all_queries
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    offenders = []
+    for name, q in all_queries().items():
+        if q.oracle is None:
+            continue
+        # DESCRIBE plans without executing — type info only, O(ms)/query
+        rows = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+        for col, typ, *_ in rows:
+            if "HUGEINT" in typ.upper():
+                offenders.append((name, col, typ))
+    assert offenders == [], (
+        "oracle output columns typed HUGEINT (cast them to BIGINT — the "
+        f"driver canonicalizer renders INT128 differently): {offenders}")

@@ -695,3 +695,118 @@ def test_stream_cascade_ingest_three_tiers_accumulate(spark, tmp_path):
     assert out[21] == ("exact", 13, 2)       # batch-2 state accumulated
     assert out[20][0] == "kept"
     assert len(out) == 9
+
+
+def test_stream_cascade_batch0_crash_between_appends_recovers(spark, tmp_path):
+    """ADVICE r08 (medium): batch 0's five store appends are sequential,
+    so a crash after the `hashes` append strands the siblings missing
+    while the old single-dir probe reported the store present — every
+    retry then died on the missing-path parquet read, permanently
+    wedging the stream. Pin the fix: replay batch 0 against a store
+    holding ONLY its own crashed-attempt `hashes` rows and assert
+    (a) the retry runs instead of wedging, (b) no doc is classified as
+    a duplicate of its own partial appends (batch_id >= current is
+    excluded by _read_store), and (c) the accumulated state still
+    catches a batch-1 exact dup."""
+    import json as jsonlib
+    import shutil
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_cascade_ingest,
+    )
+
+    in_dir = tmp_path / "crash_in"
+    in_dir.mkdir()
+    store = tmp_path / "crash_store"
+    docs = [(1, "alpha beta gamma delta epsilon zeta eta theta", 0.3),
+            (2, "iota kappa lambda mu nu xi omicron pi rho", -0.7)]
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for d, tx, seed in rows:
+                emb = [seed + 0.01 * k for k in range(16)]
+                f.write(jsonlib.dumps(
+                    {"doc_id": d, "text": tx, "embedding": emb}) + "\n")
+
+    write_batch("b0.json", docs)
+    src = (spark.readStream
+           .schema("doc_id long, text string, embedding array<double>")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    # attempt 1: full batch 0, then simulate the crash having happened
+    # right after the hashes append — siblings vanish, checkpoint is
+    # lost, so the SAME rows replay as batch 0 against their own hashes
+    q = start_cascade_ingest(src, str(store),
+                             checkpoint_dir=str(tmp_path / "ckpt1"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    for sibling in ("bands", "shingles", "emb_bands", "vectors",
+                    "verdicts"):
+        shutil.rmtree(store / sibling)
+
+    q = start_cascade_ingest(src, str(store),
+                             checkpoint_dir=str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()          # the retry — wedged pre-fix
+        write_batch("b1.json", [(10, docs[0][1], 0.9)])   # exact of doc 1
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["doc_id"]: (r["verdict"], r["partner_id"])
+           for r in spark.read.parquet(f"{store}/verdicts").collect()}
+    assert out[1] == ("kept", None)      # NOT an exact-dup of itself
+    assert out[2] == ("kept", None)
+    assert out[10] == ("exact", 1)       # post-recovery state accumulates
+
+
+def test_stream_semantic_batch0_crash_between_appends_recovers(spark, tmp_path):
+    """Same ADVICE r08 scenario for the semantic twin: emb_bands lands
+    before vectors, so a crash between them plus a lost checkpoint made
+    every batch-0 retry fail reading the missing vectors dir. The retry
+    must classify with the stranded sibling as empty, flag nothing
+    against its own crashed-attempt bands, and still catch a batch-1
+    near-dup."""
+    import json as jsonlib
+    import shutil
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_semantic_ingest,
+    )
+
+    in_dir = tmp_path / "sem_crash_in"
+    in_dir.mkdir()
+    store = tmp_path / "sem_crash_store"
+    base = [0.9, -0.4, 0.2, 0.8, -0.6, 0.1, 0.5, -0.3]
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for vid, vec in rows:
+                f.write(jsonlib.dumps(
+                    {"vec_id": vid, "embedding": vec}) + "\n")
+
+    write_batch("b0.json", [(1, base), (2, [-x for x in base])])
+    src = (spark.readStream.schema("vec_id long, embedding array<double>")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_semantic_ingest(src, str(store),
+                              checkpoint_dir=str(tmp_path / "ckpt1"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(store / "vectors")     # crash after emb_bands append
+
+    q = start_semantic_ingest(src, str(store),
+                              checkpoint_dir=str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()          # the retry — wedged pre-fix
+        write_batch("b1.json", [(10, [x * 1.001 for x in base])])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = {(r["inc_id"], r["corpus_id"])
+             for r in spark.read.parquet(f"{store}/pairs").collect()}
+    assert (1, 1) not in pairs and (2, 2) not in pairs
+    assert (10, 1) in pairs              # state survived the recovery
