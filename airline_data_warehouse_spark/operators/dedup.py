@@ -692,14 +692,26 @@ def cascade_store_build(docs: DataFrame, emb: DataFrame, store_dir: str,
     an output of YESTERDAY's run, amortized across batches; per-frame
     parquet writes go to the final paths in one action each, and the
     ``_built`` marker lands last, so a crashed build is rebuilt rather
-    than half-read (the snapshot-commit marker convention)."""
+    than half-read (the snapshot-commit marker convention). An
+    ``overwrite=True`` rebuild DELETES the stale marker before touching
+    any frame, so a mid-rebuild crash leaves a markerless —
+    i.e. rebuildable — store instead of a half-new/half-old one the
+    surviving marker would declare complete; the marker goes through
+    the Hadoop FileSystem API (not driver-local open()/os.path), so the
+    guard holds for non-local store_dirs too (ADVICE r08)."""
     import os
 
     from airline_data_warehouse_spark.operators import similarity as sim
 
-    marker = os.path.join(store_dir, "_built")
-    if not overwrite and os.path.exists(marker):
-        return
+    spark = docs.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, "_built"))
+    fs = marker.getFileSystem(conf)
+    if fs.exists(marker):
+        if not overwrite:
+            return
+        fs.delete(marker, False)
     d = docs.filter(F.col(text_col).isNotNull())
     (d.select(F.md5(text_col).alias("text_md5"), F.col(id_col))
       .groupBy("text_md5").agg(F.min(id_col).alias("keeper"))
@@ -721,8 +733,9 @@ def cascade_store_build(docs: DataFrame, emb: DataFrame, store_dir: str,
        .write.mode("overwrite").parquet(os.path.join(store_dir, "emb_bands")))
     (ev.select("vec_id", "v", sim._norm(F.col("v")).alias("n"))
        .write.mode("overwrite").parquet(os.path.join(store_dir, "vectors")))
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    out = fs.create(marker, True)
+    out.write(bytearray(b"ok\n"))
+    out.close()
 
 
 def incremental_cascade(spark, store_dir: str, inc_docs: DataFrame,

@@ -894,16 +894,62 @@ def test_incremental_cascade_against_persisted_store(spark, tmp_path):
     assert len(out) == 7  # nothing else in the increment
 
     # the store was materialized and is REUSED on the second run
-    import hashlib
-    import tempfile
-    store = os.path.join(tempfile.gettempdir(), "adw_cascade_store_"
-                         + hashlib.md5(str(tmp_path).encode()).hexdigest()[:10])
+    from airline_data_warehouse_spark.plans.llmops import _cascade_store_path
+    store = _cascade_store_path(str(tmp_path))
     for frame in ("hashes", "bands", "shingles", "emb_bands", "vectors"):
         assert os.path.isdir(os.path.join(store, frame)), frame
     assert os.path.exists(os.path.join(store, "_built"))
     again = {r["doc_id"]: (r["verdict"], r["partner_id"]) for r in
              builder(spark, str(tmp_path)).collect()}
     assert again == out
+
+    # REGENERATING the dataset under the SAME path must not reuse the
+    # stale store (ADVICE r08): the cache key is a content fingerprint,
+    # so new snapshots map to a new store path and a fresh build. Doc 0
+    # changes text, so its +2M row is no longer an exact copy.
+    docs[0] = (0, docs[0][1] + " regenerated tail of entirely new words")
+    spark.createDataFrame(docs, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert _cascade_store_path(str(tmp_path)) != store
+    out2 = {r["doc_id"]: (r["verdict"], r["partner_id"]) for r in
+            builder(spark, str(tmp_path)).collect()}
+    # the +2M row copies the NEW doc-0 text; only a store rebuilt from
+    # the regenerated snapshot holds its hash — a stale store reuse
+    # would classify it near_dup/kept instead
+    assert out2[2000000] == ("exact", 0)
+
+
+def test_cascade_store_rebuild_crash_leaves_no_stale_marker(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r08: an overwrite=True rebuild must delete the stale
+    ``_built`` marker BEFORE rewriting any frame, so a mid-rebuild crash
+    leaves a markerless — rebuildable — store instead of a half-new/
+    half-old one the surviving marker would declare complete. Inject a
+    crash between the shingles and bands writes and assert the marker
+    is gone, then that a subsequent default build really rebuilds."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame([(1, [0.5] * 8)],
+                                "vec_id long, embedding array<double>")
+    store = str(tmp_path / "store")
+    dd.cascade_store_build(docs, emb, store)
+    marker = os.path.join(store, "_built")
+    assert os.path.exists(marker)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected mid-rebuild crash")
+
+    monkeypatch.setattr(dd, "minhash_band_table", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        dd.cascade_store_build(docs, emb, store, overwrite=True)
+    assert not os.path.exists(marker), \
+        "stale marker must not survive a crashed rebuild"
+    monkeypatch.undo()
+    dd.cascade_store_build(docs, emb, store)   # default: rebuilds
+    assert os.path.exists(marker)
 
 
 def test_decontaminated_split_partitions_corpus(spark):

@@ -153,7 +153,7 @@ def make_patterned_wav(pattern, seg_len: int = 100, loud: int = 16384,
 
 def test_audio_fingerprint_gain_invariant_near_dup(spark):
     """The audio energy fingerprint pins its contract: a gain-scaled
-    copy hashes IDENTICALLY (windows compare to the median, which
+    copy hashes IDENTICALLY (windows compare to the mean, which
     scales with them), a copy with 3 of 64 segments' loudness flipped
     lands within the hamming budget, and the inverted-pattern signal is
     far. audio_near_dup_pairs flags exactly the near pairs; a too-short
