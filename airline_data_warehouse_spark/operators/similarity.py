@@ -863,3 +863,50 @@ def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
                             F.col("list_id").cast("long").alias("list_id"),
                             "d2")
     return codes, codebook
+
+
+def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+            k: int = 5, m: int = 4, dims: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k search over PQ codes (Jegou et al. 2011 §4.2,
+    asymmetric distance computation): per query, build the m×k lookup
+    table of exact squared L2 distances from the query's subvectors to
+    every codebook centroid, then score each corpus vector as the sum
+    of its m code-indexed table entries — the scan reads CODES (m small
+    ints per vector), never corpus vectors, which is the whole point at
+    100 TB of embeddings.
+
+    Join shape: the LUT is |queries| × m × k rows — bounded by the
+    query set and two operator constants, so it broadcasts (a top-k
+    search's query side is small by definition; the corpus side is the
+    code table). The ADC sum groups the (codes ⋈ LUT) fan-out by
+    (query, neighbor) — m rows each — and the top-k is a rank window
+    per query, never a global sort.
+
+    Exactness: per-sub distances are rounded 6 dp (_sqdist), summed as
+    DECIMAL(20,6) (order-independent), so the DuckDB oracle unrolling
+    the same codebook reproduces adc_d2 bit-for-bit. Ties rank by
+    neighbor id. Self-matches (query id = corpus id) are excluded.
+    ``codebook`` must be the one `pq_train` returned with these codes —
+    ADC distances are reconstruction-based under THAT codebook."""
+    q = queries.filter(_finite_ok(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col))
+    qsubs = _pq_subvectors(q, m, dims // m, "query_id", vec_col)
+    cb = codebook.withColumn("_cc", _dot(F.col("centroid"), F.col("centroid")))
+    lut = (qsubs.join(F.broadcast(cb), "sub")
+           .select("query_id", "sub", "list_id",
+                   _sqdist(F.col("sv"), F.col("centroid"),
+                           aa=F.col("_svv"), bb=F.col("_cc")).alias("d2")))
+    scored = (codes.select(F.col(id_col).alias("neighbor_id"), "sub",
+                           "list_id")
+              .join(F.broadcast(lut), ["sub", "list_id"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.round(F.sum(F.col("d2").cast("decimal(20,6)"))
+                            .cast("double"), 6).alias("adc_d2")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adc_d2",
+                          F.col("rank").cast("int").alias("rank")))

@@ -1068,3 +1068,78 @@ def dsir_importance_weights(raw: DataFrame, target: DataFrame,
                      "lp_target", "lp_raw",
                      lw.alias("log_weight"),
                      F.round(F.exp(lw), 6).alias("weight")))
+
+
+def dsir_hashed_importance_weights(raw: DataFrame, target: DataFrame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   buckets: int = 10_000) -> DataFrame:
+    """DSIR importance weights over HASHED bigram features — the form
+    Xie et al. 2023 actually run (§3: n-grams hashed into 10k buckets):
+    every bigram maps to ``hash(w1 ⊔ w2) mod buckets``, so both language
+    models collapse to bucket-count tables of AT MOST ``buckets`` rows —
+    a size bounded by a constant of the operator, not by corpus
+    vocabulary. That bound is the 100 TB lever the raw-bigram variant
+    (`dsir_importance_weights`, kept as the exact-feature twin) lacks:
+    its LM tables grow with corpus vocabulary (Heaps' law) and must be
+    shuffle-joined on the bigram key — the r08 8× probe measured ratio
+    3.00 from exactly that token shuffle — while here the scoring joins
+    are plain broadcast lookups and the only corpus-proportional
+    shuffles left are the per-doc mean and the LM groupBys, whose
+    map-side partials emit ≤ ``buckets`` rows per task.
+
+    Model: add-one smoothing over the bucket space — p(bucket | LM) =
+    (count[bucket] + 1) / (N + buckets), N = the LM corpus's total
+    bigram count. log_weight = mean-per-bigram ln p under the TARGET LM
+    minus the same under the RAW LM (the length-normalized variant, see
+    the twin's docstring for why not the paper's summed form). Regime
+    note: when N << buckets (toy corpora) the add-one mass dominates
+    both LMs and shifts every log-weight down — the exact twin's
+    on-domain ⇒ log_weight > 0 sign property only returns once counts
+    dominate (N >> buckets, the pretraining regime the paper assumes).
+    The ORDERING the resampler consumes holds at any scale.
+
+    Cross-engine exactness: counts and N are exact ints; the bucket is
+    the shared md5-prefix hash (hashing.base_hash — bit-identical in
+    DuckDB); ln is rounded 6 dp per bigram, per-doc means divide exact
+    DECIMAL(20,6) sums, and only the final exp is rounded (6 dp).
+
+    Broadcast bounds (the eccd529 contract): ``lm`` ≤ ``buckets`` rows
+    by construction, ``tot`` is a 1-row scalar — both schema-bounded,
+    never business-volume-bounded."""
+    from airline_data_warehouse_spark.operators.hashing import base_hash
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        p = _bigram_pairs(df, text_col, id_col)
+        return p.select(
+            "_doc",
+            (base_hash(F.concat_ws(" ", "w1", "w2")) % buckets)
+            .alias("bucket"))
+
+    pairs = bucketed(raw)
+    tpairs = bucketed(target)
+
+    def lm_score(p, lm_pairs, alias):
+        lm = lm_pairs.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        tot = lm_pairs.agg(F.count(F.lit(1)).alias("n"))
+        lp = F.round(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
+                           .cast("double")
+                           / (F.col("n") + F.lit(buckets))), 6)
+        return (p.join(F.broadcast(lm), "bucket", "left")
+                 .crossJoin(F.broadcast(tot))
+                 .select("_doc", lp.alias("lp"))
+                 .groupBy("_doc")
+                 .agg(F.count(F.lit(1)).cast("int").alias(f"n_{alias}"),
+                      F.round(F.sum(F.col("lp").cast("decimal(20,6)"))
+                               .cast("double") / F.count(F.lit(1)), 6)
+                       .alias(f"lp_{alias}")))
+
+    t = lm_score(pairs, tpairs, "target")
+    r = lm_score(pairs, pairs, "raw")
+    lw = F.col("lp_target") - F.col("lp_raw")
+    return (t.join(r, "_doc")
+             .select(F.col("_doc").alias(id_col),
+                     F.col("n_raw").alias("n_bigrams"),
+                     "lp_target", "lp_raw",
+                     lw.alias("log_weight"),
+                     F.round(F.exp(lw), 6).alias("weight")))

@@ -85,6 +85,7 @@ HEADLINE = [
     "hard_negative_mining",
     "train_quality_classifier",
     "dsir_importance_sample",
+    "dsir_hashed_importance_sample",
     "dedup_prefix_filter_exact",
     "segment_spend_deciles",
     "scd2_status_dimension",
@@ -107,6 +108,7 @@ HEADLINE = [
     "data_quality_report",
     "bigram_lm_quality",
     "similarity_topk_ivf_trained",
+    "similarity_topk_pq",
     "pit_status_join",
     "weighted_sample_docs",
     "grouped_kfold_report",

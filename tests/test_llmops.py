@@ -1571,3 +1571,97 @@ def test_dsir_weights_tilt_toward_target_domain(spark):
     assert max(tech_like) < -0.5 and min(held_out) > -0.1
     assert min(held_out) > max(tech_like) + 0.5
     assert all(got[200 + i]["weight"] < 0.5 for i in range(4))
+
+
+def test_dsir_hashed_weights_match_tilt_and_bound_lm(spark):
+    """The hashed-feature DSIR variant (Xie et al.'s 10k-bucket form)
+    preserves the exact twin's ordering semantics on engineered
+    domains — on-domain docs outweigh every off-domain doc — while its
+    LM tables are bounded by the bucket constant. With a tiny bucket
+    count the hash forces collisions, so this also pins that collided
+    bigrams share mass instead of erroring (the scale trade the paper
+    accepts)."""
+    from airline_data_warehouse_spark.operators import text as tx
+
+    cook = "stir the sauce and simmer the onions in the pan with butter"
+    tech = "compile the kernel and flash the firmware to the board rom"
+    rows = ([(i, "cook", cook + f" batch u{i}") for i in range(8)]
+            + [(100 + i, "web", cook + f" home u{i}") for i in range(4)]
+            + [(200 + i, "web", tech + f" rev u{i}") for i in range(4)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = docs.filter(F.col("source") == "cook")
+    got = {r["doc_id"]: r for r in
+           tx.dsir_hashed_importance_weights(docs, target).collect()}
+    assert len(got) == 16
+    # With buckets >> corpus bigram count the add-one mass dominates and
+    # shifts every log-weight down (see the operator docstring) — the
+    # SIGN the exact twin guarantees is a production-scale (N >> B)
+    # property. The resampling consumes ORDERING, which must hold at any
+    # scale: every target-corpus doc above every held-out on-domain doc
+    # above every off-domain doc, with a wide domain gap.
+    target_corpus = [got[k]["log_weight"] for k in range(8)]
+    on_domain = [got[100 + i]["log_weight"] for i in range(4)]
+    off_domain = [got[200 + i]["log_weight"] for i in range(4)]
+    assert min(target_corpus) >= max(on_domain)
+    assert min(on_domain) > max(off_domain) + 0.5
+    # with buckets=64 the counts dominate the smoothing mass again, so
+    # the exact twin's sign property returns — and forced collisions
+    # (64 buckets, ~90 distinct bigrams) share mass instead of erroring
+    tiny = {r["doc_id"]: r["log_weight"] for r in
+            tx.dsir_hashed_importance_weights(docs, target,
+                                              buckets=64).collect()}
+    assert all(tiny[k] > 0 for k in range(8))
+    assert min(tiny[k] for k in range(8)) > max(
+        tiny[200 + i] for i in range(4))
+
+
+def test_pq_train_codes_and_adc_topk(spark):
+    """Product quantization pins (Jegou et al. 2011): pq_train encodes
+    every finite vector in all m subspaces with codes drawn from the
+    deterministic lowest-id seeds; a re-run is identical; Lloyd's
+    iterations do not increase quantization error; and ADC search ranks
+    every same-cell (code-sharing) neighbor ahead of every other-cluster
+    vector — ADC distance is a function of the CODES, so within-cell
+    ties resolve by neighbor id (the documented contract), which is the
+    resolution limit the 64x scan compression buys."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(12):
+        base = ([1.0, 0, 0, 0, 0, 0, 0, 0] if i % 2 == 0
+                else [0, 0, 0, 0, 0, 0, 0, 1.0])
+        rows.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    rows.append((100, list(rows[4][1])))      # exact duplicate of vec 4
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    codes, cb = sim.pq_train(emb, m=2, k=2, iters=2, dims=8)
+    c = codes.collect()
+    assert len(c) == 13 * 2                       # every vector, every sub
+    assert {r["sub"] for r in c} == {0, 1}
+    assert {r["list_id"] for r in c} <= {0, 1}    # seed ids = 2 lowest ids
+    codes2, _cb2 = sim.pq_train(emb, m=2, k=2, iters=2, dims=8)
+    assert sorted(map(tuple, c)) == sorted(map(tuple, codes2.collect()))
+
+    # more Lloyd's never hurts: total quantization error non-increasing
+    codes1, _ = sim.pq_train(emb, m=2, k=2, iters=1, dims=8)
+    err1 = sum(r["d2"] for r in codes1.collect())
+    err2 = sum(r["d2"] for r in c)
+    assert err2 <= err1 + 1e-9
+
+    # ADC: vec 100 duplicates vec 4, so it shares 4's codes; every
+    # code-sharing (even-cluster) neighbor ties at the minimal ADC
+    # distance and outranks the whole odd cluster
+    by_vec = {}
+    for r in c:
+        by_vec.setdefault(r["vec_id"], {})[r["sub"]] = r["list_id"]
+    same_cell = {v for v, m_ in by_vec.items()
+                 if m_ == by_vec[100] and v != 100}
+    assert 4 in same_cell
+    top = sim.pq_topk(codes, cb, emb.filter(F.col("vec_id") == 100),
+                      k=len(same_cell) + 2, m=2, dims=8)
+    got = sorted(top.collect(), key=lambda r: r["rank"])
+    head = {r["neighbor_id"] for r in got[:len(same_cell)]}
+    assert head == same_cell
+    assert got[0]["adc_d2"] <= got[-1]["adc_d2"]
+    assert got[0]["neighbor_id"] == min(same_cell)  # id tie-break pinned

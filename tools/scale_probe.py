@@ -60,6 +60,7 @@ PROBE_QUERIES = [
     "incremental_cascade_ingest",
     "train_quality_classifier",
     "dsir_importance_sample",
+    "dsir_hashed_importance_sample",
     "dedup_prefix_filter_exact",
     "dedup_containment_exact",
     # r07 second wave: substring dedup, tokenize-to-ids, kmeans, search,
@@ -81,6 +82,7 @@ PROBE_QUERIES = [
     "per_source_document_cap",
     "bigram_lm_quality",
     "similarity_topk_ivf_trained",
+    "similarity_topk_pq",
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",
