@@ -911,6 +911,12 @@ def train_quality_classifier(df: DataFrame, text_col: str = "text",
     and a 1-row collect of the updated weights — the k-means /
     connected-components "1-row training scalar per round" precedent;
     nothing else leaves the executors, nothing scales with corpus².
+    At 100 TB each iteration IS a full corpus pass, so ``iters`` is the
+    dominant cost knob: the measured curve (PLANS.md "r09 A/B") shows
+    thresholded agreement with the teacher saturating at ONE step on
+    class-imbalanced data, with further steps buying only slow
+    probability calibration — choose ``iters`` against a held-out
+    calibration target, not agreement.
 
     Cross-engine exactness (the repo's certify-the-approximate
     convention): features are SCALED INTEGERS (round(f × 1e6) — ratios
