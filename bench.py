@@ -109,6 +109,7 @@ HEADLINE = [
     "bigram_lm_quality",
     "similarity_topk_ivf_trained",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "pit_status_join",
     "weighted_sample_docs",
     "grouped_kfold_report",

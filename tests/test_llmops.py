@@ -1665,3 +1665,42 @@ def test_pq_train_codes_and_adc_topk(spark):
     assert head == same_cell
     assert got[0]["adc_d2"] <= got[-1]["adc_d2"]
     assert got[0]["neighbor_id"] == min(same_cell)  # id tie-break pinned
+
+
+def test_ivfpq_prunes_to_probed_lists_and_is_deterministic(spark):
+    """IVFADC pins: with n_probe=1 every returned neighbor lives in the
+    query's own coarse cell (vectors in unprobed lists are structurally
+    unreachable — the LUT join carries only probed list ids), results
+    are identical across runs, and a planted exact duplicate of the
+    query scores the minimal ADC distance in its cell (it shares the
+    query's codes, so its table entries are the per-sub minima)."""
+    import random
+
+    rng = random.Random(3)
+    protos = [[5.0, 0, 0, 0, 0, 0, 0, 0],
+              [0, 0, 0, 5.0, 0, 0, 0, 0],
+              [0, 0, 0, 0, 0, 0, 5.0, 0]]
+    rows = []
+    for i in range(18):
+        base = protos[i % 3]
+        rows.append((i, [b + rng.uniform(-0.2, 0.2) for b in base]))
+    rows.append((100, list(rows[0][1])))   # duplicate of vec 0 (cluster 0)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["adc_d2"])
+            for r in sim.ivfpq_topk(
+                emb, emb.filter(F.col("vec_id") == 100), k=6,
+                n_lists=3, n_probe=1, m=2, codes_k=2, dims=8).collect())
+
+    got = run()
+    assert got == run()                     # deterministic end to end
+    cluster0 = {i for i in range(18) if i % 3 == 0} | {100}
+    neighbors = {g[2] for g in got}
+    assert 100 not in neighbors             # self excluded
+    assert neighbors <= cluster0 - {100}    # n_probe=1 → own cell only
+    # the duplicate's codes equal vec 0's, so vec 0 ties the minimal ADC
+    # distance; minimality means nothing in the cell scores lower
+    d2_by_id = {g[2]: g[3] for g in got}
+    assert d2_by_id[0] == min(d2_by_id.values())

@@ -83,6 +83,7 @@ PROBE_QUERIES = [
     "bigram_lm_quality",
     "similarity_topk_ivf_trained",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",

@@ -84,6 +84,56 @@ def run_config(spark, docs_json: list[str], label: str, workdir: str,
             "per_batch": per_batch}
 
 
+def run_ingest(spark, payloads: list[str], label: str, workdir: str,
+               schema: str, starter, state_subdirs: tuple[str, ...],
+               verdict_dir: str | None = None) -> dict:
+    """Generic ingest-path probe (VERDICT r08 item 4): replay payloads
+    as micro-batches through ``starter(src, store, ckpt)`` and record
+    per-batch wall-clock + the summed size of ``state_subdirs`` —
+    the same flatness/growth evidence run_config collects for the
+    lexical path, for any store layout."""
+    in_dir = os.path.join(workdir, f"{label}_in")
+    store = os.path.join(workdir, f"{label}_store")
+    os.makedirs(in_dir)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).json(in_dir))
+    q = starter(src, store, os.path.join(workdir, f"{label}_ckpt"))
+    per_batch = []
+    try:
+        for i, payload in enumerate(payloads):
+            with open(os.path.join(in_dir, f"b{i:03d}.json"), "w") as f:
+                f.write(payload)
+            t0 = time.time()
+            q.processAllAvailable()
+            dt = time.time() - t0
+            files = nbytes = 0
+            for sub in state_subdirs:
+                fs, bs = dir_stats(os.path.join(store, sub))
+                files += fs
+                nbytes += bs
+            per_batch.append({"batch": i, "sec": round(dt, 3),
+                              "state_files": files,
+                              "state_mb": round(nbytes / 1e6, 2)})
+            if i % 10 == 0 or i == len(payloads) - 1:
+                print(f"{label} b{i:03d}: {dt:.2f}s files={files} "
+                      f"state={per_batch[-1]['state_mb']}MB", flush=True)
+    finally:
+        q.stop()
+    out_dir = os.path.join(store, verdict_dir or "pairs")
+    n_out = (spark.read.parquet(out_dir).count()
+             if os.path.isdir(out_dir) else 0)
+    last10 = [b["sec"] for b in per_batch[-10:]]
+    first10 = [b["sec"] for b in per_batch[1:11]]
+    return {"config": label, "n_batches": len(per_batch),
+            "first10_avg_sec": round(sum(first10) / len(first10), 3),
+            "last10_avg_sec": round(sum(last10) / len(last10), 3),
+            "final_state_files": per_batch[-1]["state_files"],
+            "final_state_mb": per_batch[-1]["state_mb"],
+            ("n_pairs" if (verdict_dir or "pairs") == "pairs"
+             else "n_verdicts"): n_out,
+            "per_batch": per_batch}
+
+
 def run_interval_join(spark, sf_dir: str, n_batches: int,
                       workdir: str) -> dict:
     """Replay sf error/signup events time-ordered through the
@@ -169,9 +219,80 @@ def run_interval_join(spark, sf_dir: str, n_batches: int,
             "per_batch": per_batch}
 
 
+def _merge_results(new_entries: list[dict]) -> None:
+    """Merge probe summaries into stream_probe_results.json by config
+    label, so per-path runs refresh their own rows without clobbering
+    the others'."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "stream_probe_results.json")
+    existing = []
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    by_label = {e["config"]: e for e in existing}
+    for e in new_entries:
+        by_label[e["config"]] = e
+    with open(path, "w") as f:
+        json.dump(list(by_label.values()), f, indent=1)
+
+
+def run_semantic(spark, sf_dir: str, n_batches: int, workdir: str) -> dict:
+    from airline_data_warehouse_spark.plans.registry import load
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_semantic_ingest,
+    )
+
+    rows = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding").collect()
+    per = max(1, len(rows) // n_batches)
+    payloads = ["\n".join(
+        json.dumps({"vec_id": r["vec_id"],
+                    "embedding": [float(x) for x in r["embedding"]]})
+        for r in rows[i:i + per])
+        for i in range(0, len(rows), per)][:n_batches]
+    print(f"semantic: {len(payloads)} batches x ~{per} vecs", flush=True)
+    return run_ingest(
+        spark, payloads, "semantic_compact", workdir,
+        "vec_id long, embedding array<double>",
+        lambda src, store, ckpt: start_semantic_ingest(
+            src, store, checkpoint_dir=ckpt, compact_every=10),
+        ("emb_bands", "vectors"))
+
+
+def run_cascade(spark, sf_dir: str, n_batches: int, workdir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.plans.registry import load
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_cascade_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    rows = docs.join(emb, "doc_id").orderBy("doc_id").collect()
+    per = max(1, len(rows) // n_batches)
+    payloads = ["\n".join(
+        json.dumps({"doc_id": r["doc_id"], "text": r["text"],
+                    "embedding": [float(x) for x in r["embedding"]]})
+        for r in rows[i:i + per])
+        for i in range(0, len(rows), per)][:n_batches]
+    print(f"cascade: {len(payloads)} batches x ~{per} docs", flush=True)
+    return run_ingest(
+        spark, payloads, "cascade_compact", workdir,
+        "doc_id long, text string, embedding array<double>",
+        lambda src, store, ckpt: start_cascade_ingest(
+            src, store, checkpoint_dir=ckpt, compact_every=10),
+        ("hashes", "bands", "shingles", "emb_bands", "vectors"),
+        verdict_dir="verdicts")
+
+
 def main() -> int:
     interval_only = "--interval" in sys.argv
-    argv = [a for a in sys.argv[1:] if a != "--interval"]
+    semantic_only = "--semantic" in sys.argv
+    cascade_only = "--cascade" in sys.argv
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--interval", "--semantic", "--cascade")]
     n_batches = int(argv[0]) if argv else 50
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
 
@@ -186,6 +307,18 @@ def main() -> int:
                      os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+
+    if semantic_only or cascade_only:
+        workdir = tempfile.mkdtemp(prefix="stream_probe_")
+        try:
+            fn = run_semantic if semantic_only else run_cascade
+            summary = fn(spark, sf_dir, n_batches, workdir)
+            _merge_results([summary])
+            print(json.dumps({k: v for k, v in summary.items()
+                              if k != "per_batch"}))
+            return 0
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
 
     rows = ([] if interval_only else
             load(spark, sf_dir, "documents")
