@@ -888,7 +888,14 @@ def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
     the same codebook reproduces adc_d2 bit-for-bit. Ties rank by
     neighbor id. Self-matches (query id = corpus id) are excluded.
     ``codebook`` must be the one `pq_train` returned with these codes —
-    ADC distances are reconstruction-based under THAT codebook."""
+    ADC distances are reconstruction-based under THAT codebook.
+
+    Recall routing (measured, SCALING.md "PQ/IVFADC recall"): on
+    unstructured random vectors PQ recall plateaus (~0.29 at 4× the
+    bits) because distances concentrate — route such corpora to banded
+    LSH or brute force. PQ earns its keep on manifold-structured real
+    embeddings, normally as a shortlist stage (raise ``k`` to the
+    shortlist depth, exact-re-rank the survivors)."""
     q = queries.filter(_finite_ok(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col))
     qsubs = _pq_subvectors(q, m, dims // m, "query_id", vec_col)
@@ -940,7 +947,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Join shape: coarse centroids (n_lists rows) and the LUT
     (|queries| × n_probe × m × codes_k rows) broadcast — both bounded
     by operator constants and the query-set size; the codes⋈labels join
-    is fixed-width id-keyed (AQE-planned); nothing corpus²."""
+    is fixed-width id-keyed (AQE-planned); nothing corpus².
+
+    Recall routing: compounds the coarse tier's probe loss with PQ's
+    quantization loss — see pq_topk's routing note and SCALING.md
+    "PQ/IVFADC recall" for the measured plateau on unstructured random
+    corpora and when this composition is the right tool."""
     corpus = corpus.filter(_finite_ok(F.col(vec_col)))
     labels = kmeans_assign(corpus, k=n_lists, iters=iters,
                            id_col=id_col, vec_col=vec_col)

@@ -207,6 +207,36 @@ def recall_probe(spark, sf_dir: str, sample_docs: int = 300,
                   for r in reg[key].builder(spark, sf_dir).collect()}
         out[label] = round(len(approx & truth) / max(len(truth), 1), 3)
 
+    # --- PQ / IVFADC recall@5 vs exact squared-L2 truth (r09) ---
+    # ADC approximates SQUARED L2, so its ground truth is the exact L2
+    # top-5 — scoring it against the cosine workload above would
+    # conflate quantization loss with metric mismatch. Self-matches
+    # excluded to mirror the operators.
+    from pyspark.sql import Window as W2
+
+    emb_all = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vv = (emb_all.filter(sim._finite_ok(F.col("embedding")))
+          .select("vec_id",
+                  F.col("embedding").cast("array<double>").alias("v")))
+    qq = (vv.filter(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    wl = W2.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                            F.col("vec_id").asc())
+    l2_truth = {(r["query_id"], r["vec_id"]) for r in
+                (vv.crossJoin(F.broadcast(qq))
+                   .filter(F.col("query_id") != F.col("vec_id"))
+                   .withColumn("d2", sim._sqdist(F.col("qv"), F.col("v")))
+                   .withColumn("rk", F.row_number().over(wl))
+                   .filter(F.col("rk") <= 5)
+                   .select("query_id", "vec_id")).collect()}
+    for key, label in [("similarity_topk_pq", "ann_pq_recall_at5"),
+                       ("similarity_topk_ivfpq", "ann_ivfpq_recall_at5")]:
+        approx = {(r["query_id"], r["neighbor_id"]) for r in
+                  reg[key].builder(spark, sf_dir).collect()}
+        dd.release_caches()
+        out[label] = round(len(approx & l2_truth) / max(len(l2_truth), 1), 3)
+    out["l2_truth_pairs"] = len(l2_truth)
+
     # --- MinHash near-dup pair recall vs exact Jaccard (sampled) ---
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
