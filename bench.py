@@ -110,6 +110,7 @@ HEADLINE = [
     "similarity_topk_ivf_trained",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_topk_pq_rerank",
     "pit_status_join",
     "weighted_sample_docs",
     "grouped_kfold_report",

@@ -1704,3 +1704,36 @@ def test_ivfpq_prunes_to_probed_lists_and_is_deterministic(spark):
     # distance; minimality means nothing in the cell scores lower
     d2_by_id = {g[2]: g[3] for g in got}
     assert d2_by_id[0] == min(d2_by_id.values())
+
+
+def test_pq_rerank_with_full_shortlist_equals_exact_topk(spark):
+    """pq_topk_rerank's contract: the final ranking is EXACT squared L2
+    over the ADC shortlist — so with a shortlist covering the whole
+    corpus it must equal the brute-force exact top-k, regardless of how
+    badly quantization scrambles ADC order. Also pins that a planted
+    exact duplicate ranks first (d2 = 0 beats everything) — the case
+    raw ADC cannot guarantee (within-cell ties)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    rows.append((100, list(rows[7][1])))    # exact duplicate of vec 7
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, cb = sim.pq_train(emb, m=2, k=4, iters=2, dims=8)
+    queries = emb.filter(F.col("vec_id") == 100)
+
+    got = sorted(((r["rank"], r["neighbor_id"], r["d2"]) for r in
+                  sim.pq_topk_rerank(codes, cb, emb, queries, k=5,
+                                     shortlist=100, m=2, dims=8).collect()))
+    # brute-force exact truth
+    from pyspark.sql import Window as W
+    vv = emb.select("vec_id", F.col("embedding").alias("v"))
+    qv = (queries.select(F.col("embedding").alias("qv"))
+          .crossJoin(vv).filter(F.col("vec_id") != 100)
+          .withColumn("d2", sim._sqdist(F.col("qv"), F.col("v"))))
+    w = W.orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    truth = sorted((r["rk"], r["vec_id"], r["d2"]) for r in
+                   qv.withColumn("rk", F.row_number().over(w))
+                     .filter(F.col("rk") <= 5).collect())
+    assert got == truth
+    assert got[0][1] == 7 and got[0][2] == 0.0   # duplicate first, exactly

@@ -84,6 +84,7 @@ PROBE_QUERIES = [
     "similarity_topk_ivf_trained",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_topk_pq_rerank",
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",
@@ -230,7 +231,9 @@ def recall_probe(spark, sf_dir: str, sample_docs: int = 300,
                    .filter(F.col("rk") <= 5)
                    .select("query_id", "vec_id")).collect()}
     for key, label in [("similarity_topk_pq", "ann_pq_recall_at5"),
-                       ("similarity_topk_ivfpq", "ann_ivfpq_recall_at5")]:
+                       ("similarity_topk_ivfpq", "ann_ivfpq_recall_at5"),
+                       ("similarity_topk_pq_rerank",
+                        "ann_pq_rerank_recall_at5")]:
         approx = {(r["query_id"], r["neighbor_id"]) for r in
                   reg[key].builder(spark, sf_dir).collect()}
         dd.release_caches()
