@@ -1737,3 +1737,70 @@ def test_pq_rerank_with_full_shortlist_equals_exact_topk(spark):
                      .filter(F.col("rk") <= 5).collect())
     assert got == truth
     assert got[0][1] == 7 and got[0][2] == 0.0   # duplicate first, exactly
+
+
+def test_operator_broadcast_targets_are_bounded():
+    """Source-level twin of test_plans' warehouse-module broadcast
+    allowlist (the eccd529 contract), extended to the operator/LLM-ops/
+    streaming modules where the r07 broadcast-OOM class lived: every
+    F.broadcast() target must be bounded by an operator constant, the
+    query set, a micro-batch, or an enum-like catalog attribute — never
+    by corpus volume. A new hint on a corpus-proportional side must
+    either document its bound here or be dropped for AQE.
+    (analytics.py's star dims are deliberately excluded: the flagship
+    broadcast star is the reference-parity surface, pinned by its own
+    plan test and PLANS.md.)"""
+    import os
+    import re
+
+    allowed = {
+        # similarity: query-side / codebook / centroid frames
+        "q": "query set (top-k search contract: queries are small)",
+        "qv": "query vectors",
+        "qvec": "query vectors",
+        "banded_q": "banded query set",
+        "cb": "PQ codebook: m x k rows, operator constants",
+        "cbx": "PQ codebook + hoisted self-dots",
+        "cents": "k-means centroids: k rows",
+        "centroids": "k-means centroids: k rows",
+        "coarse": "IVF coarse centroids: n_lists rows",
+        "lut": "ADC lookup table: |queries| x n_probe x m x k",
+        "short": "ADC shortlist: |queries| x shortlist rows",
+        # text: scalar / catalog / query-bounded aggregates
+        "tot": "1-row total",
+        "tot_s": "per-source totals: |sources| rows (catalog attribute)",
+        "stats": "1-row corpus stats",
+        "v": "1-row vocabulary size",
+        "vocab_n": "1-row vocabulary size",
+        "lm": "hashed-bucket LM: <= buckets rows (operator constant)",
+        "dfreq": "per-QUERY-term document frequencies: <= |query terms|",
+        "vocab": "trained tokenizer vocabulary: bounded by the "
+                 "tokenizer spec (the finished vocab table, not "
+                 "corpus-growing raw counts)",
+        "offsets": "per-stratum/bucket offsets: bounded by stratum count",
+        # llmops / sampling
+        "quotas": "per-source quotas: |sources| rows",
+        # streaming (status.py): micro-batch-bounded frames
+        "eligible": "per-micro-batch eligible keys",
+        "months": "months touched by one micro-batch",
+        "dim_flight": "reference star dims (stream enrichment twin of "
+                      "the flagship star; reference-parity surface)",
+        "dim_airport": "reference star dims",
+    }
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "airline_data_warehouse_spark")
+    scan = [os.path.join(root, "operators", f)
+            for f in os.listdir(os.path.join(root, "operators"))
+            if f.endswith(".py")]
+    scan += [os.path.join(root, "plans", "llmops.py")]
+    scan += [os.path.join(root, "streaming", f)
+             for f in os.listdir(os.path.join(root, "streaming"))
+             if f.endswith(".py")]
+    for path in scan:
+        with open(path) as f:
+            src = f.read()
+        for m in re.finditer(r"F\.broadcast\((\w+)[),.]", src):
+            assert m.group(1) in allowed, (
+                f"{os.path.basename(path)}: F.broadcast({m.group(1)}) is "
+                "not in the bounded-side allowlist — document its bound "
+                "or drop the hint and let AQE choose")
