@@ -849,7 +849,13 @@ def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     corpus = corpus.filter(_finite_ok(F.col(vec_col)))
-    subs = _pq_subvectors(corpus, m, dims // m, id_col, vec_col)
+    # persist the exploded subvector frame (dedup's cache registry,
+    # freed by release_caches): it feeds every assignment iteration and
+    # the final encode — without it each reference re-reads and
+    # re-explodes the corpus (.explain showed 6 full scans for the
+    # iters=2 default; at 100 TB this is the difference between one
+    # materialized pass and six)
+    subs = _persist(_pq_subvectors(corpus, m, dims // m, id_col, vec_col))
     seed_rows = corpus.orderBy(F.col(id_col).asc()).limit(k)
     codebook = (_pq_subvectors(seed_rows, m, dims // m, id_col, vec_col)
                 .select("sub", F.col(id_col).alias("list_id"),
