@@ -1070,3 +1070,126 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "adc_d2",
                           F.col("rank").cast("int").alias("rank")))
+
+
+def embedding_covariance(corpus: DataFrame, dims: int = 64,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact distributed covariance of the embedding matrix — the
+    Σ = E[(v−μ)(v−μ)ᵀ] every PCA/whitening/ZCA preprocessing step
+    starts from. Output: one row per upper-triangle cell
+    (i ≤ j, both 0-based): (i, j, cov) with the (n−1) sample estimator.
+
+    Spark-first shape: the per-dim mean is one exact-decimal
+    aggregation; centering is an in-row zip_with against the
+    broadcast 1-row mean; the d(d+1)/2 cell products are generated
+    IN-ROW by nested array transforms (no self-join — a join on the
+    doc id would shuffle the exploded corpus twice), and the only
+    exchange is the (i, j)-keyed partial aggregation, which collapses
+    to ≤ d(d+1)/2 rows per task before it moves. Cost is therefore one
+    corpus pass with a d²-bounded constant factor — linear, and the
+    shuffle is schema-bounded regardless of corpus size.
+
+    Exactness: means round 6 dp from DECIMAL(20,10) sums; centered
+    values round 6 dp (so their double products recover the exact
+    ≤12-dp decimal when cast to DECIMAL(38,12) — the residual-rounding
+    argument from ivfpq_topk); cell sums are exact decimal and divide
+    by (n−1) once, rounded 6 dp. The DuckDB oracle reproduces every
+    cell bit-for-bit."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
+    v = F.col(vec_col).cast("array<double>")
+    per_dim = (corpus.select(F.posexplode(v).alias("dim", "val"))
+               .groupBy("dim")
+               .agg(F.round(F.sum(F.col("val").cast("decimal(20,10)"))
+                             .cast("double") / F.count(F.lit(1)), 6)
+                     .alias("mu")))
+    mu = (per_dim.agg(F.array_sort(F.collect_list(F.struct("dim", "mu")))
+                       .alias("p"))
+          .select(F.transform("p", lambda s: s["mu"]).alias("mu")))
+    centered = (corpus.crossJoin(F.broadcast(mu))
+                .select(F.zip_with(v, F.col("mu"),
+                                   lambda a, b: F.round(a - b, 6))
+                         .alias("c")))
+    idx = F.sequence(F.lit(0), F.lit(dims - 1))
+    cells = F.flatten(F.transform(
+        idx, lambda i: F.transform(
+            F.sequence(i, F.lit(dims - 1)),
+            lambda j: F.struct(
+                i.cast("int").alias("i"), j.cast("int").alias("j"),
+                (F.get(F.col("c"), i) * F.get(F.col("c"), j)).alias("p")))))
+    return (centered.select(F.explode(cells).alias("cell"))
+            .select("cell.i", "cell.j", "cell.p")
+            .groupBy("i", "j")
+            # + 0.0 canonicalizes IEEE signed zero: a negative sum that
+            # rounds to zero yields -0.0, which the external
+            # canonicalizer renders differently from the oracle's 0.0
+            .agg((F.round(F.sum(F.col("p").cast("decimal(38,12)"))
+                           .cast("double")
+                          / (F.count(F.lit(1)) - 1), 6) + 0.0)
+                 .alias("cov")))
+
+
+def pca_whiten(corpus: DataFrame, k: int = 16, eps: float = 1e-6,
+               dims: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """PCA projection + whitening: project each embedding onto the top-k
+    principal components of the EXACT distributed covariance
+    (embedding_covariance), scaling each component by 1/√(λ+eps) so the
+    output coordinates have unit variance — the standard preprocessing
+    before cosine/L2 retrieval or SemDeDup when raw embedding dims are
+    correlated or badly scaled.
+
+    Scale shape: the d×d eigendecomposition runs on the DRIVER over the
+    collected covariance cells — d(d+1)/2 values bounded by the SCHEMA
+    (the k-means "1-row training scalar per round" precedent, at d²
+    scalars); nothing corpus-sized ever reaches the driver. The
+    projection matrix returns to the executors as array literals
+    (similarity._lit_vec) and the corpus maps through k JVM dot
+    products in one pass — no shuffle at all downstream of the
+    covariance aggregation.
+
+    Determinism: LAPACK eigenvectors are sign- and (under degenerate
+    eigenvalues) basis-ambiguous across platforms, so the CONTRACT is
+    pinned by properties, not values: output variance per coordinate ≈ 1,
+    coordinates decorrelated, projection linear — test_llmops pins all
+    three; the registry key is rows-only for this reason (the covariance
+    underneath is the oracle-certified part). Sign is canonicalized
+    (largest-|w| entry positive) so same-platform reruns are identical.
+
+    Output: (id, components array<double> length k)."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(corpus, dims=dims, id_col=id_col,
+                                    vec_col=vec_col).collect()
+    sigma = np.zeros((dims, dims))
+    for r in cov_rows:
+        sigma[r["i"], r["j"]] = r["cov"]
+        sigma[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(sigma)          # ascending order
+    order = np.argsort(evals)[::-1][:k]
+    ws = []
+    for rank, col in enumerate(order):
+        w = evecs[:, col] / math.sqrt(max(float(evals[col]), 0.0) + eps)
+        if w[int(np.argmax(np.abs(w)))] < 0:      # canonical sign
+            w = -w
+        ws.append([round(float(x), 9) for x in w])
+
+    per_dim = (corpus.filter(_finite_ok(F.col(vec_col)))
+               .select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                        .alias("dim", "val"))
+               .groupBy("dim")
+               .agg(F.round(F.sum(F.col("val").cast("decimal(20,10)"))
+                             .cast("double") / F.count(F.lit(1)), 6)
+                     .alias("mu")))
+    mu_row = (per_dim.agg(F.array_sort(F.collect_list(
+                  F.struct("dim", "mu"))).alias("p"))
+              .select(F.transform("p", lambda s: s["mu"]).alias("mu")))
+    centered = (corpus.filter(_finite_ok(F.col(vec_col)))
+                .crossJoin(F.broadcast(mu_row))
+                .select(F.col(id_col),
+                        F.zip_with(F.col(vec_col).cast("array<double>"),
+                                   F.col("mu"),
+                                   lambda a, b: F.round(a - b, 6))
+                         .alias("c")))
+    comps = F.array(*[_dot(F.col("c"), _lit_vec(w)) for w in ws])
+    return centered.select(F.col(id_col), comps.alias("components"))

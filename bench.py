@@ -111,6 +111,7 @@ HEADLINE = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "similarity_topk_pq_rerank",
+    "embedding_covariance",
     "pit_status_join",
     "weighted_sample_docs",
     "grouped_kfold_report",

@@ -1764,6 +1764,8 @@ def test_operator_broadcast_targets_are_bounded():
         "cents": "k-means centroids: k rows",
         "centroids": "k-means centroids: k rows",
         "coarse": "IVF coarse centroids: n_lists rows",
+        "mu": "1-row per-dim mean vector (covariance centering)",
+        "mu_row": "1-row per-dim mean vector (PCA centering)",
         "lut": "ADC lookup table: |queries| x n_probe x m x k",
         "short": "ADC shortlist: |queries| x shortlist rows",
         # text: scalar / catalog / query-bounded aggregates
@@ -1804,3 +1806,44 @@ def test_operator_broadcast_targets_are_bounded():
                 f"{os.path.basename(path)}: F.broadcast({m.group(1)}) is "
                 "not in the bounded-side allowlist — document its bound "
                 "or drop the hint and let AQE choose")
+
+
+def test_pca_whiten_decorrelates_and_normalizes(spark):
+    """pca_whiten's pinned contract (the value-level oracle LAPACK's
+    platform ambiguity forbids): on a corpus with strongly correlated
+    dimensions, the k whitened coordinates come out unit-variance and
+    pairwise-decorrelated, the projection is deterministic across
+    runs (canonical sign), and every input row projects to a length-k
+    vector."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        a, b = rng.gauss(0, 2), rng.gauss(0, 1)
+        noise = [rng.gauss(0, 0.05) for _ in range(8)]
+        # dims 0/1 carry a (correlated), 2/3 carry b, rest near-noise
+        rows.append((i, [a + noise[0], 2 * a + noise[1],
+                         b + noise[2], -b + noise[3],
+                         noise[4], noise[5], noise[6], noise[7]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r["vec_id"]: r["components"] for r in
+           sim.pca_whiten(emb, k=4, dims=8).collect()}
+    assert len(out) == 400 and all(len(v) == 4 for v in out.values())
+    again = {r["vec_id"]: r["components"] for r in
+             sim.pca_whiten(emb, k=4, dims=8).collect()}
+    assert again == out                       # same-platform determinism
+
+    import statistics
+    cols = list(zip(*[out[i] for i in range(400)]))
+    for c in cols:
+        mean = statistics.fmean(c)
+        var = sum((x - mean) ** 2 for x in c) / (len(c) - 1)
+        assert abs(var - 1.0) < 0.05, var     # whitened: unit variance
+    for x in range(4):
+        for y in range(x + 1, 4):
+            mx, my = statistics.fmean(cols[x]), statistics.fmean(cols[y])
+            cov = sum((a - mx) * (b - my)
+                      for a, b in zip(cols[x], cols[y])) / 399
+            assert abs(cov) < 0.05, (x, y, cov)   # decorrelated

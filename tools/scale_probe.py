@@ -85,6 +85,7 @@ PROBE_QUERIES = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "similarity_topk_pq_rerank",
+    "embedding_covariance",
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",
