@@ -773,6 +773,31 @@ def _sqdist(a: Column, b: Column, aa: Column | None = None,
     return F.round(aa - F.lit(2.0) * _dot(a, b) + bb, 6)
 
 
+def _sqdist_exact(a: Column, b: Column) -> Column:
+    """EXACT squared L2 for 6-dp-rounded inputs: Σ(aᵢ−bᵢ)² with each
+    squared difference cast to DECIMAL(38,12) — the difference of two
+    6-dp decimals is a ≤6-dp decimal, its square a ≤12-dp decimal, and
+    the double error (~1e-15 abs) is far under the 0.5e-12 cast
+    threshold, so the decimal recovers the exact value
+    (embedding_covariance's residual-rounding argument). The sum is
+    exact decimal; rounding happens ON THE DECIMAL (both engines round
+    decimals half-up for positives), THEN casts to double — so there is
+    no float-boundary ambiguity at all. `_sqdist`'s float path rounds a
+    raw double, where a true value ~1e-15 from a .xxxxxx5 boundary can
+    legitimately round differently across engines (observed: 7 of
+    2,000 stored d2 cells on the sf0.01 residual corpus); fine when the
+    value is display-only, not when it feeds an argmin tie-break or a
+    hash-compared result. Use this whenever BOTH inputs are 6-dp."""
+    diff2 = F.zip_with(a, b,
+                       lambda x, y: ((x - y) * (x - y)).cast("decimal(38,12)"))
+    # merge re-casts: Spark promotes (38,12)+(38,12) to (38,11); values
+    # here are O(dims × range²) — far inside (38,12), so the cast is
+    # exact, it just restores the accumulator type
+    s = F.aggregate(diff2, F.lit(0).cast("decimal(38,12)"),
+                    lambda acc, v: (acc + v).cast("decimal(38,12)"))
+    return F.round(s, 6).cast("double")
+
+
 def _pq_subvectors(df: DataFrame, m: int, sub_dims: int,
                    id_col: str, vec_col: str) -> DataFrame:
     """Explode each vector into its m contiguous subvectors:
@@ -785,20 +810,39 @@ def _pq_subvectors(df: DataFrame, m: int, sub_dims: int,
                       _dot(F.col("sv"), F.col("sv")).alias("_svv")))
 
 
-def _pq_sub_centroids(assigned: DataFrame) -> DataFrame:
+def _pq_sub_centroids(assigned: DataFrame, exact: bool = False) -> DataFrame:
     """Per-(subspace, code) centroid update: exact DECIMAL(20,10)
     accumulation per dimension (order-independent at any parallelism,
     float32 inputs exactly representable), rounded to 6 dp and
     re-assembled in dim order — label_centroids generalized to the
-    (sub, list_id) composite key."""
+    (sub, list_id) composite key.
+
+    ``exact=True`` (the persisted-index convention, inputs 6-dp):
+    6-dp sums divided by small member counts land on TRUE rational
+    half-boundaries routinely (0.386715/6 = 0.0644525 exactly — 2 of
+    2,048 cells on the sf0.01 residual corpus), and there the float
+    round is engine-lore: Spark HALF_UPs the double's SHORTEST decimal
+    string while DuckDB rounds x*1e6, and they disagree in BOTH
+    directions. The exact path does the half-up division in integers —
+    q + (2r >= n) over micro-units — which is deterministic by
+    arithmetic, not convention. Micro-unit magnitudes are ≤ |members| ×
+    max|value| × 1e6; BIGINT holds that to ~9e12 member-sums of
+    unit-range values, far past any real cell."""
     exploded = assigned.select(
         "sub", "list_id", F.posexplode("sv").alias("dim", "val"))
     summed = (exploded.groupBy("sub", "list_id", "dim")
               .agg(F.sum(F.col("val").cast("decimal(20,10)")).alias("s"),
                    F.count("*").alias("n")))
-    per_dim = summed.select(
-        "sub", "list_id", "dim",
-        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("cv"))
+    if exact:
+        cv = F.expr("""
+            CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+                 ((abs(CAST(s * 1000000 AS BIGINT)) DIV n)
+                  + (CASE WHEN 2 * (abs(CAST(s * 1000000 AS BIGINT)) % n)
+                          >= n THEN 1 ELSE 0 END))
+                 AS DOUBLE) / 1000000.0""")
+    else:
+        cv = F.round(F.col("s").cast("double") / F.col("n"), 6)
+    per_dim = summed.select("sub", "list_id", "dim", cv.alias("cv"))
     return (per_dim.groupBy("sub", "list_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "cv")))
                   .alias("pairs"))
@@ -807,16 +851,26 @@ def _pq_sub_centroids(assigned: DataFrame) -> DataFrame:
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame,
-               id_col: str) -> DataFrame:
+               id_col: str, exact: bool = False) -> DataFrame:
     """One product-quantizer assignment step: nearest centroid per
     (vector, subspace) by rounded squared L2, code-id tie-break. The
     codebook (m x k rows) is broadcast; the argmin is a window over the
-    k-fanout partitioned by (vector, subspace) — nothing corpus^2."""
+    k-fanout partitioned by (vector, subspace) — nothing corpus^2.
+
+    ``exact=True`` switches to `_sqdist_exact`'s decimal path — the
+    persisted-index convention, valid when subvectors AND centroids are
+    6-dp (residual-encoded corpora): the argmin tie-break then has no
+    float-boundary ambiguity across engines. The float path stays the
+    certified convention for raw-vector corpora (pq_train on raw
+    embeddings), where inputs aren't 6-dp and the decimal cast could
+    not recover exact products anyway."""
     cb = codebook.withColumn("_cc", _dot(F.col("centroid"), F.col("centroid")))
+    d2 = (_sqdist_exact(F.col("sv"), F.col("centroid")) if exact else
+          _sqdist(F.col("sv"), F.col("centroid"),
+                  aa=F.col("_svv"), bb=F.col("_cc")))
     scored = (subs.join(F.broadcast(cb), "sub")
               .select(id_col, "sub", "sv", "_svv", "list_id",
-                      _sqdist(F.col("sv"), F.col("centroid"),
-                              aa=F.col("_svv"), bb=F.col("_cc")).alias("d2")))
+                      d2.alias("d2")))
     w = Window.partitionBy(id_col, "sub").orderBy(F.col("d2").asc(),
                                                   F.col("list_id").asc())
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -826,7 +880,8 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
 
 def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
              dims: int = 64, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+             vec_col: str = "embedding",
+             exact: bool = False) -> tuple[DataFrame, DataFrame]:
     """Train a product quantizer and encode the corpus in one pass:
     per-subspace L2 k-means (Lloyd's, ``iters`` bounded like
     kmeans_assign) over the m contiguous dims/m-wide subvectors.
@@ -845,6 +900,10 @@ def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
     FINAL assignment against the last-updated codebook — and that
     codebook (sub, list_id, centroid), which is what ADC scoring must
     use for the d2 values to be reconstruction errors under it.
+
+    ``exact=True``: decimal-exact assignment distances (see
+    `_pq_assign`) — pass when ``vec_col`` holds 6-dp values (residual
+    corpora; the persisted-index convention).
     """
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
@@ -862,9 +921,9 @@ def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
                         F.col("sv").alias("centroid")))
     assigned = None
     for it in range(iters):
-        assigned = _pq_assign(subs, codebook, id_col)
+        assigned = _pq_assign(subs, codebook, id_col, exact=exact)
         if it + 1 < iters:
-            codebook = _pq_sub_centroids(assigned)
+            codebook = _pq_sub_centroids(assigned, exact=exact)
     codes = assigned.select(id_col, "sub",
                             F.col("list_id").cast("long").alias("list_id"),
                             "d2")
@@ -945,16 +1004,23 @@ def pq_topk_rerank(codes: DataFrame, codebook: DataFrame,
     The vector fetch is an id-keyed join of the shortlist (bounded by
     |queries| × shortlist — broadcast) against the corpus; exact
     distances round 6 dp with id tie-breaks, so the DuckDB oracle
-    reproduces the ranking bit-for-bit."""
+    reproduces the ranking bit-for-bit.
+
+    Broadcast bounds: ``short`` is |queries| × shortlist rows and
+    ``qv`` is built from the QUERIES parameter (|queries| rows, one
+    vector each) — never from the corpus, so neither broadcast grows
+    with corpus size, and query sets not contained in the corpus (or
+    colliding with corpus ids) get their own vectors, not a corpus
+    row's."""
     short = pq_topk(codes, codebook, queries, k=shortlist, m=m, dims=dims,
                     id_col=id_col, vec_col=vec_col) \
         .select("query_id", "neighbor_id")
-    vecs = corpus.filter(_finite_ok(F.col(vec_col))).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    qv = vecs.select(F.col(id_col).alias("query_id"),
-                     F.col("_v").alias("_qv"))
-    nv = vecs.select(F.col(id_col).alias("neighbor_id"),
-                     F.col("_v").alias("_nv"))
+    qv = queries.filter(_finite_ok(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"))
+    nv = corpus.filter(_finite_ok(F.col(vec_col))).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_nv"))
     exact = (nv.join(F.broadcast(short), "neighbor_id")
                .join(F.broadcast(qv), "query_id")
                .select("query_id", "neighbor_id",
@@ -1072,6 +1138,265 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.col("rank").cast("int").alias("rank")))
 
 
+def ivfpq_index_build(corpus: DataFrame, index_dir: str, n_lists: int = 8,
+                      m: int = 4, codes_k: int = 16, iters: int = 2,
+                      dims: int = 64, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Materialize an IVFADC index on disk — the FAISS-on-parquet shape
+    that makes `ivfpq_topk` operational instead of per-query: train
+    once, write the compressed codes list-partitioned, and every later
+    query (`ivfpq_index_topk`) reads ONLY its probed lists' code
+    partitions plus three schema-bounded side tables. At 100 TB of
+    embeddings the r9 per-query form retrains both quantizers per call;
+    this is the build/query split a billion-vector store actually runs.
+
+    Layout under ``index_dir``:
+    * ``coarse_centroids.parquet`` — (list_id, centroid): n_lists rows,
+      the final-iteration k-means update (kmeans_assign lineage).
+    * ``codebook.parquet`` — (sub, code, centroid): m × codes_k rows,
+      the residual product-quantizer `pq_train` returned.
+    * ``codes.parquet/list_id=<id>/`` — (vec_id, sub, code, d2)
+      PARTITIONED BY coarse list: m small ints + the per-subvector
+      reconstruction error per vector. Written repartitioned BY the
+      partition column (the ivf_index_build file-count discipline).
+    * ``stats.parquet`` — (list_id, n_vectors, mean_d2): the build-time
+      reconstruction-error baseline `ivfpq_index_append` checks drift
+      against.
+
+    TRAIN vs ADD (the FAISS split, deliberately NOT ivfpq_topk's
+    shape): k-means training ends with updated centroids whose last
+    ASSIGNMENT lags one update behind (Lloyd's with bounded iters —
+    the certified kmeans_assign contract). The in-memory ivfpq_topk
+    keeps that lagged assignment; an index cannot, because appends can
+    only ever assign against what is STORED. So the build re-assigns
+    the whole corpus against the final centroids (`ivf_assign` — the
+    add step FAISS runs after training), making the stored lists
+    exactly the stored quantizer's Voronoi partition. That is what
+    makes `ivfpq_index_append`'s frozen-quantizer parity structural: a
+    duplicate appended later gets byte-identical codes to its
+    build-time twin. The registry key carries its own fully-unrolled
+    DuckDB oracle (train → re-assign → residual PQ → ADC)."""
+    ref = (corpus.select(F.size(F.col(vec_col)).alias("n"),
+                         F.col(id_col).alias("i"))
+                 .orderBy("i").limit(1).collect())
+    ref_dims = int(ref[0]["n"]) if ref else dims
+    if ref_dims != dims:
+        raise ValueError(f"corpus vectors have {ref_dims} dims, "
+                         f"index built for {dims}")
+    corpus = finite_vectors(corpus, vec_col, dims=dims)
+    labels = kmeans_assign(corpus, k=n_lists, iters=iters,
+                           id_col=id_col, vec_col=vec_col)
+    vecs = _persist(
+        corpus.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v")))
+    trained = vecs.join(labels.select(id_col,
+                                      F.col("cluster_id").alias("list_id")),
+                        id_col)
+    coarse = centroid_vectors(trained, label_col="list_id", vec_col="_v")
+    # ADD: re-assign every vector against the final (stored) centroids
+    labeled = _persist(ivf_assign(vecs, coarse, id_col=id_col,
+                                  vec_col="_v"))
+    res = _persist(
+        labeled.join(F.broadcast(coarse), "list_id")
+               .select(id_col, "list_id",
+                       F.zip_with("_v", "centroid",
+                                  lambda a, b: F.round(a - b, 6))
+                        .alias("rv")))
+    codes, codebook = pq_train(res, m=m, k=codes_k, iters=iters, dims=dims,
+                               id_col=id_col, vec_col="rv", exact=True)
+    coded = (codes.select(F.col(id_col), "sub",
+                          F.col("list_id").alias("code"), "d2")
+             .join(res.select(id_col, "list_id"), id_col))
+    (coded.repartition(F.col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(f"{index_dir}/codes.parquet"))
+    (coarse.write.mode("overwrite")
+           .parquet(f"{index_dir}/coarse_centroids.parquet"))
+    (codebook.select("sub", F.col("list_id").alias("code"), "centroid")
+             .write.mode("overwrite")
+             .parquet(f"{index_dir}/codebook.parquet"))
+    built = coded.sparkSession.read.parquet(f"{index_dir}/codes.parquet")
+    (built.groupBy("list_id")
+          .agg((F.count(F.lit(1)) / m).cast("long").alias("n_vectors"),
+               F.round(F.avg("d2"), 6).alias("mean_d2"))
+          .write.mode("overwrite").parquet(f"{index_dir}/stats.parquet"))
+
+
+def ivfpq_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 5,
+                     n_probe: int = 3, m: int = 4, dims: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Query a materialized IVFADC index (`ivfpq_index_build`) with
+    physical partition pruning: rank the query set against the n_lists
+    coarse centroids, collect the probed-list union (bounded by
+    |queries| × n_probe ints — the ivf_index_topk precedent), and scan
+    ONLY those lists' code partitions via an IN-list partition filter
+    (PartitionFilters in the plan, pinned by
+    test_ivfpq_index_prunes_partitions). Per query the scan reads
+    n_probe/n_lists of the CODE table — never a corpus vector —
+    so the whole read is (pruned fraction) × (compressed bytes).
+
+    ADC math is `ivfpq_topk`'s exactly: residual queries rounded 6 dp,
+    broadcast |queries| × n_probe × m × codes_k LUT, DECIMAL(20,6) code
+    sums, id tie-breaks, self-matches excluded — results are identical
+    to the in-memory composition on the same data and constants."""
+    coarse = spark.read.parquet(f"{index_dir}/coarse_centroids.parquet")
+    cb = spark.read.parquet(f"{index_dir}/codebook.parquet")
+    q = queries.filter(_finite_ok(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"))
+    cscored = (q.withColumn("_qn", _norm(F.col("qv")))
+               .crossJoin(F.broadcast(
+                   coarse.withColumn("_cn", _norm(F.col("centroid")))))
+               .select("query_id", "qv", "list_id", "centroid",
+                       F.round(_dot(F.col("qv"), F.col("centroid"))
+                               / (F.col("_qn") * F.col("_cn")), 6)
+                        .alias("cs")))
+    wp = Window.partitionBy("query_id").orderBy(F.col("cs").desc(),
+                                                F.col("list_id").asc())
+    probes = (cscored.withColumn("rn", F.row_number().over(wp))
+              .filter(F.col("rn") <= n_probe)
+              .select(F.struct("query_id", "list_id").alias("qkey"),
+                      F.zip_with("qv", "centroid",
+                                 lambda a, b: F.round(a - b, 6))
+                       .alias("rq")))
+    probe_lists = sorted({r["qkey"]["list_id"] for r in
+                          probes.select("qkey").distinct().collect()})
+    coded = (spark.read.parquet(f"{index_dir}/codes.parquet")
+             .filter(F.col("list_id").isin(probe_lists))
+             .select(F.col(id_col).alias("neighbor_id"), "sub", "code",
+                     "list_id"))
+    qsubs = _pq_subvectors(probes, m, dims // m, "qkey", "rq")
+    # exact-decimal LUT distances (residual queries and stored
+    # centroids are both 6-dp — see _sqdist_exact): the hash-compared
+    # result must not ride on cross-engine float-rounding luck
+    lut = (qsubs.join(F.broadcast(cb), "sub")
+           .select(F.col("qkey.query_id").alias("query_id"),
+                   F.col("qkey.list_id").alias("list_id"),
+                   "sub", "code",
+                   _sqdist_exact(F.col("sv"), F.col("centroid"))
+                   .alias("d2")))
+    scored = (coded.join(F.broadcast(lut), ["list_id", "sub", "code"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.round(F.sum(F.col("d2").cast("decimal(20,6)"))
+                            .cast("double"), 6).alias("adc_d2")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adc_d2",
+                          F.col("rank").cast("int").alias("rank")))
+
+
+def ivfpq_index_append(spark, index_dir: str, increment: DataFrame,
+                       m: int = 4, dims: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       drift_factor: float = 1.5) -> dict:
+    """Incremental IVFADC index maintenance — append new vectors to a
+    persisted index WITHOUT retraining (the daily-ingest shape a 100 TB
+    embedding store runs): assign each increment vector to the EXISTING
+    coarse centroids (`ivf_assign` — the same rounded-cosine argmax
+    rule the build's kmeans_assign used), encode its 6-dp residual with
+    the EXISTING codebook (`_pq_assign` — the same rounded-L2 argmin),
+    and MERGE the code rows into their list partitions through
+    sources/atomic.py's crash-safe stage-then-swap (key = vec id, so a
+    crashed/retried append converges idempotently instead of
+    duplicating rows, and only touched list directories rewrite).
+
+    Frozen-quantizer parity: the appended index holds exactly the codes
+    a from-scratch encode of (old ∪ increment) against the SAME stored
+    centroids/codebook would produce (pinned row-for-row by
+    test_ivfpq_index_append_matches_frozen_rebuild).
+
+    Drift / retrain trigger: returns the increment's mean per-subvector
+    reconstruction error against the build-time per-list baseline
+    (``stats.parquet``). When ``mean_d2 > drift_factor ×
+    baseline_mean_d2`` the increment no longer looks like the training
+    distribution and ``retrain_recommended`` flips true — the caller
+    schedules an `ivfpq_index_build` rebuild; appends stay correct
+    (codes are exact under the frozen quantizers) but ADC resolution
+    degrades, which is recall loss, not wrong-answer risk."""
+    from airline_data_warehouse_spark.sources.atomic import upsert_parquet
+
+    coarse = spark.read.parquet(f"{index_dir}/coarse_centroids.parquet")
+    cb = spark.read.parquet(f"{index_dir}/codebook.parquet")
+    inc = finite_vectors(increment, vec_col, dims=dims).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"))
+    assigned = ivf_assign(inc, coarse, id_col=id_col, vec_col="_v")
+    res = _persist(
+        assigned.join(F.broadcast(coarse), "list_id")
+                .select(id_col, "list_id",
+                        F.zip_with("_v", "centroid",
+                                   lambda a, b: F.round(a - b, 6))
+                         .alias("rv")))
+    subs = _pq_subvectors(res, m, dims // m, id_col, "rv")
+    enc = _pq_assign(
+        subs, cb.select("sub", F.col("code").alias("list_id"), "centroid"),
+        id_col, exact=True)
+    new_codes = (enc.select(F.col(id_col), "sub",
+                            F.col("list_id").cast("long").alias("code"),
+                            "d2")
+                 .join(res.select(id_col, "list_id"), id_col))
+    stats = {r["list_id"]: r for r in
+             spark.read.parquet(f"{index_dir}/stats.parquet").collect()}
+    inc_stats = (new_codes.agg(
+        (F.count(F.lit(1)) / m).cast("long").alias("n"),
+        F.round(F.avg("d2"), 6).alias("mean_d2")).collect()[0])
+    upsert_parquet(spark, new_codes, f"{index_dir}/codes.parquet",
+                   key=id_col, partition_col="list_id")
+    total_n = sum(r["n_vectors"] for r in stats.values())
+    baseline = (sum(r["mean_d2"] * r["n_vectors"] for r in stats.values())
+                / total_n) if total_n else 0.0
+    mean_d2 = float(inc_stats["mean_d2"] or 0.0)
+    return {
+        "appended": int(inc_stats["n"]),
+        "mean_d2": round(mean_d2, 6),
+        "baseline_mean_d2": round(baseline, 6),
+        "retrain_recommended": bool(total_n
+                                    and mean_d2 > drift_factor * baseline),
+    }
+
+
+def _per_dim_mu(corpus: DataFrame, vec_col: str) -> DataFrame:
+    """The shared exact per-dimension mean aggregation (dim, mu):
+    DECIMAL(20,10) sums rounded 6 dp — the centering constants both
+    embedding_covariance and pca_whiten start from. Callers pass an
+    already finite-filtered corpus."""
+    v = F.col(vec_col).cast("array<double>")
+    return (corpus.select(F.posexplode(v).alias("dim", "val"))
+            .groupBy("dim")
+            .agg(F.round(F.sum(F.col("val").cast("decimal(20,10)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("mu")))
+
+
+def _cov_cells(centered: DataFrame, dims: int) -> DataFrame:
+    """Upper-triangle covariance cells (i, j, cov) from a frame with a
+    6-dp-rounded centered vector column ``c`` — the in-row nested-
+    transform cell generation (no self-join) shared by
+    embedding_covariance and pca_whiten. The only exchange is the
+    (i, j)-keyed partial agg: ≤ d(d+1)/2 rows per task."""
+    idx = F.sequence(F.lit(0), F.lit(dims - 1))
+    cells = F.flatten(F.transform(
+        idx, lambda i: F.transform(
+            F.sequence(i, F.lit(dims - 1)),
+            lambda j: F.struct(
+                i.cast("int").alias("i"), j.cast("int").alias("j"),
+                (F.get(F.col("c"), i) * F.get(F.col("c"), j)).alias("p")))))
+    return (centered.select(F.explode(cells).alias("cell"))
+            .select("cell.i", "cell.j", "cell.p")
+            .groupBy("i", "j")
+            # + 0.0 canonicalizes IEEE signed zero: a negative sum that
+            # rounds to zero yields -0.0, which the external
+            # canonicalizer renders differently from the oracle's 0.0
+            .agg((F.round(F.sum(F.col("p").cast("decimal(38,12)"))
+                           .cast("double")
+                          / (F.count(F.lit(1)) - 1), 6) + 0.0)
+                 .alias("cov")))
+
+
 def embedding_covariance(corpus: DataFrame, dims: int = 64,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
@@ -1098,11 +1423,7 @@ def embedding_covariance(corpus: DataFrame, dims: int = 64,
     cell bit-for-bit."""
     corpus = corpus.filter(_finite_ok(F.col(vec_col)))
     v = F.col(vec_col).cast("array<double>")
-    per_dim = (corpus.select(F.posexplode(v).alias("dim", "val"))
-               .groupBy("dim")
-               .agg(F.round(F.sum(F.col("val").cast("decimal(20,10)"))
-                             .cast("double") / F.count(F.lit(1)), 6)
-                     .alias("mu")))
+    per_dim = _per_dim_mu(corpus, vec_col)
     mu = (per_dim.agg(F.array_sort(F.collect_list(F.struct("dim", "mu")))
                        .alias("p"))
           .select(F.transform("p", lambda s: s["mu"]).alias("mu")))
@@ -1110,23 +1431,7 @@ def embedding_covariance(corpus: DataFrame, dims: int = 64,
                 .select(F.zip_with(v, F.col("mu"),
                                    lambda a, b: F.round(a - b, 6))
                          .alias("c")))
-    idx = F.sequence(F.lit(0), F.lit(dims - 1))
-    cells = F.flatten(F.transform(
-        idx, lambda i: F.transform(
-            F.sequence(i, F.lit(dims - 1)),
-            lambda j: F.struct(
-                i.cast("int").alias("i"), j.cast("int").alias("j"),
-                (F.get(F.col("c"), i) * F.get(F.col("c"), j)).alias("p")))))
-    return (centered.select(F.explode(cells).alias("cell"))
-            .select("cell.i", "cell.j", "cell.p")
-            .groupBy("i", "j")
-            # + 0.0 canonicalizes IEEE signed zero: a negative sum that
-            # rounds to zero yields -0.0, which the external
-            # canonicalizer renders differently from the oracle's 0.0
-            .agg((F.round(F.sum(F.col("p").cast("decimal(38,12)"))
-                           .cast("double")
-                          / (F.count(F.lit(1)) - 1), 6) + 0.0)
-                 .alias("cov")))
+    return _cov_cells(centered, dims)
 
 
 def pca_whiten(corpus: DataFrame, k: int = 16, eps: float = 1e-6,
@@ -1156,11 +1461,31 @@ def pca_whiten(corpus: DataFrame, k: int = 16, eps: float = 1e-6,
     underneath is the oracle-certified part). Sign is canonicalized
     (largest-|w| entry positive) so same-platform reruns are identical.
 
-    Output: (id, components array<double> length k)."""
+    Output: (id, components array<double> length k).
+
+    Corpus passes: exactly three — the per-dim mean aggregation (its d
+    6-dp scalars collected driver-side, the same schema-bounded class
+    as the covariance cells), the covariance cell aggregation over
+    values centered against those means AS LITERALS, and the final
+    projection map. The r9 shape paid a fourth pass (its own mean
+    re-aggregation) plus a broadcast crossJoin per downstream pass —
+    the r9 ADVICE-low this rewrite closes. Centering via literals is
+    bit-identical to embedding_covariance's broadcast-frame centering:
+    both apply the identical 6-dp-rounded doubles."""
     import numpy as np
 
-    cov_rows = embedding_covariance(corpus, dims=dims, id_col=id_col,
-                                    vec_col=vec_col).collect()
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
+    mu_vals = [round(float(r["mu"]), 6) for r in
+               _per_dim_mu(corpus, vec_col).orderBy("dim").collect()]
+    if len(mu_vals) != dims:
+        raise ValueError(f"corpus vectors have {len(mu_vals)} dims, "
+                         f"expected {dims}")
+    centered = corpus.select(
+        F.col(id_col),
+        F.zip_with(F.col(vec_col).cast("array<double>"),
+                   _lit_vec(mu_vals),
+                   lambda a, b: F.round(a - b, 6)).alias("c"))
+    cov_rows = _cov_cells(centered, dims).collect()
     sigma = np.zeros((dims, dims))
     for r in cov_rows:
         sigma[r["i"], r["j"]] = r["cov"]
@@ -1174,22 +1499,5 @@ def pca_whiten(corpus: DataFrame, k: int = 16, eps: float = 1e-6,
             w = -w
         ws.append([round(float(x), 9) for x in w])
 
-    per_dim = (corpus.filter(_finite_ok(F.col(vec_col)))
-               .select(F.posexplode(F.col(vec_col).cast("array<double>"))
-                        .alias("dim", "val"))
-               .groupBy("dim")
-               .agg(F.round(F.sum(F.col("val").cast("decimal(20,10)"))
-                             .cast("double") / F.count(F.lit(1)), 6)
-                     .alias("mu")))
-    mu_row = (per_dim.agg(F.array_sort(F.collect_list(
-                  F.struct("dim", "mu"))).alias("p"))
-              .select(F.transform("p", lambda s: s["mu"]).alias("mu")))
-    centered = (corpus.filter(_finite_ok(F.col(vec_col)))
-                .crossJoin(F.broadcast(mu_row))
-                .select(F.col(id_col),
-                        F.zip_with(F.col(vec_col).cast("array<double>"),
-                                   F.col("mu"),
-                                   lambda a, b: F.round(a - b, 6))
-                         .alias("c")))
     comps = F.array(*[_dot(F.col("c"), _lit_vec(w)) for w in ws])
     return centered.select(F.col(id_col), comps.alias("components"))

@@ -106,9 +106,17 @@ _REVALIDATE: tuple[str, ...] = (
     "revenue_rollup",              # r6 cert; F.broadcast(customer) removed
     "nation_pair_trade_volume",    # r7 cert; customer+supplier hints removed
     "profit_by_nation_year",       # r7 cert; part+supplier hints removed
-    "shipping_priority_topk",      # r7 cert; F.broadcast(cust) removed
-    "local_supplier_volume",       # r7 cert; cust+supp hints removed
-    "data_quality_report",         # r7 cert; FK-check broadcast removed
+    # (The r08 de-broadcast cohort above was re-certified green in the
+    # r09 driver window — VERDICT r09 coverage table — and is cleared.)
+    #
+    # r10 (VERDICT r09 items 1 + ADVICE-high): pca_whiten is the only
+    # registry key with zero driver record (added r9, missed the
+    # rotation); pq_rerank's query-vector source and pca_whiten's
+    # centering/covariance factoring changed this round, so their certs
+    # predate their plans.
+    "embedding_pca_whiten",        # no driver record yet (rows-only key)
+    "similarity_topk_pq_rerank",   # r9 cert; qv now built from queries
+    "embedding_covariance",        # r9 cert; shared-helper factoring
 )
 
 

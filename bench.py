@@ -11,7 +11,10 @@ single-shot sub-second timings on a shared box are dominated by
 scheduler noise (r06 measured ±12% swings between back-to-back
 median-of-3 sweeps of identical code; ambient host load arrives in
 multi-second spikes, so 5 samples are needed for the median to reliably
-dodge one).
+dodge one). A fixed calibration probe (code that never changes) is
+timed the same way and reported as `calibration_sec`: divide per-key
+readings by the round-over-round calibration ratio before reading any
+drift as a regression.
 """
 
 from __future__ import annotations
@@ -110,6 +113,7 @@ HEADLINE = [
     "similarity_topk_ivf_trained",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_index",
     "similarity_topk_pq_rerank",
     "embedding_covariance",
     "pit_status_join",
@@ -172,6 +176,28 @@ def main() -> None:
         release_caches()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+
+    # Per-round calibration constant (VERDICT r09 item 2, the r7
+    # precedent): a FIXED probe — one scan+agg built inline from raw
+    # pyspark, never touched by repo changes — timed median-of-`runs`
+    # before the sweep. Round-over-round drift in this number is host
+    # noise by construction (the probe's code cannot change), so the
+    # judge can divide per-key readings by the calibration ratio before
+    # calling anything a regression. Median-of-5 alone was not enough:
+    # untouched sub-second keys still read 1.5–2.1× between the r8 and
+    # r9 driver windows.
+    from pyspark.sql import functions as F  # noqa: N812
+    probe_df = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+                     F.count("*")))
+    cal_samples = []
+    for _ in range(runs):
+        t0 = time.time()
+        probe_df.write.format("noop").mode("overwrite").save()
+        cal_samples.append(time.time() - t0)
+    calibration = round(statistics.median(cal_samples), 3)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -198,6 +224,8 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "calibration_sec": calibration,
+        "runs_per_key": runs,
         "queries": timings,
         "sf": sf_num,
     }

@@ -904,13 +904,16 @@ def test_incremental_cascade_against_persisted_store(spark, tmp_path):
     assert again == out
 
     # REGENERATING the dataset under the SAME path must not reuse the
-    # stale store (ADVICE r08): the cache key is a content fingerprint,
-    # so new snapshots map to a new store path and a fresh build. Doc 0
-    # changes text, so its +2M row is no longer an exact copy.
+    # stale store (ADVICE r08): the content fingerprint changed, so the
+    # SAME store dir (r09: keyed on sf_dir alone, no orphan trees) is
+    # pruned in place and freshly rebuilt. Doc 0 changes text, so its
+    # +2M row is no longer an exact copy of the old snapshot's doc 0.
     docs[0] = (0, docs[0][1] + " regenerated tail of entirely new words")
     spark.createDataFrame(docs, "doc_id long, text string") \
          .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    assert _cascade_store_path(str(tmp_path)) != store
+    assert _cascade_store_path(str(tmp_path)) == store
+    assert not os.path.exists(os.path.join(store, "_built")), \
+        "stale store must be pruned in place on content change"
     out2 = {r["doc_id"]: (r["verdict"], r["partner_id"]) for r in
             builder(spark, str(tmp_path)).collect()}
     # the +2M row copies the NEW doc-0 text; only a store rebuilt from
@@ -950,6 +953,43 @@ def test_cascade_store_rebuild_crash_leaves_no_stale_marker(
     monkeypatch.undo()
     dd.cascade_store_build(docs, emb, store)   # default: rebuilds
     assert os.path.exists(marker)
+
+
+def test_cascade_store_path_rebuilds_in_place_not_orphans(tmp_path):
+    """ADVICE r09: the registry's cascade-store cache dir must key on
+    sf_dir alone (one dir per sf_dir, EVER) with the content fingerprint
+    in a marker inside — a regenerated dataset rebuilds the store IN
+    PLACE (stale contents and the `_built` marker deleted) instead of
+    abandoning an orphan adw_cascade_store_* tree per regeneration."""
+    import os
+
+    from airline_data_warehouse_spark.plans.llmops import _cascade_store_path
+
+    sf_dir = tmp_path / "sfX"
+    sf_dir.mkdir()
+    (sf_dir / "documents.parquet").write_bytes(b"d1")
+    (sf_dir / "embeddings.parquet").write_bytes(b"e1")
+
+    p1 = _cascade_store_path(str(sf_dir))
+    # simulate yesterday's completed build
+    (tmp_path / "sentinel").write_text("x")   # not in store; control
+    with open(os.path.join(p1, "_built"), "w") as f:
+        f.write("ok\n")
+    os.makedirs(os.path.join(p1, "hashes"), exist_ok=True)
+
+    # unchanged content → same dir, contents untouched
+    assert _cascade_store_path(str(sf_dir)) == p1
+    assert os.path.exists(os.path.join(p1, "_built"))
+
+    # regenerate the dataset (content + mtime change) → SAME dir name,
+    # but stale store contents pruned so the next build re-materializes
+    (sf_dir / "documents.parquet").write_bytes(b"d2-regenerated")
+    p2 = _cascade_store_path(str(sf_dir))
+    assert p2 == p1, "dir name must not embed the content fingerprint"
+    assert not os.path.exists(os.path.join(p2, "_built"))
+    assert not os.path.exists(os.path.join(p2, "hashes"))
+    # and the refreshed fingerprint now matches: a third call reuses
+    assert _cascade_store_path(str(sf_dir)) == p2
 
 
 def test_decontaminated_split_partitions_corpus(spark):
@@ -1150,6 +1190,158 @@ def test_ivf_index_partition_filter_not_post_scan(spark, tmp_path):
     plan = buf.getvalue()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cluster_id" in m.group(1), plan
+
+
+def _rand_corpus(spark, n, dims, seed, id_start=0):
+    import random
+    rng = random.Random(seed)
+    rows = [(id_start + i, [rng.uniform(-1, 1) for _ in range(dims)])
+            for i in range(n)]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_index_build_deterministic_and_voronoi_consistent(
+        spark, tmp_path):
+    """The persisted IVFADC index (VERDICT r09 item 3): (1) two builds
+    of the same corpus are byte-identical (codes, codebook, centroids —
+    the deterministic-training contract that makes the index
+    oracle-able), (2) the stored lists are EXACTLY the stored coarse
+    quantizer's Voronoi partition — every vector's list is its argmax
+    rounded-cosine centroid (the FAISS add step; ivfpq_topk's in-memory
+    lagged assignment deliberately differs, see ivfpq_index_build
+    docstring), and (3) a planted exact duplicate is its twin's top ADC
+    hit through the index query path."""
+    rows, corpus = _rand_corpus(spark, 40, 8, seed=3)
+    dup = spark.createDataFrame([(100, list(rows[6][1]))],
+                                "vec_id long, embedding array<double>")
+    corpus = corpus.unionByName(dup)
+    idx, idx2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (idx, idx2):
+        sim.ivfpq_index_build(corpus, d, n_lists=4, m=2, codes_k=4,
+                              iters=2, dims=8)
+    snap = lambda d: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(f"{d}/codes.parquet").collect())
+    assert snap(idx) == snap(idx2)
+
+    # Voronoi consistency: stored list == frozen argmax assignment
+    coarse = spark.read.parquet(f"{idx}/coarse_centroids.parquet")
+    vecs = corpus.select("vec_id",
+                         F.col("embedding").cast("array<double>").alias("_v"))
+    want = {(r["vec_id"], r["list_id"]) for r in
+            sim.ivf_assign(vecs, coarse, vec_col="_v").collect()}
+    got = {(r["vec_id"], r["list_id"]) for r in
+           spark.read.parquet(f"{idx}/codes.parquet")
+                .select("vec_id", "list_id").distinct().collect()}
+    assert got == want
+
+    # the duplicate shares vec 6's exact codes, so its ADC distance
+    # ties the query's own reconstruction error — the minimum over any
+    # same-cell candidate; it must sit in the top-k (rank-1 is NOT
+    # guaranteed: ADC scores code cells, and a differently-coded
+    # vector's cell can sit closer to the query than the query's own)
+    out = sim.ivfpq_index_topk(spark, idx,
+                               corpus.filter(F.col("vec_id") == 6),
+                               k=3, n_probe=2, m=2, dims=8).collect()
+    assert 100 in {r["neighbor_id"] for r in out}
+
+
+def test_ivfpq_index_prunes_partitions(spark, tmp_path):
+    """The index query's code scan carries a PartitionFilters entry on
+    list_id (directory-level pruning — the property that makes the
+    probe sublinear at 100 TB), not a post-scan filter, and the index
+    holds exactly m code rows per vector plus the three schema-bounded
+    side tables."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    _, corpus = _rand_corpus(spark, 40, 8, seed=7)
+    idx = str(tmp_path / "ivfpq")
+    sim.ivfpq_index_build(corpus, idx, n_lists=4, m=2, codes_k=4,
+                          iters=2, dims=8)
+    codes = spark.read.parquet(f"{idx}/codes.parquet")
+    assert codes.count() == 40 * 2
+    assert codes.select("vec_id").distinct().count() == 40
+    assert spark.read.parquet(f"{idx}/coarse_centroids.parquet").count() == 4
+    assert spark.read.parquet(f"{idx}/codebook.parquet").count() == 2 * 4
+    stats = spark.read.parquet(f"{idx}/stats.parquet").collect()
+    assert sum(r["n_vectors"] for r in stats) == 40
+
+    out = sim.ivfpq_index_topk(spark, idx,
+                               corpus.filter(F.col("vec_id") == 1),
+                               k=3, n_probe=1, m=2, dims=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan
+    assert len(out.collect()) == 3
+
+
+def test_ivfpq_index_append_matches_frozen_rebuild(spark, tmp_path):
+    """Incremental index maintenance (VERDICT r09 item 4): appending an
+    increment must (a) leave the base corpus's code rows byte-identical,
+    (b) encode the increment with the FROZEN quantizers — an appended
+    exact duplicate of a base vector lands in the same list with
+    identical (sub, code) rows, which is precisely what a from-scratch
+    encode of the union against the stored centroids/codebook would
+    assign, (c) converge idempotently on retry (crash-safe MERGE, not
+    blind append), and (d) be visible to queries. Drift: an
+    out-of-distribution increment flips retrain_recommended."""
+    rows, corpus = _rand_corpus(spark, 30, 8, seed=13)
+    idx = str(tmp_path / "ivfpq")
+    sim.ivfpq_index_build(corpus, idx, n_lists=4, m=2, codes_k=4,
+                          iters=2, dims=8)
+    base = sorted(tuple(r) for r in
+                  spark.read.parquet(f"{idx}/codes.parquet").collect())
+
+    inc_rows = [(100, list(rows[4][1]))]          # exact dup of vec 4
+    inc_rows += [(101 + i, [v * 0.9 for v in rows[i][1]])
+                 for i in range(3)]
+    inc = spark.createDataFrame(inc_rows,
+                                "vec_id long, embedding array<double>")
+    rep = sim.ivfpq_index_append(spark, idx, inc, m=2, dims=8)
+    assert rep["appended"] == 4
+    assert rep["baseline_mean_d2"] > 0
+    assert not rep["retrain_recommended"]          # in-distribution
+
+    after = spark.read.parquet(f"{idx}/codes.parquet")
+    got = sorted(tuple(r) for r in after.collect())
+    # (a) base rows unchanged
+    assert [t for t in got if t[0] < 100] == base
+    # (b) frozen-quantizer determinism: the duplicate's rows equal
+    # vec 4's in every field but the id
+    by_id = {}
+    for t in got:
+        by_id.setdefault(t[0], set()).add(t[1:])
+    assert by_id[100] == by_id[4]
+    # (c) idempotent retry: same increment again, nothing duplicates
+    # (fresh reads — the swap replaced files under the old listing)
+    rep2 = sim.ivfpq_index_append(spark, idx, inc, m=2, dims=8)
+    assert rep2["appended"] == 4
+    fresh = spark.read.parquet(f"{idx}/codes.parquet")
+    assert fresh.count() == (30 + 4) * 2
+    assert sorted(tuple(r) for r in fresh.collect()) == got
+    # (d) queries see the increment: vec 4's top ADC hit ties with its
+    # duplicate's codes; the duplicate must appear in its top-k
+    top = sim.ivfpq_index_topk(spark, idx,
+                               corpus.filter(F.col("vec_id") == 4),
+                               k=3, n_probe=2, m=2, dims=8).collect()
+    assert 100 in {r["neighbor_id"] for r in top}
+
+    # drift: an increment far off the training manifold recommends
+    # retraining (reconstruction error blows past the baseline)
+    import random
+    rng = random.Random(99)
+    far = spark.createDataFrame(
+        [(500 + i, [rng.uniform(-1, 1) * 40 for _ in range(8)])
+         for i in range(4)],
+        "vec_id long, embedding array<double>")
+    rep3 = sim.ivfpq_index_append(spark, idx, far, m=2, dims=8)
+    assert rep3["retrain_recommended"]
+    assert rep3["mean_d2"] > rep3["baseline_mean_d2"] * 1.5
 
 
 def test_remove_repeated_spans_cuts_only_flagged(spark):
@@ -1739,73 +1931,223 @@ def test_pq_rerank_with_full_shortlist_equals_exact_topk(spark):
     assert got[0][1] == 7 and got[0][2] == 0.0   # duplicate first, exactly
 
 
+def test_pq_rerank_external_query_set(spark):
+    """Regression pin for the r9 ADVICE-high: pq_topk_rerank must take
+    query vectors from the QUERIES parameter, not fetch them from the
+    corpus by id — so (a) a query whose id does not exist in the corpus
+    still gets answers (the r9 shape silently dropped it), and (b) a
+    query id that COLLIDES with a corpus id uses the query's own
+    vector, not the corpus row's. The fix is also what bounds the qv
+    broadcast by |queries| instead of corpus size (the OOM class)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, cb = sim.pq_train(emb, m=2, k=4, iters=2, dims=8)
+
+    # (a) external id 999 (not in corpus), vector = vec 3's exactly:
+    # the exact re-rank must place vec 3 first with d2 = 0.
+    q_ext = spark.createDataFrame([(999, list(rows[3][1]))],
+                                  "vec_id long, embedding array<double>")
+    got = sorted((r["rank"], r["neighbor_id"], r["d2"]) for r in
+                 sim.pq_topk_rerank(codes, cb, emb, q_ext, k=3,
+                                    shortlist=30, m=2, dims=8).collect())
+    assert len(got) == 3, "external-id query was dropped"
+    assert got[0][1] == 3 and got[0][2] == 0.0
+
+    # (b) colliding id 5 but a DIFFERENT vector (vec 9's): results must
+    # reflect the query's own vector — vec 9 first at d2 = 0 (vec 5 is
+    # excluded only by the id self-match rule, not by vector identity).
+    q_coll = spark.createDataFrame([(5, list(rows[9][1]))],
+                                   "vec_id long, embedding array<double>")
+    got2 = sorted((r["rank"], r["neighbor_id"], r["d2"]) for r in
+                  sim.pq_topk_rerank(codes, cb, emb, q_coll, k=3,
+                                     shortlist=30, m=2, dims=8).collect())
+    assert got2[0][1] == 9 and got2[0][2] == 0.0
+    assert all(n != 5 for _, n, _d in got2)      # self-id still excluded
+
+
+def _broadcast_sites():
+    """AST scan of every F.broadcast() call in the operator/LLM-ops/
+    streaming modules: yields (file, function, target, derivation_root)
+    where derivation_root is the leftmost identifier of the target's
+    defining expression — the frame it's built FROM (a parameter name,
+    a local, or a builder function). Name-only matching let the r9
+    pq_topk_rerank bug through (a corpus-derived frame reusing the
+    allowlisted name `qv`); pinning the derivation root makes that
+    structurally impossible: re-deriving an allowlisted name from a
+    different frame changes the root and fails the pin."""
+    import ast
+    import os
+
+    def expr_root(node):
+        while isinstance(node, (ast.Call, ast.Attribute, ast.Subscript)):
+            node = node.func if isinstance(node, ast.Call) else node.value
+        return node.id if isinstance(node, ast.Name) else \
+            f"<{type(node).__name__}>"
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "airline_data_warehouse_spark")
+    scan = sorted(os.path.join(root, "operators", f)
+                  for f in os.listdir(os.path.join(root, "operators"))
+                  if f.endswith(".py"))
+    scan += [os.path.join(root, "plans", "llmops.py")]
+    scan += sorted(os.path.join(root, "streaming", f)
+                   for f in os.listdir(os.path.join(root, "streaming"))
+                   if f.endswith(".py"))
+    sites = set()
+    for path in scan:
+        with open(path) as f:
+            tree = ast.parse(f.read())
+        for fn in (n for n in ast.walk(tree)
+                   if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))):
+            assigns = {}
+            for n in ast.walk(fn):
+                if (isinstance(n, ast.Assign) and len(n.targets) == 1
+                        and isinstance(n.targets[0], ast.Name)):
+                    assigns[n.targets[0].id] = expr_root(n.value)
+            for n in ast.walk(fn):
+                if (isinstance(n, ast.Call)
+                        and isinstance(n.func, ast.Attribute)
+                        and n.func.attr == "broadcast"
+                        and isinstance(n.func.value, ast.Name)
+                        and n.func.value.id == "F" and n.args):
+                    a = n.args[0]
+                    if isinstance(a, ast.Name):
+                        sites.add((os.path.basename(path), fn.name, a.id,
+                                   assigns.get(a.id, "<param>")))
+                    else:
+                        r = expr_root(a)
+                        sites.add((os.path.basename(path), fn.name,
+                                   f"<expr:{r}>", r))
+    return sites
+
+
 def test_operator_broadcast_targets_are_bounded():
     """Source-level twin of test_plans' warehouse-module broadcast
     allowlist (the eccd529 contract), extended to the operator/LLM-ops/
-    streaming modules where the r07 broadcast-OOM class lived: every
-    F.broadcast() target must be bounded by an operator constant, the
-    query set, a micro-batch, or an enum-like catalog attribute — never
-    by corpus volume. A new hint on a corpus-proportional side must
-    either document its bound here or be dropped for AQE.
+    streaming modules where the r07 broadcast-OOM class lived — and
+    hardened after the r9 ADVICE: every F.broadcast() site is pinned as
+    (file, function, target, derivation-root) with a written bound, so
+    both a NEW hint and a re-derivation of an existing target from a
+    different frame fail here until the bound is re-reviewed. The r9
+    escape (pq_topk_rerank's `qv` rebuilt from the corpus instead of
+    the queries parameter) would have flipped its root from `queries`
+    to `vecs` and tripped this pin.
     (analytics.py's star dims are deliberately excluded: the flagship
     broadcast star is the reference-parity surface, pinned by its own
     plan test and PLANS.md.)"""
-    import os
-    import re
-
-    allowed = {
-        # similarity: query-side / codebook / centroid frames
-        "q": "query set (top-k search contract: queries are small)",
-        "qv": "query vectors",
-        "qvec": "query vectors",
-        "banded_q": "banded query set",
-        "cb": "PQ codebook: m x k rows, operator constants",
-        "cbx": "PQ codebook + hoisted self-dots",
-        "cents": "k-means centroids: k rows",
-        "centroids": "k-means centroids: k rows",
-        "coarse": "IVF coarse centroids: n_lists rows",
-        "mu": "1-row per-dim mean vector (covariance centering)",
-        "mu_row": "1-row per-dim mean vector (PCA centering)",
-        "lut": "ADC lookup table: |queries| x n_probe x m x k",
-        "short": "ADC shortlist: |queries| x shortlist rows",
-        # text: scalar / catalog / query-bounded aggregates
-        "tot": "1-row total",
-        "tot_s": "per-source totals: |sources| rows (catalog attribute)",
-        "stats": "1-row corpus stats",
-        "v": "1-row vocabulary size",
-        "vocab_n": "1-row vocabulary size",
-        "lm": "hashed-bucket LM: <= buckets rows (operator constant)",
-        "dfreq": "per-QUERY-term document frequencies: <= |query terms|",
-        "vocab": "trained tokenizer vocabulary: bounded by the "
-                 "tokenizer spec (the finished vocab table, not "
-                 "corpus-growing raw counts)",
-        "offsets": "per-stratum/bucket offsets: bounded by stratum count",
-        # llmops / sampling
-        "quotas": "per-source quotas: |sources| rows",
-        # streaming (status.py): micro-batch-bounded frames
-        "eligible": "per-micro-batch eligible keys",
-        "months": "months touched by one micro-batch",
-        "dim_flight": "reference star dims (stream enrichment twin of "
-                      "the flagship star; reference-parity surface)",
-        "dim_airport": "reference star dims",
+    # (file, function, broadcast target, derivation root): written bound
+    pinned = {
+        # --- similarity: query-side / codebook / centroid frames ---
+        ("similarity.py", "brute_force_topk", "q", "queries"):
+            "query set (top-k search contract: queries are small)",
+        ("similarity.py", "_lsh_scored", "qvec", "queries"):
+            "query vectors: |queries| rows",
+        ("similarity.py", "_lsh_scored", "banded_q", "queries"):
+            "banded query set: |queries| x bands rows",
+        ("similarity.py", "ivf_assign", "<expr:centroids>", "centroids"):
+            "k-means centroids: k rows",
+        ("similarity.py", "kmeans_assign", "<expr:centroids>", "centroids"):
+            "k-means centroids: k rows (per-iteration update)",
+        ("similarity.py", "ivf_topk", "<expr:cents>", "cents"):
+            "IVF coarse centroids: n_lists rows",
+        ("similarity.py", "ivf_index_topk", "<expr:cents>", "cents"):
+            "persisted-index coarse centroids: n_lists rows",
+        ("similarity.py", "_pq_assign", "cb", "codebook"):
+            "PQ codebook: m x k rows, operator constants",
+        ("similarity.py", "pq_topk", "cb", "codebook"):
+            "PQ codebook: m x k rows",
+        ("similarity.py", "pq_topk", "lut", "qsubs"):
+            "ADC LUT: |queries| x m x k (qsubs is queries exploded by "
+            "the m operator constant)",
+        ("similarity.py", "pq_topk_rerank", "qv", "queries"):
+            "query vectors BUILT FROM THE QUERIES PARAM (r9 ADVICE-high: "
+            "corpus-derived qv here is the OOM class this pin forbids)",
+        ("similarity.py", "pq_topk_rerank", "short", "pq_topk"):
+            "ADC shortlist: |queries| x shortlist rows",
+        ("similarity.py", "ivfpq_topk", "<expr:coarse>", "coarse"):
+            "IVF coarse centroids: n_lists rows",
+        ("similarity.py", "ivfpq_topk", "coarse", "centroid_vectors"):
+            "IVF coarse centroids: n_lists rows",
+        ("similarity.py", "ivfpq_topk", "cbx", "cb"):
+            "residual PQ codebook + hoisted self-dots: m x codes_k rows",
+        ("similarity.py", "ivfpq_topk", "lut", "qsubs"):
+            "ADC LUT: |queries| x n_probe x m x codes_k",
+        ("similarity.py", "ivfpq_index_build", "coarse", "centroid_vectors"):
+            "IVF coarse centroids: n_lists rows (residual encode)",
+        ("similarity.py", "ivfpq_index_topk", "<expr:coarse>", "coarse"):
+            "persisted coarse centroids: n_lists rows (read from index)",
+        ("similarity.py", "ivfpq_index_topk", "cb", "spark"):
+            "persisted residual codebook: m x codes_k rows (from index)",
+        ("similarity.py", "ivfpq_index_topk", "lut", "qsubs"):
+            "ADC LUT: |queries| x n_probe x m x codes_k",
+        ("similarity.py", "ivfpq_index_append", "coarse", "spark"):
+            "persisted coarse centroids: n_lists rows (frozen assign)",
+        ("similarity.py", "embedding_covariance", "mu", "per_dim"):
+            "1-row per-dim mean vector (covariance centering)",
+        # --- text: scalar / catalog / query-bounded aggregates ---
+        ("text.py", "vocab_table", "offsets", "counts"):
+            "per-stratum offsets: bounded by stratum count",
+        ("text.py", "encode_documents", "<expr:vocab>", "vocab"):
+            "trained tokenizer vocabulary: bounded by the tokenizer spec",
+        ("text.py", "bigram_logprob_score", "vocab_n", "pairs"):
+            "1-row vocabulary size",
+        ("text.py", "bm25_search", "stats", "lens"):
+            "1-row corpus stats",
+        ("text.py", "bm25_search", "dfreq", "hits"):
+            "per-QUERY-term document frequencies: <= |query terms|",
+        ("text.py", "source_token_divergence", "tot", "cc"):
+            "1-row total",
+        ("text.py", "source_token_divergence", "tot_s", "sc"):
+            "per-source totals: |sources| rows (catalog attribute)",
+        ("text.py", "dsir_importance_weights", "v", "lm_pairs"):
+            "1-row vocabulary size",
+        ("text.py", "dsir_hashed_importance_weights", "tot", "lm_pairs"):
+            "1-row total",
+        ("text.py", "dsir_hashed_importance_weights", "lm", "lm_pairs"):
+            "hashed-bucket LM: <= buckets rows (operator constant)",
+        ("text.py", "lm_score", "v", "lm_pairs"):
+            "1-row vocabulary size",
+        ("text.py", "lm_score", "tot", "lm_pairs"):
+            "1-row total",
+        ("text.py", "lm_score", "lm", "lm_pairs"):
+            "hashed-bucket LM: <= buckets rows",
+        # --- sampling / llmops ---
+        ("sampling.py", "curriculum_order", "offsets", "b"):
+            "per-bucket offsets: bounded by bucket count",
+        ("llmops.py", "materialize_mixture", "quotas", "sp"):
+            "per-source quotas: |sources| rows",
+        ("llmops.py", "tokenization_report", "<expr:vocab>", "vocab"):
+            "trained tokenizer vocabulary: bounded by the tokenizer spec",
+        # --- streaming (status.py): micro-batch-bounded frames ---
+        ("status.py", "enrich_stream_with_dims", "<expr:dim_flight>",
+         "dim_flight"): "reference star dims (reference-parity surface)",
+        ("status.py", "enrich_stream_with_dims", "<expr:dim_airport>",
+         "dim_airport"): "reference star dims",
+        ("status.py", "eligibility_merge_batch", "eligible",
+         "status_batch"): "per-micro-batch eligible keys",
+        ("status.py", "start_eligibility_merge", "months", "fact"):
+            "months touched by one micro-batch (distinct month keys)",
+        ("status.py", "start_eligibility_merge", "eligible", "batch"):
+            "per-micro-batch eligible keys",
+        ("status.py", "_merge", "months", "fact"):
+            "months touched by one micro-batch",
+        ("status.py", "_merge", "eligible", "batch"):
+            "per-micro-batch eligible keys",
     }
-    root = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "airline_data_warehouse_spark")
-    scan = [os.path.join(root, "operators", f)
-            for f in os.listdir(os.path.join(root, "operators"))
-            if f.endswith(".py")]
-    scan += [os.path.join(root, "plans", "llmops.py")]
-    scan += [os.path.join(root, "streaming", f)
-             for f in os.listdir(os.path.join(root, "streaming"))
-             if f.endswith(".py")]
-    for path in scan:
-        with open(path) as f:
-            src = f.read()
-        for m in re.finditer(r"F\.broadcast\((\w+)[),.]", src):
-            assert m.group(1) in allowed, (
-                f"{os.path.basename(path)}: F.broadcast({m.group(1)}) is "
-                "not in the bounded-side allowlist — document its bound "
-                "or drop the hint and let AQE choose")
+    sites = _broadcast_sites()
+    unpinned = sites - set(pinned)
+    assert not unpinned, (
+        "F.broadcast() sites without a pinned (file, fn, target, "
+        f"derivation-root) bound: {sorted(unpinned)} — document the bound "
+        "here (and verify it is NOT corpus-proportional) or drop the hint "
+        "and let AQE choose")
+    stale = set(pinned) - sites
+    assert not stale, (
+        f"pinned broadcast sites no longer present: {sorted(stale)} — "
+        "remove the stale pins so the table stays a faithful inventory")
 
 
 def test_pca_whiten_decorrelates_and_normalizes(spark):
