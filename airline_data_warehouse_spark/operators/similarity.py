@@ -1141,7 +1141,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def ivfpq_index_build(corpus: DataFrame, index_dir: str, n_lists: int = 8,
                       m: int = 4, codes_k: int = 16, iters: int = 2,
                       dims: int = 64, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> None:
+                      vec_col: str = "embedding",
+                      store_vectors: bool = True) -> None:
     """Materialize an IVFADC index on disk — the FAISS-on-parquet shape
     that makes `ivfpq_topk` operational instead of per-query: train
     once, write the compressed codes list-partitioned, and every later
@@ -1162,6 +1163,13 @@ def ivfpq_index_build(corpus: DataFrame, index_dir: str, n_lists: int = 8,
     * ``stats.parquet`` — (list_id, n_vectors, mean_d2): the build-time
       reconstruction-error baseline `ivfpq_index_append` checks drift
       against.
+    * ``vectors.parquet/list_id=<id>/`` (``store_vectors=True``, the
+      default) — (vec_id, v) full vectors, list-partitioned, for
+      `ivfpq_index_topk_rerank`'s exact re-rank: the fetch prunes to
+      the SAME probed lists as the code scan, so re-ranking never
+      touches unprobed vector partitions. Pass False for a codes-only
+      index at 1/65th the bytes (64-dim float64 → 4 nibble codes) when
+      ADC resolution suffices.
 
     TRAIN vs ADD (the FAISS split, deliberately NOT ivfpq_topk's
     shape): k-means training ends with updated centroids whose last
@@ -1215,6 +1223,11 @@ def ivfpq_index_build(corpus: DataFrame, index_dir: str, n_lists: int = 8,
     (codebook.select("sub", F.col("list_id").alias("code"), "centroid")
              .write.mode("overwrite")
              .parquet(f"{index_dir}/codebook.parquet"))
+    if store_vectors:
+        (labeled.select(id_col, F.col("_v").alias("v"), "list_id")
+                .repartition(F.col("list_id"))
+                .write.mode("overwrite").partitionBy("list_id")
+                .parquet(f"{index_dir}/vectors.parquet"))
     built = coded.sparkSession.read.parquet(f"{index_dir}/codes.parquet")
     (built.groupBy("list_id")
           .agg((F.count(F.lit(1)) / m).cast("long").alias("n_vectors"),
@@ -1240,6 +1253,23 @@ def ivfpq_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 5,
     broadcast |queries| × n_probe × m × codes_k LUT, DECIMAL(20,6) code
     sums, id tie-breaks, self-matches excluded — results are identical
     to the in-memory composition on the same data and constants."""
+    scored = _ivfpq_index_adc(spark, index_dir, queries, n_probe, m,
+                              dims, id_col, vec_col)[0]
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adc_d2",
+                          F.col("rank").cast("int").alias("rank")))
+
+
+def _ivfpq_index_adc(spark, index_dir: str, queries: DataFrame,
+                     n_probe: int, m: int, dims: int, id_col: str,
+                     vec_col: str) -> tuple[DataFrame, list[int]]:
+    """Shared ADC core of the index query paths: returns the
+    (query_id, neighbor_id, adc_d2) candidate frame over the probed
+    lists plus the probed-list ids (for pruning sibling partition
+    tables, e.g. the re-rank vector fetch)."""
     coarse = spark.read.parquet(f"{index_dir}/coarse_centroids.parquet")
     cb = spark.read.parquet(f"{index_dir}/codebook.parquet")
     q = queries.filter(_finite_ok(F.col(vec_col))).select(
@@ -1281,12 +1311,51 @@ def ivfpq_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 5,
               .groupBy("query_id", "neighbor_id")
               .agg(F.round(F.sum(F.col("d2").cast("decimal(20,6)"))
                             .cast("double"), 6).alias("adc_d2")))
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(),
+    return scored, probe_lists
+
+
+def ivfpq_index_topk_rerank(spark, index_dir: str, queries: DataFrame,
+                            k: int = 5, shortlist: int = 200,
+                            n_probe: int = 3, m: int = 4, dims: int = 64,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """The production composition at INDEX level (Jegou §4.4 on the
+    persisted layout): ADC over the probed lists' code partitions
+    produces a ``shortlist``-deep candidate set, then the exact
+    squared-L2 re-rank fetches full vectors from the index's
+    ``vectors.parquet`` — pruned to the SAME probed lists, so neither
+    phase touches an unprobed partition, and the vector read is
+    (n_probe/n_lists of the table) ∩ (|queries| × shortlist ids). Query
+    vectors come from the QUERIES parameter (never fetched from the
+    corpus by id — the r9 pq_topk_rerank lesson); exact distances use
+    the certified float `_sqdist` convention (raw vectors are not
+    6-dp, so the decimal-exact path does not apply). Requires an index
+    built with ``store_vectors=True``."""
+    scored, probe_lists = _ivfpq_index_adc(spark, index_dir, queries,
+                                           n_probe, m, dims, id_col,
+                                           vec_col)
+    ws = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(),
+                                                F.col("neighbor_id").asc())
+    short = (scored.withColumn("rn", F.row_number().over(ws))
+             .filter(F.col("rn") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    qv = queries.filter(_finite_ok(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"))
+    nv = (spark.read.parquet(f"{index_dir}/vectors.parquet")
+          .filter(F.col("list_id").isin(probe_lists))
+          .select(F.col(id_col).alias("neighbor_id"),
+                  F.col("v").alias("_nv")))
+    exact = (nv.join(F.broadcast(short), "neighbor_id")
+               .join(F.broadcast(qv), "query_id")
+               .select("query_id", "neighbor_id",
+                       _sqdist(F.col("_qv"), F.col("_nv")).alias("d2")))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id", "adc_d2",
-                          F.col("rank").cast("int").alias("rank")))
+    return (exact.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id", "d2",
+                         F.col("rank").cast("int").alias("rank")))
 
 
 def ivfpq_index_append(spark, index_dir: str, increment: DataFrame,
@@ -1346,6 +1415,19 @@ def ivfpq_index_append(spark, index_dir: str, increment: DataFrame,
         F.round(F.avg("d2"), 6).alias("mean_d2")).collect()[0])
     upsert_parquet(spark, new_codes, f"{index_dir}/codes.parquet",
                    key=id_col, partition_col="list_id")
+    # a store_vectors=True index also carries the increment's raw
+    # vectors into their list partitions, keeping the re-rank path
+    # complete for appended ids (same keyed MERGE, same idempotency);
+    # existence goes through the Hadoop FS API so non-local index
+    # stores behave the same (the r9 store-probe convention)
+    from airline_data_warehouse_spark.sources.atomic import _fs
+    vec_path = f"{index_dir}/vectors.parquet"
+    hpath, fs = _fs(spark, vec_path)
+    if fs.exists(hpath(vec_path)):
+        upsert_parquet(spark,
+                       assigned.select(id_col, F.col("_v").alias("v"),
+                                       "list_id"),
+                       vec_path, key=id_col, partition_col="list_id")
     total_n = sum(r["n_vectors"] for r in stats.values())
     baseline = (sum(r["mean_d2"] * r["n_vectors"] for r in stats.values())
                 / total_n) if total_n else 0.0

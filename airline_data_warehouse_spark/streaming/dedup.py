@@ -122,7 +122,14 @@ def _read_store(spark, path: str, empty_like: DataFrame, batch_id: int,
     """
     if not _store_dir_exists(spark, path):
         return empty_like.limit(0)
-    df = spark.read.parquet(path).filter(F.col("batch_id") < F.lit(batch_id))
+    # explicit schema (empty_like's plus the batch_id every store row
+    # carries): spark.read.parquet() otherwise EAGERLY opens a footer
+    # per call for schema inference — five driver-side reads per
+    # micro-batch that were part of the measured ~5 s/batch cascade
+    # floor (VERDICT r09 item 5)
+    schema = empty_like.withColumn("batch_id", F.lit(int(batch_id))).schema
+    df = (spark.read.schema(schema).parquet(path)
+          .filter(F.col("batch_id") < F.lit(batch_id)))
     if retention_batches is not None:
         df = df.filter(F.col("batch_id") > batch_id - retention_batches)
     return df
@@ -530,21 +537,37 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
                 verdicts = docs.select(
                     id_col, F.lit("kept").alias("verdict"),
                     F.lit(None).cast("long").alias("partner_id"))
-            (verdicts.withColumn("batch_id", F.lit(batch_id))
-                     .coalesce(4).write.mode("append")
-                     .parquet(dirs["verdicts"]))
+            # all six writes run CONCURRENTLY (VERDICT r09 item 5): each
+            # is a tiny job whose cost is scheduling, not data — run
+            # sequentially they were ~60% of the measured ~5 s/batch
+            # floor; submitted together the wall-clock is max(job), not
+            # sum. Ordering is correctness-free by construction: the
+            # verdicts plan reads stores through _read_store's
+            # batch_id < current filter (its file index was also listed
+            # before any append lands), and signature appends commute
+            # with each other. Crash semantics are unchanged — ANY
+            # subset of the six may land before a crash, exactly as any
+            # prefix could before; retries re-append (duplicates removed
+            # at compaction / deduped on read) and re-classify
+            # identically. The first failure fails the micro-batch.
             bid = F.lit(batch_id)
-            (new_hashes.withColumn("batch_id", bid)
-                       .coalesce(4).write.mode("append")
-                       .parquet(dirs["hashes"]))
-            (new_bands.withColumn("batch_id", bid)
-             .coalesce(4).write.mode("append").parquet(dirs["bands"]))
-            (new_shingles.withColumn("batch_id", bid)
-               .coalesce(4).write.mode("append").parquet(dirs["shingles"]))
-            (new_emb_bands.withColumn("batch_id", bid)
-               .coalesce(4).write.mode("append").parquet(dirs["emb_bands"]))
-            (new_vectors.withColumn("batch_id", bid)
-               .coalesce(4).write.mode("append").parquet(dirs["vectors"]))
+            writes = [
+                (verdicts.withColumn("batch_id", bid), dirs["verdicts"]),
+                (new_hashes.withColumn("batch_id", bid), dirs["hashes"]),
+                (new_bands.withColumn("batch_id", bid), dirs["bands"]),
+                (new_shingles.withColumn("batch_id", bid), dirs["shingles"]),
+                (new_emb_bands.withColumn("batch_id", bid),
+                 dirs["emb_bands"]),
+                (new_vectors.withColumn("batch_id", bid), dirs["vectors"]),
+            ]
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                futs = [pool.submit(
+                    lambda frame, path: frame.coalesce(4).write
+                    .mode("append").parquet(path), f, p)
+                    for f, p in writes]
+                for fut in futs:
+                    fut.result()   # propagate the first failure
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                 for name in ("hashes", "bands", "shingles", "emb_bands",
                              "vectors"):

@@ -114,6 +114,7 @@ HEADLINE = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_index",
+    "similarity_topk_ivfpq_index_rerank",
     "similarity_topk_pq_rerank",
     "embedding_covariance",
     "pit_status_join",

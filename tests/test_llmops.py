@@ -1280,6 +1280,72 @@ def test_ivfpq_index_prunes_partitions(spark, tmp_path):
     assert len(out.collect()) == 3
 
 
+def test_ivfpq_index_rerank_full_probe_equals_exact_topk(spark, tmp_path):
+    """ivfpq_index_topk_rerank's contract (the pq_topk_rerank contract
+    lifted to the persisted layout): with every list probed and a
+    shortlist covering the corpus, the exact re-rank over the index's
+    vector partitions must equal brute-force exact squared-L2 top-k —
+    regardless of ADC resolution. Also pins that the vector fetch
+    prunes to probed lists (PartitionFilters on the vectors scan) and
+    that an EXTERNAL query id (not in the corpus) gets answers from
+    its own vector."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    rows, corpus = _rand_corpus(spark, 30, 8, seed=17)
+    idx = str(tmp_path / "ivfpq")
+    sim.ivfpq_index_build(corpus, idx, n_lists=4, m=2, codes_k=4,
+                          iters=2, dims=8)
+
+    q_ext = spark.createDataFrame([(999, list(rows[11][1]))],
+                                  "vec_id long, embedding array<double>")
+    out = sim.ivfpq_index_topk_rerank(spark, idx, q_ext, k=5,
+                                      shortlist=30, n_probe=4, m=2,
+                                      dims=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    mm = re.findall(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert any("list_id" in g for g in mm), buf.getvalue()
+
+    got = sorted((r["rank"], r["neighbor_id"], r["d2"])
+                 for r in out.collect())
+    # brute-force truth over the corpus for the external query vector
+    from pyspark.sql import Window as W
+    vv = corpus.select("vec_id", F.col("embedding").alias("v"))
+    qd = (spark.createDataFrame([(list(rows[11][1]),)], "qv array<double>")
+          .crossJoin(vv)
+          .withColumn("d2", sim._sqdist(F.col("qv"), F.col("v"))))
+    w = W.orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    truth = sorted((r["rk"], r["vec_id"], r["d2"]) for r in
+                   qd.withColumn("rk", F.row_number().over(w))
+                     .filter(F.col("rk") <= 5).collect())
+    assert got == truth
+    assert got[0][1] == 11 and got[0][2] == 0.0  # its twin, exactly
+
+
+def test_ivfpq_index_append_maintains_vector_partitions(spark, tmp_path):
+    """An append into a store_vectors=True index must carry the
+    increment's raw vectors into their list partitions, so the re-rank
+    path stays complete for appended ids: an appended exact duplicate
+    becomes its twin's d2=0 top hit through ivfpq_index_topk_rerank."""
+    rows, corpus = _rand_corpus(spark, 30, 8, seed=19)
+    idx = str(tmp_path / "ivfpq")
+    sim.ivfpq_index_build(corpus, idx, n_lists=4, m=2, codes_k=4,
+                          iters=2, dims=8)
+    inc = spark.createDataFrame([(200, list(rows[3][1]))],
+                                "vec_id long, embedding array<double>")
+    sim.ivfpq_index_append(spark, idx, inc, m=2, dims=8)
+    assert (spark.read.parquet(f"{idx}/vectors.parquet")
+            .filter(F.col("vec_id") == 200).count()) == 1
+    top = sim.ivfpq_index_topk_rerank(
+        spark, idx, corpus.filter(F.col("vec_id") == 3), k=3,
+        shortlist=31, n_probe=4, m=2, dims=8).collect()
+    best = min(top, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 200 and best["d2"] == 0.0
+
+
 def test_ivfpq_index_append_matches_frozen_rebuild(spark, tmp_path):
     """Incremental index maintenance (VERDICT r09 item 4): appending an
     increment must (a) leave the base corpus's code rows byte-identical,
@@ -2077,12 +2143,18 @@ def test_operator_broadcast_targets_are_bounded():
             "ADC LUT: |queries| x n_probe x m x codes_k",
         ("similarity.py", "ivfpq_index_build", "coarse", "centroid_vectors"):
             "IVF coarse centroids: n_lists rows (residual encode)",
-        ("similarity.py", "ivfpq_index_topk", "<expr:coarse>", "coarse"):
+        ("similarity.py", "_ivfpq_index_adc", "<expr:coarse>", "coarse"):
             "persisted coarse centroids: n_lists rows (read from index)",
-        ("similarity.py", "ivfpq_index_topk", "cb", "spark"):
+        ("similarity.py", "_ivfpq_index_adc", "cb", "spark"):
             "persisted residual codebook: m x codes_k rows (from index)",
-        ("similarity.py", "ivfpq_index_topk", "lut", "qsubs"):
+        ("similarity.py", "_ivfpq_index_adc", "lut", "qsubs"):
             "ADC LUT: |queries| x n_probe x m x codes_k",
+        ("similarity.py", "ivfpq_index_topk_rerank", "qv", "queries"):
+            "query vectors BUILT FROM THE QUERIES PARAM (the r9 "
+            "pq_topk_rerank contract)",
+        ("similarity.py", "ivfpq_index_topk_rerank", "short", "scored"):
+            "ADC shortlist: |queries| x shortlist rows (rank-filtered "
+            "from the probed-list candidates)",
         ("similarity.py", "ivfpq_index_append", "coarse", "spark"):
             "persisted coarse centroids: n_lists rows (frozen assign)",
         ("similarity.py", "embedding_covariance", "mu", "per_dim"):

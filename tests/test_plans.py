@@ -261,6 +261,62 @@ def test_no_cartesian_products(spark, sf_dir, registry):
     bad = ea.cartesian_violations(spark, sf_dir, registry)
     assert not bad, f"CartesianProduct in: {bad}"
 
+
+def test_ann_family_never_broadcasts_corpus(spark, sf_dir, registry):
+    """PLAN-level twin of the source-level broadcast allowlist (VERDICT
+    r09 item 6 — the r9 plan-reading prose turned into a tripwire):
+    across the ANN/embedding family, every BroadcastExchange subtree
+    that reaches a corpus table must either collapse cardinality
+    (aggregate / top-k / limit) or scan through a bounding pushed
+    filter (the query set's vec_id < k). A plain projection of the
+    corpus feeding a broadcast — the r9 pq_topk_rerank ADVICE-high —
+    fails here structurally, whatever the variable is named."""
+    import tools.explain_audit as ea
+    keys = [
+        "similarity_topk_bruteforce", "similarity_topk_lsh",
+        "similarity_topk_ivf", "similarity_topk_ivf_trained",
+        "similarity_topk_pq", "similarity_topk_pq_rerank",
+        "similarity_topk_ivfpq", "similarity_topk_ivfpq_index",
+        "similarity_topk_ivfpq_index_rerank",
+        "dedup_embedding_cosine", "dedup_semantic_ivf",
+        "hard_negative_mining", "embedding_covariance",
+    ]
+    # disable the size-stats broadcast threshold for the audit: at test
+    # SF the whole corpus is under 10 MB, so Catalyst legitimately
+    # broadcasts corpus-sized sides on STATS — a choice that self-
+    # corrects at real scale (AQE re-plans on real sizes). With the
+    # threshold off, every surviving BroadcastExchange is HINT-FORCED —
+    # exactly the set whose bounds must hold at any scale.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in keys:
+            if name in ea.BROADCAST_ALLOWLIST:
+                continue  # bound documented next to the allowlist entry
+            plan = ea.plan_of(registry[name].builder(spark, sf_dir))
+            bad = ea.broadcast_corpus_violations(plan)
+            assert not bad, f"{name}: {bad}"
+        assert set(ea.BROADCAST_ALLOWLIST) <= set(registry)
+
+        # positive control — rebuild the r9 bug shape (broadcast a
+        # plain projection of the corpus as 'query vectors') and assert
+        # the detector fires; a plan-format drift that blinds the
+        # parser must fail HERE, not quietly vacate the sweep above
+        import os
+        from pyspark.sql import functions as F
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet"))
+        vecs = emb.select("vec_id", F.col("embedding").alias("_v"))
+        buggy = (vecs.select(F.col("vec_id").alias("neighbor_id"), "_v")
+                 .join(F.broadcast(vecs.select(F.col("vec_id")
+                                               .alias("query_id"), "_v")),
+                       F.col("neighbor_id") != F.col("query_id")))
+        assert ea.broadcast_corpus_violations(ea.plan_of(buggy)), (
+            "detector failed to flag a corpus-proportional broadcast — "
+            "plan-text drifted; recalibrate _tree_nodes/_node_details")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
 def test_registry_orders_uncertified_code_first(monkeypatch):
     """The driver validates a bounded registry prefix per round, so
     ordering IS the recertification schedule. Rebalanced r08 per the

@@ -810,3 +810,87 @@ def test_stream_semantic_batch0_crash_between_appends_recovers(spark, tmp_path):
              for r in spark.read.parquet(f"{store}/pairs").collect()}
     assert (1, 1) not in pairs and (2, 2) not in pairs
     assert (10, 1) in pairs              # state survived the recovery
+
+
+def test_stream_index_ingest_appends_and_logs_drift(spark, tmp_path):
+    """Continuous embedding-index maintenance (streaming/index.py):
+    micro-batches of new vectors are frozen-quantizer appended into a
+    persisted IVFADC index — codes AND raw vectors land in their list
+    partitions, a drift row per batch lands in append_log, an appended
+    exact duplicate is queryable through the re-rank path, and an
+    out-of-distribution batch flips retrain_recommended in the log
+    (the offline-rebuild signal). A stream aimed at a MISSING index
+    fails its batch loudly instead of inventing quantizers."""
+    import json as jsonlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import similarity as sim
+    from airline_data_warehouse_spark.streaming.index import (
+        append_log,
+        start_index_ingest,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    corpus = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq")
+    sim.ivfpq_index_build(corpus, idx, n_lists=4, m=2, codes_k=4,
+                          iters=2, dims=8)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_batch(name, batch_rows):
+        with open(in_dir / name, "w") as f:
+            for vid, vec in batch_rows:
+                f.write(jsonlib.dumps({"vec_id": vid,
+                                       "embedding": vec}) + "\n")
+
+    write_batch("b0.json", [(100, list(rows[5][1]))])      # exact dup
+    write_batch("b1.json", [(101 + i,
+                             [v * 0.9 for v in rows[i][1]])
+                            for i in range(3)])            # in-dist
+    write_batch("b2.json", [(300 + i,
+                             [rng.uniform(-1, 1) * 40 for _ in range(8)])
+                            for i in range(2)])            # drifted
+
+    src = (spark.readStream.schema("vec_id long, embedding array<double>")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_index_ingest(src, idx, checkpoint_dir=str(tmp_path / "ckpt"),
+                           m=2, dims=8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    codes = spark.read.parquet(f"{idx}/codes.parquet")
+    assert codes.select("vec_id").distinct().count() == 30 + 6
+    log = {r["batch_id"]: r for r in append_log(spark, idx).collect()}
+    assert len(log) == 3
+    assert log[0]["appended"] == 1 and not log[0]["retrain_recommended"]
+    assert log[2]["retrain_recommended"]    # the drifted batch flags
+
+    # the duplicate appended by the STREAM answers through the re-rank
+    top = sim.ivfpq_index_topk_rerank(
+        spark, idx, corpus.filter(F.col("vec_id") == 5), k=3,
+        shortlist=40, n_probe=4, m=2, dims=8).collect()
+    best = min(top, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 100 and best["d2"] == 0.0
+
+    # missing index → the first batch raises (no silent quantizer
+    # invention); the stream surfaces it as a query failure
+    import pyspark.errors
+    src2 = (spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q2 = start_index_ingest(src2, str(tmp_path / "missing_idx"),
+                            checkpoint_dir=str(tmp_path / "ckpt2"),
+                            m=2, dims=8)
+    try:
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()

@@ -155,6 +155,111 @@ def window_violations(spark, sf_dir: str, registry) -> dict[str, list[str]]:
     return violations
 
 
+def _tree_nodes(plan: str) -> list[tuple[int, int, str]]:
+    """(indent_depth, node_id, name) per node line of a FORMATTED plan's
+    tree section. Depth is the marker column — subtree membership is
+    'deeper until back at or above my depth', which survives the
+    InMemoryRelation section's irregular extra indent."""
+    import re
+    nodes = []
+    for line in plan.splitlines():
+        if line.startswith("== "):
+            continue
+        if re.match(r"^\(\d+\) ", line):
+            break  # details section begins; tree is done
+        m = re.match(r"^(?P<prefix>[\s:+\-]*)(?:\*\s)?"
+                     r"(?P<name>[A-Za-z][\w .]*?)\s*\((?P<id>\d+)\)\s*$",
+                     line)
+        if m:
+            nodes.append((len(m.group("prefix")), int(m.group("id")),
+                          m.group("name").strip()))
+    return nodes
+
+
+def _node_details(plan: str) -> dict[int, str]:
+    """node_id → its details block from a FORMATTED plan (Location,
+    PushedFilters, ReadSchema, ...)."""
+    import re
+    details: dict[int, str] = {}
+    cur = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) ", line)
+        if m:
+            cur = int(m.group(1))
+            details[cur] = line + "\n"
+        elif cur is not None:
+            details[cur] += line + "\n"
+    return details
+
+
+# Nodes that collapse cardinality between a corpus scan and a broadcast:
+# an aggregate reduces to its group count, a limit to its k, a
+# WindowGroupLimit to k × groups (every ANN-family window partitions by
+# query id, so groups are query-bounded there).
+_COLLAPSING = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+               "GlobalLimit", "LocalLimit", "CollectLimit",
+               "WindowGroupLimit", "TakeOrderedAndProject")
+
+
+# Broadcast exchanges that are query-bounded by construction but whose
+# bound is invisible to the static detector — each with the reason
+# written next to it (the WINDOW_ALLOWLIST convention). NOT "it's small
+# today": the bound must hold at any corpus size.
+BROADCAST_ALLOWLIST = {
+    # anchors = (orig ∪ perturbed).filter(vec_id < 20): the filter
+    # pushes into the orig scan, but on the perturbed branch the
+    # predicate is (vec_id + 1000000) < 20 — not scan-pushable, so it
+    # sits as a Filter ABOVE the scan. The frame is ≤ 20 + 20 rows by
+    # that predicate at ANY corpus size.
+    "hard_negative_mining": "union-branch filter above scan bounds "
+                            "anchors to vec_id<20 on both branches",
+}
+
+
+def broadcast_corpus_violations(
+        plan: str,
+        corpus_markers: tuple[str, ...] = ("embeddings", "documents"),
+) -> list[str]:
+    """BroadcastExchange subtrees that scan a CORPUS table with neither
+    a cardinality-collapsing node above the scan nor a bounding pushed
+    filter on the scan itself — the corpus-proportional-broadcast OOM
+    class. This is the r9 ADVICE-high shape (pq_topk_rerank broadcast a
+    plain projection of the full embeddings table as 'query vectors')
+    turned into a plan-level tripwire: a query-side frame legitimately
+    broadcasts because its scan carries a selective pushed filter
+    (vec_id < 20 → LessThan in PushedFilters) or because an aggregate/
+    top-k collapsed it; a corpus-side frame has neither. Returns one
+    description per offending exchange."""
+    nodes = _tree_nodes(plan)
+    details = _node_details(plan)
+    out = []
+    for i, (depth, nid, name) in enumerate(nodes):
+        if "BroadcastExchange" not in name:
+            continue
+        subtree = []
+        for d2, id2, n2 in nodes[i + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append((id2, n2))
+        if any(any(c in n2 for c in _COLLAPSING) for _id2, n2 in subtree):
+            continue
+        for id2, n2 in subtree:
+            if not n2.startswith("Scan"):
+                continue
+            det = details.get(id2, "")
+            if not any(mk in det for mk in corpus_markers):
+                continue
+            pushed = det.split("PushedFilters: [", 1)
+            bounding = len(pushed) > 1 and any(
+                tok in pushed[1].split("]", 1)[0]
+                for tok in ("LessThan", "GreaterThan", "EqualTo", "In("))
+            if not bounding:
+                out.append(f"BroadcastExchange ({nid}) builds from "
+                           f"corpus scan ({id2}) with no collapsing "
+                           f"node and no bounding pushed filter")
+    return out
+
+
 def cartesian_violations(spark, sf_dir: str, registry) -> list[str]:
     """Queries whose physical plan contains a CartesianProduct — the
     shuffle-free all-pairs join that is quadratic at any scale. Every
