@@ -1,0 +1,164 @@
+"""Iterative graph scoring: PageRank over an edge table — the
+link-graph importance weighting a web-scale corpus pipeline runs
+before quality-weighted sampling (Common-Crawl-style link-graph
+curation; Page et al. 1999), and the iterative-graph class the dedup
+family's pointer-doubling connected components doesn't cover
+(propagation to a FIXPOINT of a numeric score, not a label).
+
+Exact-integer arithmetic throughout (the round-10 PQ-family lesson,
+taken as a design rule for every new numeric-iterative operator):
+ranks live in micro-units of 1e-12 as BIGINTs, every division is the
+integer half-up q = (2a + b) // (2b), and damping multiplies as
+(170x + 100) // 200 — so the result is deterministic by ARITHMETIC in
+any engine, never by float-rounding convention, and the DuckDB oracle
+unrolls the iterations bit-for-bit. The rounded mass drifts from the
+true real-valued PageRank by < 1e-12 per node per step (documented,
+bounded, and identical everywhere).
+
+Scale shape: per iteration one edges ⋈ ranks ⋈ outdeg join keyed on
+src (AQE-planned — the ranks/outdeg sides are node-cardinality), one
+dst-keyed sum, and two 1-row scalar aggregates (node count, dangling
+mass) that ride as broadcast scalars — the exact_counts precedent.
+Nothing is ever corpus² and no rank state lives on the driver;
+``iters`` is fixed (the kmeans_assign bounded-iteration convention)
+so the oracle can unroll it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airline_data_warehouse_spark.operators.dedup import _persist
+
+
+def _div_halfup(n: Column, d: Column) -> Column:
+    """Integer half-up division for non-negative BIGINT micro-units:
+    (2n + d) // (2d). Implemented as subtract-remainder-then-divide so
+    the double division is exact (numerator ≤ ~2e14, exactly divisible
+    — far under 2^53)."""
+    num = F.lit(2) * n + d
+    den = F.lit(2) * d
+    return ((num - num % den) / den).cast("long")
+
+
+def _damp(x: Column) -> Column:
+    """half-up of 0.85 × x in micro-units: (170x + 100) // 200."""
+    num = F.lit(170) * x + F.lit(100)
+    return ((num - num % 200) / 200).cast("long")
+
+
+def pagerank(edges: DataFrame, iters: int = 3,
+             src_col: str = "src", dst_col: str = "dst",
+             id_col: str = "node_id") -> DataFrame:
+    """Damped PageRank (d = 0.85) over a directed edge list, ``iters``
+    synchronous iterations from the uniform start, dangling mass
+    redistributed uniformly each step (the standard formulation).
+
+    Returns (node_id, rank_micro BIGINT, rank DOUBLE): rank_micro is
+    the exact integer result (what the oracle hash-compares); rank is
+    rank_micro / 1e12 for human use — the same double in every engine
+    because the integer is.
+
+    Duplicate edges are NOT collapsed (a multi-edge contributes its
+    multiplicity, matching the random-surfer model on a multigraph);
+    callers wanting simple-graph semantics pass ``edges.distinct()``.
+    Self-loops count as ordinary edges."""
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias(id_col))
+             .unionByName(e.select(F.col("dst").alias(id_col)))
+             .distinct())
+    outdeg = (e.groupBy(F.col("src").alias(id_col))
+              .agg(F.count(F.lit(1)).alias("deg")))
+    # 1-row scalar frame: node count (the exact_counts broadcast
+    # precedent — schema-bounded, never grows)
+    ncount = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    scale = F.lit(10 ** 12).cast("long")
+    ranks = (nodes.crossJoin(F.broadcast(ncount))
+             .select(id_col, _div_halfup(scale, F.col("n")).alias("micro")))
+    for _ in range(iters):
+        # the cache registry (freed by dedup.release_caches): each
+        # iteration reads ranks twice (contrib + dangling) and the next
+        # iteration's lineage would otherwise nest the whole prior plan
+        ranks = _persist(ranks)
+        contrib = (ranks.join(outdeg, id_col)
+                   .select(id_col,
+                           _div_halfup(F.col("micro"),
+                                       F.col("deg")).alias("c")))
+        inflow = (e.join(contrib.withColumnRenamed(id_col, "src"), "src")
+                  .groupBy(F.col("dst").alias(id_col))
+                  .agg(F.sum("c").alias("infl")))
+        # dangling mass: ranks of nodes with no out-edges — a 1-row
+        # scalar, rides with the node count in one broadcast frame
+        dang = (ranks.join(outdeg.select(id_col), id_col, "left_anti")
+                .agg(F.coalesce(F.sum("micro"), F.lit(0)).alias("dang")))
+        scal = ncount.crossJoin(dang)
+        ranks = (nodes.join(inflow, id_col, "left")
+                 .crossJoin(F.broadcast(scal))
+                 .select(
+                     id_col,
+                     (_div_halfup(F.lit(150_000_000_000).cast("long"),
+                                  F.col("n"))
+                      + _damp(F.coalesce(F.col("infl"), F.lit(0))
+                              + _div_halfup(F.col("dang"), F.col("n"))))
+                     .alias("micro")))
+    return ranks.select(
+        id_col, F.col("micro").alias("rank_micro"),
+        (F.col("micro") / F.lit(1e12)).alias("rank"))
+
+
+def label_propagation(nodes: DataFrame, edges: DataFrame,
+                      seeds: DataFrame, iters: int = 2,
+                      prior_micro: int = 500_000_000_000,
+                      id_col: str = "node_id") -> DataFrame:
+    """Semi-supervised score propagation with clamped seeds (Zhu &
+    Ghahramani 2002): every seeded node keeps its seed score at every
+    step; every unlabeled node takes the half-up integer MEAN of its
+    in-neighbors' previous scores; an unlabeled node with no
+    in-neighbors keeps its previous score (the ``prior_micro`` start —
+    an uninformative 0.5 by default). The corpus-curation use: spread a
+    small human-rated quality subset over the near-dup/similarity
+    graph, so unrated documents inherit their cluster's rating before
+    quality-weighted sampling.
+
+    Inputs: ``nodes`` (id) — the FULL population, not just graph
+    endpoints (isolated documents must still come out, at their seed or
+    prior); ``edges`` (src, dst) — influence flows src → dst, pass both
+    directions for an undirected similarity graph; ``seeds``
+    (id, seed_micro BIGINT in [0, 1e12]).
+
+    Integer micro-unit arithmetic throughout (the pagerank discipline):
+    deterministic by arithmetic in any engine, oracle-unrollable.
+    Per iteration: one edges ⋈ scores join keyed on src, one dst-keyed
+    (sum, count) aggregate, one id-keyed reassembly — node-cardinality
+    frames only, nothing corpus². Output: (node_id, score_micro,
+    score DOUBLE = micro / 1e12, seeded BOOLEAN)."""
+    sd = seeds.select(F.col(id_col),
+                      F.col("seed_micro").cast("long").alias("_seed"))
+    scores = (nodes.select(id_col).join(sd, id_col, "left")
+              .select(id_col,
+                      F.coalesce("_seed",
+                                 F.lit(prior_micro).cast("long"))
+                       .alias("score")))
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    for _ in range(iters):
+        scores = _persist(scores)
+        inflow = (e.join(scores.withColumnRenamed(id_col, "src"), "src")
+                  .groupBy(F.col("dst").alias(id_col))
+                  .agg(F.sum("score").alias("tot"),
+                       F.count(F.lit(1)).alias("cnt")))
+        scores = (scores.join(sd, id_col, "left")
+                  .join(inflow, id_col, "left")
+                  .select(id_col,
+                          F.when(F.col("_seed").isNotNull(),
+                                 F.col("_seed"))
+                           .when(F.col("cnt").isNull(), F.col("score"))
+                           .otherwise(_div_halfup(F.col("tot"),
+                                                  F.col("cnt")))
+                           .alias("score")))
+    return (scores.join(sd, id_col, "left")
+            .select(id_col, F.col("score").alias("score_micro"),
+                    (F.col("score") / F.lit(1e12)).alias("score"),
+                    F.col("_seed").isNotNull().alias("seeded")))

@@ -149,6 +149,9 @@ HEADLINE = [
     "grouping_sets_revenue",
     "snapshot_reconciliation",
     "source_divergence_report",
+    # r10 additions: persisted-index query paths + iterative graph
+    "trade_graph_pagerank",
+    "quality_label_propagation",
 ]
 
 

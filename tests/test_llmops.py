@@ -2186,6 +2186,11 @@ def test_operator_broadcast_targets_are_bounded():
             "1-row total",
         ("text.py", "lm_score", "lm", "lm_pairs"):
             "hashed-bucket LM: <= buckets rows",
+        # --- graph ---
+        ("graph.py", "pagerank", "ncount", "nodes"):
+            "1-row node count (exact_counts precedent)",
+        ("graph.py", "pagerank", "scal", "ncount"):
+            "1-row (node count, dangling mass) scalar frame",
         # --- sampling / llmops ---
         ("sampling.py", "curriculum_order", "offsets", "b"):
             "per-bucket offsets: bounded by bucket count",
@@ -2261,3 +2266,89 @@ def test_pca_whiten_decorrelates_and_normalizes(spark):
             cov = sum((a - mx) * (b - my)
                       for a, b in zip(cols[x], cols[y])) / 399
             assert abs(cov) < 0.05, (x, y, cov)   # decorrelated
+
+
+def test_pagerank_matches_independent_integer_reference(spark):
+    """operators/graph.pagerank vs an independent plain-Python
+    re-implementation of the same integer arithmetic, on a graph with
+    every structural case: a hub (most in-links), a dangling sink (no
+    out-edges), a multi-edge (counts its multiplicity), and a
+    self-loop. Also pins: total mass stays within N half-up roundings
+    of 1e12, the hub outranks every spoke, and two runs are identical."""
+    from airline_data_warehouse_spark.operators.graph import pagerank
+
+    edges = [(1, 9), (2, 9), (3, 9), (4, 9),       # spokes -> hub
+             (9, 5),                               # hub -> sink (5 dangles)
+             (2, 3), (2, 3),                       # multi-edge
+             (4, 4)]                               # self-loop
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node_id"]: r["rank_micro"] for r in
+           pagerank(e, iters=3).collect()}
+
+    def halfup(a, b):
+        return (2 * a + b) // (2 * b)
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: halfup(10 ** 12, n) for v in nodes}
+    for _ in range(3):
+        infl = {v: 0 for v in nodes}
+        for s, d in edges:
+            infl[d] += halfup(r[s], outdeg[s])
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        r = {v: halfup(150_000_000_000, n)
+             + (170 * (infl[v] + halfup(dang, n)) + 100) // 200
+             for v in nodes}
+    assert got == r
+
+    assert abs(sum(got.values()) - 10 ** 12) <= n * 3  # mass conserved
+    # the sink drains the hub's entire mass (9's sole out-edge), so the
+    # ordering is sink > hub > every spoke
+    assert got[5] == max(got.values())
+    assert got[9] == max(v for k, v in got.items() if k != 5)
+    again = {row["node_id"]: row["rank_micro"] for row in
+             pagerank(e, iters=3).collect()}
+    assert again == got
+
+
+def test_label_propagation_matches_independent_reference(spark):
+    """graph.label_propagation vs a plain-Python re-implementation of
+    the same integer arithmetic, exercising every rule: clamped seeds
+    never move, an unlabeled node takes the half-up mean of its
+    in-neighbors, an isolated unlabeled node keeps the 0.5 prior, and
+    a node whose only neighbors are seeds converges to their mean."""
+    from airline_data_warehouse_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # 1,2 seeded; 3 between them; 4 chained off 3; 9 isolated
+    node_ids = [1, 2, 3, 4, 9]
+    edge_list = [(1, 3), (2, 3), (3, 1), (3, 2),   # undirected 1-3, 2-3
+                 (3, 4), (4, 3)]                   # undirected 3-4
+    seed_map = {1: 10 ** 12, 2: 0}
+    nodes = spark.createDataFrame([(v,) for v in node_ids],
+                                  "node_id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame(list(seed_map.items()),
+                                  "node_id long, seed_micro long")
+    got = {r["node_id"]: (r["score_micro"], r["seeded"]) for r in
+           label_propagation(nodes, edges, seeds, iters=2).collect()}
+
+    def halfup(a, b):
+        return (2 * a + b) // (2 * b)
+
+    s = {v: seed_map.get(v, 500_000_000_000) for v in node_ids}
+    for _ in range(2):
+        infl = {}
+        for a, b in edge_list:
+            infl.setdefault(b, []).append(s[a])
+        s = {v: (seed_map[v] if v in seed_map
+                 else halfup(sum(infl[v]), len(infl[v])) if v in infl
+                 else s[v])
+             for v in node_ids}
+    assert got == {v: (s[v], v in seed_map) for v in node_ids}
+    assert got[1] == (10 ** 12, True) and got[2] == (0, True)  # clamped
+    assert got[9] == (500_000_000_000, False)                  # isolated
