@@ -301,3 +301,28 @@ def weighted_sample_topk(df: DataFrame, n: int, weight_col: str,
               .withColumn("es_score", score)
               .orderBy(F.col("es_score").desc(), F.col(key_col).asc())
               .limit(n))
+
+
+def cluster_safe_split(df: DataFrame, clusters: DataFrame,
+                       holdout_fraction: float, id_col: str = "doc_id",
+                       salt: str = "adw-cluster-split"
+                       ) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) split that can never put two NEAR-DUPLICATES on
+    opposite sides: the unit of assignment is the near-dup CLUSTER
+    (``clusters``: (id, cluster_id), e.g. connected components over the
+    verified Jaccard pair graph — dedup.connected_components), and a
+    whole cluster goes to one side by its salted cluster-id hash. This
+    is split_train_holdout's contamination guarantee STRENGTHENED from
+    exact-duplicate leakage to near-duplicate leakage — a paraphrase of
+    a holdout document in the training side is exactly the eval
+    contamination a doc-id hash split cannot prevent (the Lee et al.
+    2022 dedup-before-split finding).
+
+    Shape: one id-keyed join to attach cluster ids (AQE-planned; the
+    cluster table is corpus-cardinality, never broadcast-hinted), then
+    two narrow filters on the hash — deterministic under reruns and
+    repartitioning, folds disjoint by construction."""
+    cut = int(holdout_fraction * MERSENNE_P)
+    labeled = df.join(clusters, id_col)
+    h = _keyed_hash("cluster_id", salt)
+    return labeled.filter(h >= cut), labeled.filter(h < cut)

@@ -1149,3 +1149,71 @@ def dsir_hashed_importance_weights(raw: DataFrame, target: DataFrame,
                      "lp_target", "lp_raw",
                      lw.alias("log_weight"),
                      F.round(F.exp(lw), 6).alias("weight")))
+
+
+def token_cooccurrence_pmi(df: DataFrame, window: int = 2,
+                           min_count: int = 5, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Pointwise mutual information over within-window token pairs —
+    the classic distributional-semantics table (Church & Hanks 1990)
+    a pipeline builds before count-based embeddings (PPMI+SVD), for
+    collocation mining, or as a phrase detector:
+    PMI(a,b) = ln p(a,b) − ln p(a) − ln p(b), with p(a,b) from
+    unordered co-occurrences within ``window`` positions and p(·) from
+    unigram counts.
+
+    Spark-first shape: pairs are generated IN-ROW — for each distance
+    d in 1..window, zip the token array against itself shifted by d —
+    so there is NO positional self-join; the only shuffles are the
+    (w1, w2)- and token-keyed aggregations, whose Zipf-skewed hot keys
+    collapse map-side (partial aggregation) before moving.
+    ``min_count`` bounds the output table (the Heaps'/Zipf tail is
+    noise below it — standard PMI practice, and PMI of rare pairs is
+    degenerate anyway).
+
+    Determinism contract (the source_token_divergence convention): the
+    five ln terms — ln pair_n, ln c1, ln c2, ln T, ln N, each ln of an
+    integer-valued double — are rounded 6 dp individually and summed
+    exactly in DECIMAL, so no product ever approaches 2^53 and both
+    engines agree in any row order. Pairs are canonicalized unordered
+    (w1 <= w2); a repeated token within the window co-occurs with
+    itself (counted once per position pair, like any other pair).
+
+    Output: (w1, w2, pair_n, c1, c2, pmi)."""
+    arr = F.filter(_tokens(F.lower(F.col(text_col))),
+                   lambda x: x != F.lit(""))
+    docs = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(arr.alias("_a")))
+    # slice length clamps at 0 so a doc shorter than the window yields
+    # no pairs at that distance instead of a negative-length error
+    pair_arrays = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.lit(window)),
+        lambda d: F.zip_with(
+            F.slice(F.col("_a"), F.lit(1),
+                    F.greatest(F.size("_a") - d, F.lit(0))),
+            F.slice(F.col("_a"), d + 1,
+                    F.greatest(F.size("_a") - d, F.lit(0))),
+            lambda x, y: F.struct(F.least(x, y).alias("w1"),
+                                  F.greatest(x, y).alias("w2")))))
+    pairs = (docs.filter(F.size("_a") >= 2)
+             .select(F.explode(pair_arrays).alias("p"))
+             .select("p.w1", "p.w2"))
+    pc = (pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+          .filter(F.col("pair_n") >= min_count))
+    toks = docs.select(F.explode("_a").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = (pairs.agg(F.count(F.lit(1)).alias("t"))
+           .crossJoin(toks.agg(F.count(F.lit(1)).alias("n"))))
+
+    def _ln6(c):
+        return F.round(F.log(c.cast("double")), 6).cast("decimal(20,6)")
+
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    return (pc.join(u1, "w1").join(u2, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "pair_n", "c1", "c2",
+                    (_ln6(F.col("pair_n")) - _ln6(F.col("t"))
+                     - _ln6(F.col("c1")) - _ln6(F.col("c2"))
+                     + F.lit(2).cast("decimal(20,6)") * _ln6(F.col("n")))
+                    .cast("double").alias("pmi")))

@@ -152,6 +152,8 @@ HEADLINE = [
     # r10 additions: persisted-index query paths + iterative graph
     "trade_graph_pagerank",
     "quality_label_propagation",
+    "token_pmi_table",
+    "cluster_safe_split_report",
 ]
 
 

@@ -2172,6 +2172,8 @@ def test_operator_broadcast_targets_are_bounded():
             "per-QUERY-term document frequencies: <= |query terms|",
         ("text.py", "source_token_divergence", "tot", "cc"):
             "1-row total",
+        ("text.py", "token_cooccurrence_pmi", "tot", "pairs"):
+            "1-row (total pairs, total tokens) scalar frame",
         ("text.py", "source_token_divergence", "tot_s", "sc"):
             "per-source totals: |sources| rows (catalog attribute)",
         ("text.py", "dsir_importance_weights", "v", "lm_pairs"):
@@ -2352,3 +2354,64 @@ def test_label_propagation_matches_independent_reference(spark):
     assert got == {v: (s[v], v in seed_map) for v in node_ids}
     assert got[1] == (10 ** 12, True) and got[2] == (0, True)  # clamped
     assert got[9] == (500_000_000_000, False)                  # isolated
+
+
+def test_token_pmi_counts_and_formula(spark):
+    """token_cooccurrence_pmi on a hand-countable corpus: window-2
+    unordered pair counts (adjacent + distance-2, canonicalized
+    w1 <= w2), min_count filtering, and the PMI value recomputed
+    independently with Python ln under the same 6-dp-per-term
+    convention."""
+    import decimal
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a  b"), (3, "c"), (4, "  ")],
+        "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           tx.token_cooccurrence_pmi(docs, window=2, min_count=2)
+             .collect()}
+    # doc1 pairs: d1 (a,b)(a,b)(a,b); d2 (a,a)(b,b)
+    # doc2 pairs: d1 (a,b)(a,b); d2 (b,b)
+    assert out[("a", "b")]["pair_n"] == 5
+    assert out[("b", "b")]["pair_n"] == 2
+    assert ("a", "a") not in out          # count 1 < min_count
+    assert ("c", "c") not in out          # single-token doc: no pairs
+    assert out[("a", "b")]["c1"] == 3 and out[("a", "b")]["c2"] == 4
+
+    def ln6(x):
+        return decimal.Decimal(repr(round(math.log(x), 6)))
+
+    t, n = 8, 8                            # total pairs, total tokens
+    want = float(ln6(5) - ln6(t) - ln6(3) - ln6(4) + 2 * ln6(n))
+    assert out[("a", "b")]["pmi"] == want
+
+
+def test_cluster_safe_split_never_separates_near_dups(spark):
+    """The leakage property itself, end to end: planted near-duplicate
+    pairs (and their transitive chains) always land on ONE side of the
+    split — across every cluster, both sides together partition the
+    corpus, and membership is stable across reruns."""
+    base = ("quick brown foxes jump over remarkably lazy dogs near the "
+            "winding riverbank every misty morning ") * 3
+    rows = []
+    for i in range(40):
+        uniq = f"document {i} carries its own distinct marker phrase " \
+               f"number {i * 7} "
+        rows.append((2 * i, uniq + base))
+        rows.append((2 * i + 1, uniq + base + "tail"))   # near-dup of 2i
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.6)
+    clusters = dd.connected_components(pairs, docs.select("doc_id"))
+    from airline_data_warehouse_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+    train, hold = cluster_safe_split(docs, clusters, 0.3)
+    t_ids = {r["doc_id"] for r in train.collect()}
+    h_ids = {r["doc_id"] for r in hold.collect()}
+    assert t_ids | h_ids == {r[0] for r in rows} and not (t_ids & h_ids)
+    assert h_ids, "0.3 fraction over 40 clusters should hit some"
+    for i in range(40):                    # no pair straddles
+        assert (2 * i in t_ids) == (2 * i + 1 in t_ids)
+    t2, _h2 = cluster_safe_split(docs, clusters, 0.3)
+    assert {r["doc_id"] for r in t2.collect()} == t_ids   # rerun-stable
