@@ -154,6 +154,7 @@ HEADLINE = [
     "quality_label_propagation",
     "token_pmi_table",
     "cluster_safe_split_report",
+    "cosupplier_graph_triangles",
 ]
 
 

@@ -2415,3 +2415,36 @@ def test_cluster_safe_split_never_separates_near_dups(spark):
         assert (2 * i in t_ids) == (2 * i + 1 in t_ids)
     t2, _h2 = cluster_safe_split(docs, clusters, 0.3)
     assert {r["doc_id"] for r in t2.collect()} == t_ids   # rerun-stable
+
+
+def test_triangle_counts_known_graph(spark):
+    """triangle_counts on a hand-analyzable graph: K4 (every node in 3
+    triangles, clustering 1.0), a pendant vertex (degree 1 → zero
+    clustering), a square with one diagonal (the two diagonal nodes
+    close one triangle each... exactly: square 5-6-7-8 + diagonal 5-7
+    has triangles {5,6,7} and {5,7,8}), duplicate/reversed input edges
+    collapsed, self-loops ignored."""
+    from airline_data_warehouse_spark.operators.graph import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 10),                      # pendant off the K4
+             (5, 6), (6, 7), (7, 8), (8, 5), (5, 7),   # square+diag
+             (2, 1), (1, 2),               # dup + reversed: collapsed
+             (9, 9)]                       # self-loop: ignored
+    e = spark.createDataFrame(k4 + extra, "src long, dst long")
+    got = {r["node_id"]: r for r in triangle_counts(e).collect()}
+
+    for v in (1, 2, 3):
+        assert got[v]["triangles"] == 3
+    assert got[4]["triangles"] == 3 and got[4]["degree"] == 4
+    # K4 inner nodes: deg 3, all 3 wedge pairs closed -> clustering 1.0
+    assert got[1]["clustering_micro"] == 10 ** 12
+    # node 4: deg 4 -> 6 wedge pairs, 3 closed -> 0.5
+    assert got[4]["clustering_micro"] == 500_000_000_000
+    assert got[10] == got[10] and got[10]["triangles"] == 0
+    assert got[10]["clustering_micro"] == 0 and got[10]["degree"] == 1
+    assert got[5]["triangles"] == 2 and got[7]["triangles"] == 2
+    assert got[6]["triangles"] == 1 and got[8]["triangles"] == 1
+    # diagonal nodes: deg 3 -> 3 pairs, 2 closed -> 2/3 half-up
+    assert got[5]["clustering_micro"] == 666_666_666_667
+    assert 9 not in got                    # self-loop-only node drops
