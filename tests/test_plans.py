@@ -287,6 +287,14 @@ def test_ann_family_never_broadcasts_corpus(spark, sf_dir, registry):
     # corrects at real scale (AQE re-plans on real sizes). With the
     # threshold off, every surviving BroadcastExchange is HINT-FORCED —
     # exactly the set whose bounds must hold at any scale.
+    # clean cache state first: earlier tests that built registry plans
+    # left _persist frames registered in Spark's CacheManager, and
+    # cache substitution rewrites MATCHING subtrees of new plans into
+    # InMemoryRelation wrappers — changing the very tree shapes this
+    # audit greps (the audit must see the cold-plan shape every run)
+    from airline_data_warehouse_spark.operators.dedup import release_caches
+    release_caches()
+    spark.catalog.clearCache()
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

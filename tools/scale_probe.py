@@ -86,6 +86,14 @@ PROBE_QUERIES = [
     "similarity_topk_ivfpq",
     "similarity_topk_pq_rerank",
     "embedding_covariance",
+    # r10: persisted-index query paths + graph/PMI/split operators
+    "similarity_topk_ivfpq_index",
+    "similarity_topk_ivfpq_index_rerank",
+    "trade_graph_pagerank",
+    "quality_label_propagation",
+    "token_pmi_table",
+    "cluster_safe_split_report",
+    "cosupplier_graph_triangles",
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",
