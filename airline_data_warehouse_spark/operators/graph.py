@@ -50,10 +50,21 @@ def _damp(x: Column) -> Column:
 
 def pagerank(edges: DataFrame, iters: int = 3,
              src_col: str = "src", dst_col: str = "dst",
-             id_col: str = "node_id") -> DataFrame:
+             id_col: str = "node_id",
+             seeds: DataFrame | None = None) -> DataFrame:
     """Damped PageRank (d = 0.85) over a directed edge list, ``iters``
-    synchronous iterations from the uniform start, dangling mass
-    redistributed uniformly each step (the standard formulation).
+    synchronous iterations, dangling mass redistributed to the teleport
+    distribution each step (the standard formulation).
+
+    ``seeds=None`` (default): the classic global variant — teleport is
+    uniform over all nodes, start is uniform. With ``seeds`` (a frame
+    with an ``id_col`` column): PERSONALIZED PageRank — teleport mass,
+    the dangling redistribution, and the start distribution all
+    concentrate uniformly on the seed set, so ranks measure relevance
+    RELATIVE TO the seeds (random walk with restarts; the
+    retrieval/recommendation form — "importance from these anchors'
+    point of view"). Seed ids not present in the graph still receive
+    teleport mass (they are part of the node set).
 
     Returns (node_id, rank_micro BIGINT, rank DOUBLE): rank_micro is
     the exact integer result (what the oracle hash-compares); rank is
@@ -69,15 +80,31 @@ def pagerank(edges: DataFrame, iters: int = 3,
     nodes = (e.select(F.col("src").alias(id_col))
              .unionByName(e.select(F.col("dst").alias(id_col)))
              .distinct())
+    if seeds is not None:
+        sfr = seeds.select(F.col(id_col).cast("long").alias(id_col)) \
+                   .distinct()
+        nodes = nodes.unionByName(sfr).distinct()
+        # teleport membership flag: node-cardinality left-semi marker
+        nodes = _persist(
+            nodes.join(sfr.withColumn("_p", F.lit(True)), id_col, "left")
+                 .select(id_col, F.coalesce("_p", F.lit(False)).alias("_p")))
+        pcount = (nodes.filter("_p")
+                  .agg(F.count(F.lit(1)).alias("n")))
+    else:
+        nodes = nodes.withColumn("_p", F.lit(True))
+        pcount = nodes.agg(F.count(F.lit(1)).alias("n"))
     outdeg = (e.groupBy(F.col("src").alias(id_col))
               .agg(F.count(F.lit(1)).alias("deg")))
-    # 1-row scalar frame: node count (the exact_counts broadcast
+    # 1-row scalar frame: teleport-set size (the exact_counts broadcast
     # precedent — schema-bounded, never grows)
-    ncount = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     scale = F.lit(10 ** 12).cast("long")
-    ranks = (nodes.crossJoin(F.broadcast(ncount))
-             .select(id_col, _div_halfup(scale, F.col("n")).alias("micro")))
+    zero = F.lit(0).cast("long")
+    ranks = (nodes.crossJoin(F.broadcast(pcount))
+             .select(id_col,
+                     F.when(F.col("_p"),
+                            _div_halfup(scale, F.col("n")))
+                      .otherwise(zero).alias("micro")))
     for _ in range(iters):
         # the cache registry (freed by dedup.release_caches): each
         # iteration reads ranks twice (contrib + dangling) and the next
@@ -91,18 +118,23 @@ def pagerank(edges: DataFrame, iters: int = 3,
                   .groupBy(F.col("dst").alias(id_col))
                   .agg(F.sum("c").alias("infl")))
         # dangling mass: ranks of nodes with no out-edges — a 1-row
-        # scalar, rides with the node count in one broadcast frame
+        # scalar, rides with the teleport count in one broadcast frame
         dang = (ranks.join(outdeg.select(id_col), id_col, "left_anti")
                 .agg(F.coalesce(F.sum("micro"), F.lit(0)).alias("dang")))
-        scal = ncount.crossJoin(dang)
+        scal = pcount.crossJoin(dang)
+        base = F.when(F.col("_p"),
+                      _div_halfup(F.lit(150_000_000_000).cast("long"),
+                                  F.col("n"))).otherwise(zero)
+        dshare = F.when(F.col("_p"),
+                        _div_halfup(F.col("dang"),
+                                    F.col("n"))).otherwise(zero)
         ranks = (nodes.join(inflow, id_col, "left")
                  .crossJoin(F.broadcast(scal))
                  .select(
-                     id_col,
-                     (_div_halfup(F.lit(150_000_000_000).cast("long"),
-                                  F.col("n"))
+                     id_col, "_p",
+                     (base
                       + _damp(F.coalesce(F.col("infl"), F.lit(0))
-                              + _div_halfup(F.col("dang"), F.col("n"))))
+                              + dshare))
                      .alias("micro")))
     return ranks.select(
         id_col, F.col("micro").alias("rank_micro"),

