@@ -33,25 +33,39 @@ from airline_data_warehouse_spark.operators.dedup import _persist
 
 
 def _div_halfup(n: Column, d: Column) -> Column:
-    """Integer half-up division for non-negative BIGINT micro-units:
-    (2n + d) // (2d). Implemented as subtract-remainder-then-divide so
-    the double division is exact (numerator ≤ ~2e14, exactly divisible
-    — far under 2^53)."""
-    num = F.lit(2) * n + d
-    den = F.lit(2) * d
+    """Integer half-up division for non-negative integer micro-units:
+    (2n + d) // (2d), computed in DECIMAL(38,0) (the triangle_counts
+    precedent) so it is exact at ANY magnitude a graph can produce.
+    The r10 long/double path was exact only for numerators ≤ ~2^53;
+    label_propagation's numerator 2·Σ(in-neighbor scores) passes that
+    once a node has ~4,500 full-score in-neighbors — exactly the
+    template-spam/LSH-hub case the operator targets (ADVICE r10-medium;
+    pinned by test_label_propagation_high_degree_hub_exact).
+    num − num % den is exactly divisible, and dividing exactly-divisible
+    DECIMAL(38,0)s yields the exact integer quotient."""
+    nd = n.cast("decimal(38,0)")
+    dd = d.cast("decimal(38,0)")
+    num = F.lit(2).cast("decimal(38,0)") * nd + dd
+    den = F.lit(2).cast("decimal(38,0)") * dd
     return ((num - num % den) / den).cast("long")
 
 
 def _damp(x: Column) -> Column:
-    """half-up of 0.85 × x in micro-units: (170x + 100) // 200."""
-    num = F.lit(170) * x + F.lit(100)
-    return ((num - num % 200) / 200).cast("long")
+    """half-up of 0.85 × x in micro-units: (170x + 100) // 200 — same
+    DECIMAL(38,0) discipline as _div_halfup (x is bounded by total rank
+    mass ~1.3e12 today, but exactness must not depend on that bound
+    holding for every future caller)."""
+    num = F.lit(170).cast("decimal(38,0)") * x.cast("decimal(38,0)") \
+        + F.lit(100).cast("decimal(38,0)")
+    den = F.lit(200).cast("decimal(38,0)")
+    return ((num - num % den) / den).cast("long")
 
 
 def pagerank(edges: DataFrame, iters: int = 3,
              src_col: str = "src", dst_col: str = "dst",
              id_col: str = "node_id",
-             seeds: DataFrame | None = None) -> DataFrame:
+             seeds: DataFrame | None = None,
+             weight_col: str | None = None) -> DataFrame:
     """Damped PageRank (d = 0.85) over a directed edge list, ``iters``
     synchronous iterations, dangling mass redistributed to the teleport
     distribution each step (the standard formulation).
@@ -71,12 +85,29 @@ def pagerank(edges: DataFrame, iters: int = 3,
     rank_micro / 1e12 for human use — the same double in every engine
     because the integer is.
 
+    ``weight_col`` (optional, positive integers — e.g. order totals in
+    exact cents): the WEIGHTED random surfer — an edge receives
+    halfup(rank × w_e, W_src) where W_src is the source's total
+    out-weight, so a node's rank splits proportionally to edge weight
+    instead of uniformly. Rows with w ≤ 0 are dropped (zero transition
+    probability). The unweighted form is the weighted form at w ≡ 1
+    (halfup(rank·1, outdeg) ≡ halfup(rank, outdeg) — bit-identical to
+    the r10 certified shape). rank × w runs in DECIMAL(38,0), so no
+    magnitude of weight can overflow (the oracle's HUGEINT twin).
+
     Duplicate edges are NOT collapsed (a multi-edge contributes its
     multiplicity, matching the random-surfer model on a multigraph);
     callers wanting simple-graph semantics pass ``edges.distinct()``.
     Self-loops count as ordinary edges."""
-    e = edges.select(F.col(src_col).cast("long").alias("src"),
-                     F.col(dst_col).cast("long").alias("dst"))
+    if weight_col is not None:
+        e = (edges.select(F.col(src_col).cast("long").alias("src"),
+                          F.col(dst_col).cast("long").alias("dst"),
+                          F.col(weight_col).cast("long").alias("w"))
+             .filter(F.col("w") > 0))
+    else:
+        e = edges.select(F.col(src_col).cast("long").alias("src"),
+                         F.col(dst_col).cast("long").alias("dst"),
+                         F.lit(1).cast("long").alias("w"))
     nodes = (e.select(F.col("src").alias(id_col))
              .unionByName(e.select(F.col("dst").alias(id_col)))
              .distinct())
@@ -88,13 +119,22 @@ def pagerank(edges: DataFrame, iters: int = 3,
         nodes = _persist(
             nodes.join(sfr.withColumn("_p", F.lit(True)), id_col, "left")
                  .select(id_col, F.coalesce("_p", F.lit(False)).alias("_p")))
-        pcount = (nodes.filter("_p")
-                  .agg(F.count(F.lit(1)).alias("n")))
+        # fail fast on an empty teleport set: n = 0 would make every
+        # half-up division NULL and propagate an all-null rank column
+        # silently (ADVICE r10-low). The count is a 1-row scalar.
+        n_seeds = nodes.filter("_p").agg(
+            F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        if not n_seeds:
+            raise ValueError(
+                "pagerank: personalized teleport set is empty after "
+                "cast/distinct — seeds must contain at least one id")
+        pcount = nodes.sparkSession.createDataFrame(
+            [(int(n_seeds),)], "n long")
     else:
         nodes = nodes.withColumn("_p", F.lit(True))
         pcount = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outdeg = (e.groupBy(F.col("src").alias(id_col))
-              .agg(F.count(F.lit(1)).alias("deg")))
+    outw = (e.groupBy(F.col("src").alias(id_col))
+            .agg(F.sum("w").alias("wsum")))
     # 1-row scalar frame: teleport-set size (the exact_counts broadcast
     # precedent — schema-bounded, never grows)
 
@@ -110,16 +150,20 @@ def pagerank(edges: DataFrame, iters: int = 3,
         # iteration reads ranks twice (contrib + dangling) and the next
         # iteration's lineage would otherwise nest the whole prior plan
         ranks = _persist(ranks)
-        contrib = (ranks.join(outdeg, id_col)
-                   .select(id_col,
-                           _div_halfup(F.col("micro"),
-                                       F.col("deg")).alias("c")))
-        inflow = (e.join(contrib.withColumnRenamed(id_col, "src"), "src")
+        # per-EDGE contribution halfup(rank·w, W_src): one src-keyed
+        # edges ⋈ ranks ⋈ outw join (AQE-planned, node-cardinality
+        # sides), arithmetic rides the edge rows inside codegen
+        inflow = (e.join(ranks.withColumnRenamed(id_col, "src"), "src")
+                  .join(outw.withColumnRenamed(id_col, "src"), "src")
+                  .select(F.col("dst"),
+                          _div_halfup(F.col("micro").cast("decimal(38,0)")
+                                      * F.col("w"),
+                                      F.col("wsum")).alias("c"))
                   .groupBy(F.col("dst").alias(id_col))
                   .agg(F.sum("c").alias("infl")))
         # dangling mass: ranks of nodes with no out-edges — a 1-row
         # scalar, rides with the teleport count in one broadcast frame
-        dang = (ranks.join(outdeg.select(id_col), id_col, "left_anti")
+        dang = (ranks.join(outw.select(id_col), id_col, "left_anti")
                 .agg(F.coalesce(F.sum("micro"), F.lit(0)).alias("dang")))
         scal = pcount.crossJoin(dang)
         base = F.when(F.col("_p"),
@@ -177,9 +221,15 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     for _ in range(iters):
         scores = _persist(scores)
+        # the sum widens to DECIMAL(38,0) BEFORE aggregation: a hub with
+        # ~9e6 full-score in-neighbors would wrap a BIGINT sum silently
+        # (ANSI off); the oracle's SUM(BIGINT) is HUGEINT — exact — so
+        # the Spark side must be too (same ADVICE-r10 class as
+        # _div_halfup)
         inflow = (e.join(scores.withColumnRenamed(id_col, "src"), "src")
                   .groupBy(F.col("dst").alias(id_col))
-                  .agg(F.sum("score").alias("tot"),
+                  .agg(F.sum(F.col("score").cast("decimal(38,0)"))
+                        .alias("tot"),
                        F.count(F.lit(1)).alias("cnt")))
         scores = (scores.join(sd, id_col, "left")
                   .join(inflow, id_col, "left")
@@ -267,3 +317,56 @@ def triangle_counts(edges: DataFrame,
                      .alias("triangles"),
                     cc_micro.alias("clustering_micro"),
                     (cc_micro / F.lit(1e12)).alias("clustering")))
+
+
+def kcore(edges: DataFrame, k: int = 2, iters: int = 8,
+          id_col: str = "node_id") -> DataFrame:
+    """Bounded-iteration k-core peel — the standard spam/quality
+    degeneracy filter a link-graph curation pipeline runs alongside
+    PageRank and triangle counting (Seidman 1983: the k-core is the
+    maximal subgraph where every node has degree ≥ k; link farms and
+    template clusters concentrate in high cores, leaf/orphan pages
+    peel away immediately).
+
+    Input edges are taken as an UNDIRECTED simple graph (canonicalized
+    to distinct pairs, self-loops dropped — the triangle_counts
+    convention). Each iteration removes every node whose degree WITHIN
+    the surviving subgraph is < k; ``iters`` is FIXED (the kmeans_assign
+    bounded-iteration convention) so the DuckDB oracle unrolls the peel
+    bit-for-bit. The peel is idempotent at its fixpoint — extra
+    iterations after convergence are no-ops — so on graphs that
+    converge within ``iters`` the output IS the exact k-core; otherwise
+    it is the deterministic ``iters``-step upper bound (documented,
+    identical in every engine).
+
+    Scale shape: per iteration two node-keyed left-semi joins (edge
+    endpoints against the survivor set) and one node-keyed count — all
+    edge-linear, nothing corpus². The survivor set only shrinks, so
+    per-iteration cost is non-increasing.
+
+    Output: (node_id, core_degree) for nodes alive after ``iters``
+    peels, where core_degree is the node's degree within the surviving
+    subgraph (≥ k whenever the peel has converged)."""
+    und = (edges.select(F.least("src", "dst").cast("long").alias("a"),
+                        F.greatest("src", "dst").cast("long").alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    sym = _persist(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(und.select(F.col("b").alias("u"),
+                                   F.col("a").alias("v"))))
+
+    def _deg(alive: DataFrame) -> DataFrame:
+        return (sym.join(alive.withColumnRenamed(id_col, "u"), "u",
+                         "left_semi")
+                .join(alive.withColumnRenamed(id_col, "v"), "v",
+                      "left_semi")
+                .groupBy(F.col("u").alias(id_col))
+                .agg(F.count(F.lit(1)).alias("core_degree")))
+
+    alive = sym.select(F.col("u").alias(id_col)).distinct()
+    for _ in range(iters):
+        alive = _persist(alive)
+        alive = (_deg(alive).filter(F.col("core_degree") >= k)
+                 .select(id_col))
+    return _deg(_persist(alive))

@@ -318,11 +318,22 @@ def cluster_safe_split(df: DataFrame, clusters: DataFrame,
     contamination a doc-id hash split cannot prevent (the Lee et al.
     2022 dedup-before-split finding).
 
+    A document absent from ``clusters`` is treated as its own SINGLETON
+    cluster (cluster_id = its own id via a LEFT join + coalesce) rather
+    than silently dropped from both sides — a caller passing a clusters
+    frame covering only graph ENDPOINTS (connected_components over the
+    pair list without the full vertex set) must not lose every isolated
+    document from the split (ADVICE r10-low). This matches
+    connected_components' own convention, where an isolated vertex's
+    component id IS its id.
+
     Shape: one id-keyed join to attach cluster ids (AQE-planned; the
     cluster table is corpus-cardinality, never broadcast-hinted), then
     two narrow filters on the hash — deterministic under reruns and
     repartitioning, folds disjoint by construction."""
     cut = int(holdout_fraction * MERSENNE_P)
-    labeled = df.join(clusters, id_col)
+    labeled = (df.join(clusters, id_col, "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", F.col(id_col))))
     h = _keyed_hash("cluster_id", salt)
     return labeled.filter(h >= cut), labeled.filter(h < cut)

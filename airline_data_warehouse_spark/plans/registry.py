@@ -89,34 +89,27 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # bucketing, contiguous-id vocab, SQL-string signature fast paths — all
 # hash-matched in CORRECTNESS_r06 and was cleared.)
 _REVALIDATE: tuple[str, ...] = (
-    # (The r07/r08 cohort — Gaussian-plane switch, de-broadcast of
-    # Heaps'-law sides, shuffle_hash verify joins, quantization/profile
-    # semantics — all hash-matched in CORRECTNESS_r08 and was cleared.)
+    # (The r08 de-broadcast cohort and the r10 cohort — pq_rerank qv
+    # source, covariance factoring — were re-certified green in the
+    # r09/r10 driver windows, VERDICT r10 coverage table, and are
+    # cleared. embedding_pca_whiten stays out of this list: it is a
+    # no-oracle key the rotation demonstrably skips; its certification
+    # path is now the oracle-backed twin embedding_whiten_invariants —
+    # VERDICT r10 item 1.)
     #
-    # r08 eccd529 de-broadcast hygiene (VERDICT r08 item 5): these keys'
-    # physical plans changed when pinned F.broadcast() hints on
-    # business-growing dims (customer/supplier/part derivatives) were
-    # handed to AQE, but their last driver cert predates that commit.
-    # The change is logically result-neutral and every key below was
-    # locally hash-verified post-change (commit eccd529 re-ran all 19
-    # touched queries), yet the priority contract says: a cert older
-    # than the plan it certifies must rotate back into the window.
-    "flagship_star_revenue",       # r5 cert; F.broadcast(customer) removed
-    "role_playing_dim_join",       # r5 cert; customer+supplier hints removed
-    "revenue_rollup",              # r6 cert; F.broadcast(customer) removed
-    "nation_pair_trade_volume",    # r7 cert; customer+supplier hints removed
-    "profit_by_nation_year",       # r7 cert; part+supplier hints removed
-    # (The r08 de-broadcast cohort above was re-certified green in the
-    # r09 driver window — VERDICT r09 coverage table — and is cleared.)
-    #
-    # r10 (VERDICT r09 items 1 + ADVICE-high): pca_whiten is the only
-    # registry key with zero driver record (added r9, missed the
-    # rotation); pq_rerank's query-vector source and pca_whiten's
-    # centering/covariance factoring changed this round, so their certs
-    # predate their plans.
-    "embedding_pca_whiten",        # no driver record yet (rows-only key)
-    "similarity_topk_pq_rerank",   # r9 cert; qv now built from queries
-    "embedding_covariance",        # r9 cert; shared-helper factoring
+    # r11 (ADVICE r10-medium + lows): graph._div_halfup/_damp widened
+    # to DECIMAL(38,0) (exact at any magnitude), pagerank unified to
+    # the per-edge weighted-contribution shape (w ≡ 1 ≡ the certified
+    # unweighted results), label_propagation's in-neighbor sum widened
+    # pre-aggregation, and cluster_safe_split's cluster attach became
+    # LEFT-join-with-singleton-fallback. All result-neutral on these
+    # keys (locally hash-verified via tools/check_correctness.py), but
+    # the priority contract says: a cert older than the plan it
+    # certifies must rotate back into the window.
+    "trade_graph_pagerank",        # r10 cert; decimal halfup + edge shape
+    "customer_anchored_pagerank",  # r10 cert; decimal halfup + edge shape
+    "quality_label_propagation",   # r10 cert; decimal halfup + wide sum
+    "cluster_safe_split_report",   # r10 cert; left-join singleton fallback
 )
 
 

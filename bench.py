@@ -156,6 +156,9 @@ HEADLINE = [
     "token_pmi_table",
     "cluster_safe_split_report",
     "cosupplier_graph_triangles",
+    # r11 additions: weighted PageRank, k-core peel
+    "trade_graph_pagerank_weighted",
+    "graph_kcore",
 ]
 
 

@@ -2356,6 +2356,143 @@ def test_label_propagation_matches_independent_reference(spark):
     assert got[9] == (500_000_000_000, False)                  # isolated
 
 
+def test_label_propagation_high_degree_hub_exact(spark):
+    """ADVICE r10-medium regression: a hub with 5,000 full-score (1e12)
+    in-neighbors makes the half-up numerator 2·Σscores + cnt ≈ 1e16 —
+    past 2^53, where the old long/double _div_halfup could truncate
+    off-by-one vs exact integer //. The DECIMAL(38,0) path must equal
+    plain-Python integer arithmetic exactly. Seed scores are chosen so
+    the exact mean has a .5 fractional part (the half-up boundary —
+    the case a double quotient gets wrong first)."""
+    from airline_data_warehouse_spark.operators.graph import (
+        label_propagation,
+    )
+
+    n_in = 5000
+    # 4999 seeds at 1e12 + 1 seed at 1e12+2501: sum = 5000e12 + 2501,
+    # mean = 1e12 + 0.5002 -> half-up boundary region, numerator ~1e16
+    seed_rows = [(i, 10 ** 12) for i in range(1, n_in)]
+    seed_rows.append((n_in, 10 ** 12 + 2501))
+    edges = spark.createDataFrame([(i, 0) for i in range(1, n_in + 1)],
+                                  "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(0, n_in + 1)],
+                                  "node_id long")
+    seeds = spark.createDataFrame(seed_rows, "node_id long, seed_micro long")
+    got = {r["node_id"]: r["score_micro"] for r in
+           label_propagation(nodes, edges, seeds, iters=1).collect()}
+    tot = sum(v for _, v in seed_rows)
+    assert got[0] == (2 * tot + n_in) // (2 * n_in)  # exact integer halfup
+    assert got[n_in] == 10 ** 12 + 2501              # seed clamped
+
+
+def test_pagerank_empty_seed_set_fails_fast(spark):
+    """ADVICE r10-low: an empty (or emptied-by-distinct) seeds frame
+    must raise, not silently emit all-NULL ranks via n=0 division."""
+    import pytest
+
+    from airline_data_warehouse_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    empty = spark.createDataFrame([], "node_id long")
+    with pytest.raises(ValueError, match="teleport set is empty"):
+        pagerank(e, iters=1, seeds=empty)
+
+
+def test_pagerank_weighted_matches_integer_reference(spark):
+    """pagerank(weight_col=...) vs plain-Python integer arithmetic:
+    per-edge contribution halfup(rank·w, Σw), with one weight large
+    enough (1e9) that rank×w ≈ 1e21 exceeds int64 — the DECIMAL(38,0)
+    product must stay exact. Also pins w≡1 ≡ the unweighted form."""
+    from airline_data_warehouse_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 7), (1, 3, 3), (2, 3, 10 ** 9), (3, 1, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node_id"]: r["rank_micro"] for r in
+           pagerank(e, iters=3, weight_col="w").collect()}
+
+    def halfup(a, b):
+        return (2 * a + b) // (2 * b)
+
+    nodes = [1, 2, 3]
+    n = 3
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    r = {v: halfup(10 ** 12, n) for v in nodes}
+    for _ in range(3):
+        infl = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            infl[d] += halfup(r[s] * w, outw[s])
+        dang = sum(r[v] for v in nodes if v not in outw)
+        r = {v: halfup(150_000_000_000, n)
+             + (170 * (infl[v] + halfup(dang, n)) + 100) // 200
+             for v in nodes}
+    assert got == r
+
+    # w ≡ 1 reproduces the unweighted result bit-for-bit
+    e1 = spark.createDataFrame([(s, d) for s, d, _ in edges],
+                               "src long, dst long")
+    ones = spark.createDataFrame([(s, d, 1) for s, d, _ in edges],
+                                 "src long, dst long, w long")
+    unweighted = {r2["node_id"]: r2["rank_micro"] for r2 in
+                  pagerank(e1, iters=2).collect()}
+    weighted1 = {r2["node_id"]: r2["rank_micro"] for r2 in
+                 pagerank(ones, iters=2, weight_col="w").collect()}
+    assert unweighted == weighted1
+
+
+def test_kcore_known_graph(spark):
+    """kcore on a hand-analyzable graph: K4 plus a tail 4-5-6 hanging
+    off node 4. k=2: the tail peels in cascade (6 first, then 5, then
+    the K4 alone survives — 3 rounds to converge), pinning that the
+    peel recomputes degrees WITHIN the surviving subgraph each round.
+    Bounded iters below convergence returns the documented upper bound;
+    extra rounds past the fixpoint are no-ops; dup/reversed edges and
+    self-loops canonicalize away (the triangle_counts convention)."""
+    from airline_data_warehouse_spark.operators.graph import kcore
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    noise = [(2, 1), (1, 2), (9, 9)]       # dup + reversed + self-loop
+    e = spark.createDataFrame(k4 + tail + noise, "src long, dst long")
+
+    # full convergence (and past it): the 2-core is exactly the K4
+    got = {r["node_id"]: r["core_degree"] for r in
+           kcore(e, k=2, iters=5).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # one round only: 6 (degree 1) peels, 5 not yet (degree was 2
+    # before 6 left) — the documented iters-step upper bound
+    got1 = {r["node_id"]: r["core_degree"] for r in
+            kcore(e, k=2, iters=1).collect()}
+    assert set(got1) == {1, 2, 3, 4, 5}
+    assert got1[5] == 1                    # 5's in-core degree after 6 left
+    assert got1[4] == 4
+
+
+def test_cluster_safe_split_singleton_fallback(spark):
+    """ADVICE r10-low: documents missing from the clusters frame (e.g.
+    connected_components run without the full vertex set) become
+    SINGLETON clusters instead of vanishing from both sides — the
+    union of train and holdout must always partition the input."""
+    from airline_data_warehouse_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(30)],
+                                 "doc_id long, text string")
+    # clusters cover only ids 0-9 (pair-graph endpoints); 10-29 missing
+    clusters = spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(10)], "doc_id long, cluster_id long")
+    train, hold = cluster_safe_split(docs, clusters, 0.3)
+    t_ids = {r["doc_id"] for r in train.collect()}
+    h_ids = {r["doc_id"] for r in hold.collect()}
+    assert t_ids | h_ids == set(range(30)) and not (t_ids & h_ids)
+    # clustered pairs still never straddle
+    for i in range(0, 10, 2):
+        assert (i in t_ids) == (i + 1 in t_ids)
+
+
 def test_token_pmi_counts_and_formula(spark):
     """token_cooccurrence_pmi on a hand-countable corpus: window-2
     unordered pair counts (adjacent + distance-2, canonicalized
