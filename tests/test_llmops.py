@@ -2270,6 +2270,47 @@ def test_pca_whiten_decorrelates_and_normalizes(spark):
             assert abs(cov) < 0.05, (x, y, cov)   # decorrelated
 
 
+def test_whiten_invariants_identity_spectrum_and_refusal(spark):
+    """whiten_invariants' certificate semantics on a synthetic corpus:
+    the 3-dp Gram rows are EXACTLY the identity, Σλ equals the exact
+    trace of the 6-dp covariance and Σλ² its Frobenius norm (recomputed
+    independently in Python decimals), n_rows counts only finite rows —
+    and a rank-deficient corpus (a constant dimension → λ = 0) is
+    refused instead of gambling the rounding margin."""
+    import random
+    from decimal import Decimal
+
+    import pytest
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1 + 0.2 * d) for d in range(6)])
+            for i in range(300)]
+    rows.append((999, [float("nan")] * 6))        # filtered out
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r["stat"], r["i"], r["j"]): r["value"] for r in
+           sim.whiten_invariants(emb, dims=6).collect()}
+
+    for i in range(6):
+        for j in range(i, 6):
+            assert out[("gram", i, j)] == (1.0 if i == j else 0.0), (i, j)
+    assert out[("n_rows", -1, -1)] == 300.0
+
+    # independent trace / Frobenius from the certified covariance key
+    cov = {(r["i"], r["j"]): Decimal(repr(r["cov"])) for r in
+           sim.embedding_covariance(emb, dims=6).collect()}
+    trace = sum(cov[(i, i)] for i in range(6))
+    frob = sum(cov[(i, j)] ** 2 * (1 if i == j else 2)
+               for i, j in cov)
+    assert Decimal(repr(out[("eig_sum", -1, -1)])) == round(trace, 6)
+    assert Decimal(repr(out[("eig_sumsq", -1, -1)])) == round(frob, 6)
+
+    flat = spark.createDataFrame(
+        [(i, [float(i % 7), 3.0]) for i in range(50)],
+        "vec_id long, embedding array<double>")     # dim 1 constant: λ=0
+    with pytest.raises(ValueError, match="near-singular"):
+        sim.whiten_invariants(flat, dims=2)
+
+
 def test_pagerank_matches_independent_integer_reference(spark):
     """operators/graph.pagerank vs an independent plain-Python
     re-implementation of the same integer arithmetic, on a graph with
