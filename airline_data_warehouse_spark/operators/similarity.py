@@ -1441,6 +1441,59 @@ def ivfpq_index_append(spark, index_dir: str, increment: DataFrame,
     }
 
 
+def ivfpq_index_compact(spark, index_dir: str, target_files: int = 1,
+                        max_files_ok: int = 4) -> dict:
+    """Index-lifecycle small-file compaction (VERDICT r10 item 2): a
+    sustained `ivfpq_index_append` loop accretes files two ways — each
+    touched list partition of ``codes.parquet`` / ``vectors.parquet``
+    gains files per delta, and the streaming ingest's drift log
+    (``append_log``) gains one file per micro-batch FOREVER. Scan cost
+    grows with file COUNT even at constant bytes (task scheduling,
+    footer reads, open costs — the cascade band store measured 41 %
+    corpus-read latency growth from exactly this; SCALING.md), so a
+    quarter of uptime without compaction turns the probed-partition
+    read into a small-file storm.
+
+    Every rewrite goes through sources/atomic.py's crash-safe
+    stage-then-swap (`compact_partitions` per list directory,
+    `compact_directory` for the unpartitioned log): readers see each
+    partition/log either pre- or post-compaction at every instant,
+    a crash mid-swap rolls back via the recover helpers already run by
+    the append/read paths, and the retry is idempotent. Layout-only —
+    query results are byte-identical pre/post (pinned by
+    test_ivfpq_index_compact_bounds_files_and_preserves_results).
+
+    Call from whatever owns the index's writes (the streaming ingest's
+    foreachBatch loop calls it every ``compact_every`` batches; a daily
+    append job calls it after the delta) — the single-maintenance-
+    process contract shared with the cascade store's compactor.
+
+    Returns {"codes": [...], "vectors": [...], "append_log": bool} —
+    the partition directories rewritten and whether the log was."""
+    from airline_data_warehouse_spark.sources.atomic import (
+        _fs,
+        compact_directory,
+        compact_partitions,
+    )
+
+    report = {
+        "codes": compact_partitions(
+            spark, f"{index_dir}/codes.parquet", "list_id",
+            target_files=target_files, max_files_ok=max_files_ok),
+        "vectors": [],
+        "append_log": compact_directory(
+            spark, f"{index_dir}/append_log",
+            target_files=target_files, max_files_ok=max_files_ok),
+    }
+    vec_path = f"{index_dir}/vectors.parquet"
+    hpath, fs = _fs(spark, vec_path)
+    if fs.exists(hpath(vec_path)):
+        report["vectors"] = compact_partitions(
+            spark, vec_path, "list_id",
+            target_files=target_files, max_files_ok=max_files_ok)
+    return report
+
+
 def _per_dim_mu(corpus: DataFrame, vec_col: str) -> DataFrame:
     """The shared exact per-dimension mean aggregation (dim, mu):
     DECIMAL(20,10) sums rounded 6 dp — the centering constants both

@@ -256,3 +256,75 @@ def compact_partitions(spark: SparkSession, dest_path: str,
     swap_partitions(spark, staging, dest_path, partition_col)
     fs.delete(hpath(staging), True)
     return sorted(crowded)
+
+
+def recover_directory(spark: SparkSession, dest_path: str) -> None:
+    """Heal a directory stranded by a crash between compact_directory's
+    two renames — same hidden-backup convention as the streaming
+    stores' _recover_store_dir, at whole-directory granularity: a
+    backup whose destination is missing is the data's only copy (crash
+    after rename 1) and is renamed back; a backup whose destination
+    exists is a post-swap leftover (crash after rename 2) and is
+    deleted."""
+    import os
+
+    hpath, fs = _fs(spark, dest_path)
+    parent, name = os.path.split(dest_path.rstrip("/"))
+    backup = hpath(parent, f".{name}.replaced")
+    if not fs.exists(backup):
+        return
+    if fs.exists(hpath(dest_path)):
+        fs.delete(backup, True)
+    elif not fs.rename(backup, hpath(dest_path)):
+        raise IOError(f"directory recovery: rename {backup} -> "
+                      f"{dest_path} failed")
+
+
+def compact_directory(spark: SparkSession, dest_path: str,
+                      target_files: int = 1,
+                      max_files_ok: int | None = None) -> bool:
+    """Small-file compaction for an UNPARTITIONED parquet directory —
+    the append-log twin of compact_partitions: when the directory holds
+    more ``.parquet`` files than ``max_files_ok`` (default:
+    ``target_files``), rewrite its rows to ``target_files`` files in a
+    sibling staging dir and swap the whole directory in with two atomic
+    renames (dest → hidden ``.name.replaced`` backup, staging → dest).
+    Readers see the old or the new directory at every instant; a crash
+    between the renames is healed by `recover_directory` (run here
+    first, and by readers before reads). Layout-only: rows unchanged.
+
+    Single-maintenance-process contract (the cascade-store compactor's):
+    an APPEND racing the swap window can land in the backup and be
+    deleted with it — call from the thread that owns the table's writes
+    (a foreachBatch loop, a scheduled maintenance job), never
+    concurrently with appenders. Returns True when a rewrite happened.
+    """
+    recover_directory(spark, dest_path)
+    hpath, fs = _fs(spark, dest_path)
+    root = hpath(dest_path)
+    if not fs.exists(root):
+        return False
+    limit = target_files if max_files_ok is None else max_files_ok
+    n = sum(1 for f in fs.listStatus(root)
+            if f.getPath().getName().endswith(".parquet"))
+    if n <= limit:
+        return False
+    staging = dest_path.rstrip("/") + ".compacting"
+    if fs.exists(hpath(staging)):
+        fs.delete(hpath(staging), True)  # crashed prior attempt, pre-swap
+    (spark.read.parquet(dest_path).coalesce(target_files)
+          .write.mode("overwrite").parquet(staging))
+    import os
+
+    parent, name = os.path.split(dest_path.rstrip("/"))
+    backup = hpath(parent, f".{name}.replaced")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if not fs.rename(root, backup):
+        raise IOError(f"directory compact: rename {dest_path} -> "
+                      f"{backup} failed")
+    if not fs.rename(hpath(staging), root):
+        raise IOError(f"directory compact: rename {staging} -> "
+                      f"{dest_path} failed")
+    fs.delete(backup, True)
+    return True

@@ -287,12 +287,95 @@ def run_cascade(spark, sf_dir: str, n_batches: int, workdir: str) -> dict:
         verdict_dir="verdicts")
 
 
+def run_index(spark, sf_dir: str, n_batches: int, workdir: str,
+              compact_every: int | None, label: str) -> dict:
+    """IVFADC streaming index-maintenance probe (VERDICT r10 item 3):
+    build the index from the first half of the sf embeddings, replay
+    the second half as micro-batches through start_index_ingest, and
+    record per batch wall-clock, the index's parquet file count and MB
+    (codes + vectors + log), and the drift-log file count — once
+    without compaction (the r10 behavior: one log file per batch
+    forever, per-delta fragmentation of the touched list partitions)
+    and once with compact_every=10, so the file-count growth story is
+    measured rather than asserted, exactly like the cascade store's."""
+    from airline_data_warehouse_spark.operators.similarity import (
+        ivfpq_index_build,
+    )
+    from airline_data_warehouse_spark.plans.registry import load
+    from airline_data_warehouse_spark.streaming.index import (
+        start_index_ingest,
+    )
+
+    rows = (load(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding").orderBy("vec_id").collect())
+    half = len(rows) // 2
+    base = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]])
+         for r in rows[:half]],
+        "vec_id long, embedding array<double>")
+    idx = os.path.join(workdir, f"{label}_index")
+    ivfpq_index_build(base, idx, n_lists=8, m=4, codes_k=16, iters=2,
+                      dims=64)
+    inc = rows[half:]
+    per = max(1, len(inc) // n_batches)
+    payloads = ["\n".join(
+        json.dumps({"vec_id": r["vec_id"],
+                    "embedding": [float(x) for x in r["embedding"]]})
+        for r in inc[i:i + per])
+        for i in range(0, len(inc), per)][:n_batches]
+    print(f"{label}: {len(payloads)} batches x ~{per} vecs "
+          f"on a {half}-vector index", flush=True)
+
+    in_dir = os.path.join(workdir, f"{label}_in")
+    os.makedirs(in_dir)
+    src = (spark.readStream.schema("vec_id long, embedding array<double>")
+           .option("maxFilesPerTrigger", 1).json(in_dir))
+    q = start_index_ingest(
+        src, idx, checkpoint_dir=os.path.join(workdir, f"{label}_ckpt"),
+        m=4, dims=64, compact_every=compact_every)
+    per_batch = []
+    try:
+        for i, payload in enumerate(payloads):
+            with open(os.path.join(in_dir, f"b{i:03d}.json"), "w") as f:
+                f.write(payload)
+            t0 = time.time()
+            q.processAllAvailable()
+            dt = time.time() - t0
+            files, nbytes = dir_stats(idx)
+            log_files, _ = dir_stats(os.path.join(idx, "append_log"))
+            per_batch.append({"batch": i, "sec": round(dt, 3),
+                              "index_files": files,
+                              "log_files": log_files,
+                              "index_mb": round(nbytes / 1e6, 2)})
+            if i % 10 == 0 or i == len(payloads) - 1:
+                print(f"{label} b{i:03d}: {dt:.2f}s files={files} "
+                      f"log={log_files} "
+                      f"mb={per_batch[-1]['index_mb']}", flush=True)
+    finally:
+        q.stop()
+    from airline_data_warehouse_spark.streaming.index import append_log
+    log = append_log(spark, idx)
+    n_logged = log.count()
+    last10 = [b["sec"] for b in per_batch[-10:]]
+    first10 = [b["sec"] for b in per_batch[1:11]]
+    return {"config": label, "n_batches": len(per_batch),
+            "first10_avg_sec": round(sum(first10) / len(first10), 3),
+            "last10_avg_sec": round(sum(last10) / len(last10), 3),
+            "final_index_files": per_batch[-1]["index_files"],
+            "final_log_files": per_batch[-1]["log_files"],
+            "final_index_mb": per_batch[-1]["index_mb"],
+            "n_log_rows": n_logged,
+            "per_batch": per_batch}
+
+
 def main() -> int:
     interval_only = "--interval" in sys.argv
     semantic_only = "--semantic" in sys.argv
     cascade_only = "--cascade" in sys.argv
+    index_only = "--index" in sys.argv
     argv = [a for a in sys.argv[1:]
-            if a not in ("--interval", "--semantic", "--cascade")]
+            if a not in ("--interval", "--semantic", "--cascade",
+                         "--index")]
     n_batches = int(argv[0]) if argv else 50
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
 
@@ -307,6 +390,22 @@ def main() -> int:
                      os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+
+    if index_only:
+        workdir = tempfile.mkdtemp(prefix="stream_probe_")
+        try:
+            out = []
+            for label, every in (("index_baseline", None),
+                                 ("index_compact", 10)):
+                summary = run_index(spark, sf_dir, n_batches, workdir,
+                                    every, label)
+                out.append(summary)
+                print(json.dumps({k: v for k, v in summary.items()
+                                  if k != "per_batch"}))
+            _merge_results(out)
+            return 0
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
 
     if semantic_only or cascade_only:
         workdir = tempfile.mkdtemp(prefix="stream_probe_")
