@@ -302,6 +302,35 @@ PIXEL_FEATURES_SCHEMA = StructType([
 ])
 
 
+def adjust_brightness(df: DataFrame, delta: int) -> DataFrame:
+    """Brightness augmentation (PIXEL_SCHEMA → PIXEL_SCHEMA): add
+    ``delta`` to every channel value, clipped to [0, 255] — the
+    standard photometric augmentation, and the deterministic
+    near-duplicate generator the multimodal oracle keys use (clipping
+    breaks average_hash's exact shift-invariance only where channels
+    saturate, so the twin lands a few hamming bits away — a realistic
+    recompression-like perturbation the oracle can replay with
+    LEAST(byte + delta, 255)). Arrow-batched mapInPandas,
+    partition-preserving."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = (np.frombuffer(row.pixels, dtype=np.uint8)
+                       .astype(np.int64) + delta)
+                out.append((row.media_id, row.height, row.width,
+                            row.channels,
+                            np.clip(arr, 0, 255).astype(np.uint8)
+                            .tobytes()))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in PIXEL_SCHEMA.fields])
+
+    return df.mapInPandas(batches, PIXEL_SCHEMA)
+
+
 def pixel_features(df: DataFrame, hist_bins: int = 16) -> DataFrame:
     """Per-image feature extraction: per-channel mean/std plus an
     L1-normalized grayscale histogram (ITU-R 601 luma weights) — the
@@ -423,7 +452,19 @@ def average_hash(df: DataFrame) -> DataFrame:
     shifts that move every pixel together leave the hash untouched (the
     mean moves with them); crops and recompressions move only a few
     bits — which is why hamming distance over this hash is the standard
-    cheap image near-dup screen (aHash; same family as pHash)."""
+    cheap image near-dup screen (aHash; same family as pHash).
+
+    INTEGER luma throughout (r11, the graph family's deterministic-by-
+    arithmetic rule applied here): Rec. 601 defines luma as
+    (299R + 587G + 114B)/1000, so the per-cell value 299R + 587G + 114B
+    is an exact integer, the mean comparison becomes
+    luma_cell × 64 > Σ luma (pure integer ordering — identical to the
+    float comparison everywhere except exact ties, which floats decided
+    by summation-order luck), and the hash is bit-reproducible in ANY
+    engine — which is what lets the multimodal_image_near_dup registry
+    key carry a real DuckDB oracle over the deterministic-fake pixel
+    seam. Non-3-channel buffers use the channel mean scaled by 1000
+    (floor), same rule."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -433,13 +474,16 @@ def average_hash(df: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 arr = (np.frombuffer(row.pixels, dtype=np.uint8)
                          .reshape(row.height, row.width, row.channels)
-                         .astype(np.float64))
+                         .astype(np.int64))
                 ys = (np.arange(8) * row.height) // 8
                 xs = (np.arange(8) * row.width) // 8
                 small = arr[ys][:, xs]
-                gray = small @ np.array([0.299, 0.587, 0.114]) \
-                    if row.channels == 3 else small.mean(axis=2)
-                bits = (gray > gray.mean()).reshape(-1)
+                if row.channels == 3:
+                    luma = small @ np.array([299, 587, 114], dtype=np.int64)
+                else:
+                    luma = (1000 * small.sum(axis=2)) // row.channels
+                total = int(luma.sum())
+                bits = (luma * 64 > total).reshape(-1)
                 val = 0
                 for bit in bits:
                     val = (val << 1) | int(bit)

@@ -156,9 +156,12 @@ HEADLINE = [
     "token_pmi_table",
     "cluster_safe_split_report",
     "cosupplier_graph_triangles",
-    # r11 additions: weighted PageRank, k-core peel
+    # r11 additions: weighted PageRank, k-core peel, whiten certificate,
+    # oracle-backed multimodal near-dup
     "trade_graph_pagerank_weighted",
     "graph_kcore",
+    "embedding_whiten_invariants",
+    "multimodal_image_near_dup",
 ]
 
 
