@@ -150,17 +150,34 @@ def pagerank(edges: DataFrame, iters: int = 3,
         # iteration reads ranks twice (contrib + dangling) and the next
         # iteration's lineage would otherwise nest the whole prior plan
         ranks = _persist(ranks)
-        # per-EDGE contribution halfup(rank·w, W_src): one src-keyed
-        # edges ⋈ ranks ⋈ outw join (AQE-planned, node-cardinality
-        # sides), arithmetic rides the edge rows inside codegen
-        inflow = (e.join(ranks.withColumnRenamed(id_col, "src"), "src")
-                  .join(outw.withColumnRenamed(id_col, "src"), "src")
-                  .select(F.col("dst"),
-                          _div_halfup(F.col("micro").cast("decimal(38,0)")
-                                      * F.col("w"),
-                                      F.col("wsum")).alias("c"))
-                  .groupBy(F.col("dst").alias(id_col))
-                  .agg(F.sum("c").alias("infl")))
+        if weight_col is not None:
+            # per-EDGE contribution halfup(rank·w, W_src): one src-keyed
+            # edges ⋈ ranks ⋈ outw join (AQE-planned, node-cardinality
+            # sides), arithmetic rides the edge rows inside codegen
+            inflow = (e.join(ranks.withColumnRenamed(id_col, "src"), "src")
+                      .join(outw.withColumnRenamed(id_col, "src"), "src")
+                      .select(F.col("dst"),
+                              _div_halfup(
+                                  F.col("micro").cast("decimal(38,0)")
+                                  * F.col("w"),
+                                  F.col("wsum")).alias("c"))
+                      .groupBy(F.col("dst").alias(id_col))
+                      .agg(F.sum("c").alias("infl")))
+        else:
+            # unweighted fast path: contribution halfup(rank, outdeg)
+            # is PER-NODE (V divisions, not E — at 1e12 edges the
+            # per-edge decimal halfup would be pure waste since every
+            # edge of a node carries the same value); identical results
+            # to the weighted form at w ≡ 1, pinned by
+            # test_pagerank_weighted_matches_integer_reference
+            contrib = (ranks.join(outw, id_col)
+                       .select(id_col,
+                               _div_halfup(F.col("micro"),
+                                           F.col("wsum")).alias("c")))
+            inflow = (e.join(contrib.withColumnRenamed(id_col, "src"),
+                             "src")
+                      .groupBy(F.col("dst").alias(id_col))
+                      .agg(F.sum("c").alias("infl")))
         # dangling mass: ranks of nodes with no out-edges — a 1-row
         # scalar, rides with the teleport count in one broadcast frame
         dang = (ranks.join(outw.select(id_col), id_col, "left_anti")
@@ -370,3 +387,82 @@ def kcore(edges: DataFrame, k: int = 2, iters: int = 8,
         alive = (_deg(alive).filter(F.col("core_degree") >= k)
                  .select(id_col))
     return _deg(_persist(alive))
+
+
+def degree_profile(edges: DataFrame, id_col: str = "node_id") -> DataFrame:
+    """Graph shape diagnostics: degree histogram + Newman (2002) degree
+    assortativity — the profile a link/similarity graph gets read with
+    before curation decisions (a near-complete histogram head is
+    template spam; strongly negative assortativity is a hub-and-leaf
+    crawl frontier; ~0 is chance collisions). Completes the profiling
+    trio with triangle_counts (local density) and kcore (degeneracy).
+
+    Input: undirected simple graph (canonicalized like triangle_counts:
+    distinct (lo, hi) pairs, self-loops dropped).
+
+    Assortativity in EXACT integer arithmetic (the module rule): with
+    per-edge endpoint degrees (j, k), M edges, and integer sums
+    Sjk = Σ j·k, Ss = Σ (j+k), Sq = Σ (j²+k²), Newman's r reduces to
+    r = (4·M·Sjk − Ss²) / (2·M·Sq − Ss²) — numerator and denominator
+    are exact DECIMAL(38,0) integers, the single double division is of
+    identical doubles in every engine, rounded 6 dp. A regular graph
+    (every degree equal) has denominator 0 → NULL, not a crash.
+
+    Output rows (stat, k, value):
+      ('degree_hist', degree, n_nodes) · one per distinct degree
+      ('nodes', -1, n) ('edges', -1, M) ('max_degree', -1, d_max)
+      ('assortativity', -1, r)
+
+    Scale shape: one edge-keyed canonicalization, one node-keyed degree
+    count, two node-keyed joins to attach endpoint degrees, then one
+    global aggregate of four scalars and a degree-keyed histogram —
+    everything edge-linear, the exchanges schema- or degree-bounded."""
+    und = (edges.select(F.least("src", "dst").cast("long").alias("a"),
+                        F.greatest("src", "dst").cast("long").alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    und = _persist(und)
+    deg = _persist(
+        und.select(F.col("a").alias(id_col))
+           .unionByName(und.select(F.col("b").alias(id_col)))
+           .groupBy(id_col).agg(F.count(F.lit(1)).alias("degree")))
+    hist = (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(F.lit("degree_hist").alias("stat"),
+                    F.col("degree").cast("long").alias("k"), "value"))
+    da = deg.select(F.col(id_col).alias("a"),
+                    F.col("degree").alias("_ja"))
+    db = deg.select(F.col(id_col).alias("b"),
+                    F.col("degree").alias("_kb"))
+    d38 = "decimal(38,0)"
+    j, k = F.col("_ja").cast(d38), F.col("_kb").cast(d38)
+    sums = (und.join(da, "a").join(db, "b")
+            .agg(F.count(F.lit(1)).cast(d38).alias("m"),
+                 F.sum(j * k).alias("sjk"),
+                 F.sum(j + k).alias("ss"),
+                 F.sum(j * j + k * k).alias("sq")))
+    nodes_n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                      F.max("degree").cast("double").alias("dmax"))
+    num = F.lit(4).cast(d38) * F.col("m") * F.col("sjk") \
+        - F.col("ss") * F.col("ss")
+    den = F.lit(2).cast(d38) * F.col("m") * F.col("sq") \
+        - F.col("ss") * F.col("ss")
+    r = F.when(den == 0, F.lit(None).cast("double")) \
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6)
+                   + 0.0)
+    scalars = (sums.crossJoin(F.broadcast(nodes_n))
+               .select(F.explode(F.array(
+                   F.struct(F.lit("nodes").alias("stat"),
+                            F.lit(-1).cast("long").alias("k"),
+                            F.col("n").alias("value")),
+                   F.struct(F.lit("edges").alias("stat"),
+                            F.lit(-1).cast("long").alias("k"),
+                            F.col("m").cast("double").alias("value")),
+                   F.struct(F.lit("max_degree").alias("stat"),
+                            F.lit(-1).cast("long").alias("k"),
+                            F.col("dmax").alias("value")),
+                   F.struct(F.lit("assortativity").alias("stat"),
+                            F.lit(-1).cast("long").alias("k"),
+                            r.alias("value")))).alias("s"))
+               .select("s.stat", "s.k", "s.value"))
+    return hist.unionByName(scalars)

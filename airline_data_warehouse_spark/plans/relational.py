@@ -2081,3 +2081,78 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("group_size"))
             .select("c_nationkey", "c_mktsegment", "group_size",
                     (F.col("group_size") < 5).alias("at_risk")))
+
+
+_ZORDER_PROBS = [i / 16 for i in range(1, 16)]
+_SQL_ZKEY = " | ".join(
+    f"(((rank_part >> {i}) & 1) << {2 * i}) "
+    f"| (((rank_supp >> {i}) & 1) << {2 * i + 1})"
+    for i in range(4))
+
+
+@register(
+    "zorder_cluster_keys",
+    oracle=f"""
+WITH b AS (
+  SELECT list_transform(quantile_cont(l_partkey,
+                                      {_ZORDER_PROBS}), x -> round(x, 6))
+           AS q1,
+         list_transform(quantile_cont(l_suppkey,
+                                      {_ZORDER_PROBS}), x -> round(x, 6))
+           AS q2
+  FROM lineitem),
+r AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         CAST(list_sum(list_transform(
+           b.q1, v -> CASE WHEN CAST(l.l_partkey AS DOUBLE) >= v
+                           THEN 1 ELSE 0 END)) AS INT) AS rank_part,
+         CAST(list_sum(list_transform(
+           b.q2, v -> CASE WHEN CAST(l.l_suppkey AS DOUBLE) >= v
+                           THEN 1 ELSE 0 END)) AS INT) AS rank_supp
+  FROM lineitem l CROSS JOIN b)
+SELECT l_orderkey, l_linenumber, rank_part, rank_supp,
+       CAST({_SQL_ZKEY} AS BIGINT) AS zkey
+FROM r
+""",
+    operators="LAYOUT-zorder",
+    description="Z-order (Morton) clustering keys over the "
+                "(l_partkey, l_suppkey) plane — the multi-dimensional "
+                "file-layout primitive (sources/layout.py write_zorder; "
+                "Delta OPTIMIZE ZORDER BY's math) that lets parquet "
+                "footer min/max stats prune scans on EITHER clustered "
+                "column at 100 TB, where a time-partitioned fact prunes "
+                "nothing for a second-dimension predicate. This key "
+                "certifies the exact pipeline: EXACT equi-depth "
+                "boundaries (Spark percentile == DuckDB quantile_cont, "
+                "the certified exact_percentiles identity, rounded "
+                "6 dp), per-row rank as one codegen aggregate over the "
+                "boundary literals, and 4-bit/column Morton "
+                "interleaving (bit i of column j at position i*2+j) — "
+                "all JVM expressions, no UDF, no shuffle beyond the "
+                "boundary aggregate. The physical write path "
+                "(range-partition by aligned Z-block + "
+                "sortWithinPartitions) is pinned by "
+                "tests/test_layout.py's footer-stats pruning tests.",
+)
+def zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airline_data_warehouse_spark.sources.layout import (
+        bucket_rank,
+        morton_key,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    probs = ", ".join(repr(p) for p in _ZORDER_PROBS)
+    q = li.agg(
+        F.expr(f"percentile(l_partkey, array({probs}))").alias("q1"),
+        F.expr(f"percentile(l_suppkey, array({probs}))").alias("q2"),
+    ).collect()[0]
+    b1 = [round(float(x), 6) for x in q["q1"]]
+    b2 = [round(float(x), 6) for x in q["q2"]]
+    r1 = bucket_rank(li, "l_partkey", b1)
+    r2 = bucket_rank(li, "l_suppkey", b2)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        r1.cast("int").alias("rank_part"),
+        r2.cast("int").alias("rank_supp"),
+        morton_key([r1, r2], bits=4).alias("zkey"))

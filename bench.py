@@ -162,6 +162,8 @@ HEADLINE = [
     "graph_kcore",
     "embedding_whiten_invariants",
     "multimodal_image_near_dup",
+    "zorder_cluster_keys",
+    "graph_degree_profile",
 ]
 
 
@@ -234,14 +236,22 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
+    # Key order matters: the driver truncates captured stdout at 2000
+    # chars (BENCH_r07–r10 all lost their tails, parsed:null since r7),
+    # so the total, the calibration constant, and the 20 slowest keys —
+    # the entire plan-audit signal — come FIRST; the full per-key map
+    # follows for readers of the untruncated BENCH_LOCAL.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     record = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "calibration_sec": calibration,
         "runs_per_key": runs,
-        "queries": timings,
+        "n_queries": len(timings),
         "sf": sf_num,
+        "slowest20": slowest,
+        "queries": timings,
     }
     if errors:
         record["errors"] = errors

@@ -2256,6 +2256,8 @@ def test_operator_broadcast_targets_are_bounded():
             "1-row teleport-set count (exact_counts precedent)",
         ("graph.py", "pagerank", "scal", "pcount"):
             "1-row (teleport count, dangling mass) scalar frame",
+        ("graph.py", "degree_profile", "nodes_n", "deg"):
+            "1-row (node count, max degree) scalar frame",
         # --- sampling / llmops ---
         ("sampling.py", "curriculum_order", "offsets", "b"):
             "per-bucket offsets: bounded by bucket count",
@@ -2572,6 +2574,50 @@ def test_kcore_known_graph(spark):
     assert set(got1) == {1, 2, 3, 4, 5}
     assert got1[5] == 1                    # 5's in-core degree after 6 left
     assert got1[4] == 4
+
+
+def test_degree_profile_histogram_and_assortativity(spark):
+    """degree_profile vs hand math: a star is perfectly disassortative
+    (r = −1 exactly — every edge joins the hub to a leaf), a regular
+    graph (triangle) has zero degree variance → NULL, and on a mixed
+    graph (K4 + pendant) the histogram and the exact integer identity
+    recomputed independently in Python must match to the digit."""
+    from fractions import Fraction
+
+    from airline_data_warehouse_spark.operators.graph import degree_profile
+
+    star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)],
+                                 "src long, dst long")
+    got = {(r["stat"], r["k"]): r["value"] for r in
+           degree_profile(star).collect()}
+    assert got[("assortativity", -1)] == -1.0
+    assert got[("degree_hist", 1)] == 3.0 and got[("degree_hist", 3)] == 1.0
+    assert got[("nodes", -1)] == 4.0 and got[("edges", -1)] == 3.0
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                "src long, dst long")
+    tri_got = {(r["stat"], r["k"]): r["value"] for r in
+               degree_profile(tri).collect()}
+    assert tri_got[("assortativity", -1)] is None     # regular: den = 0
+
+    mixed_edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                   (4, 10), (2, 1), (9, 9)]           # dup + self-loop
+    mixed = spark.createDataFrame(mixed_edges, "src long, dst long")
+    mgot = {(r["stat"], r["k"]): r["value"] for r in
+            degree_profile(mixed).collect()}
+    und = {(min(a, b), max(a, b)) for a, b in mixed_edges if a != b}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(und)
+    sjk = sum(deg[a] * deg[b] for a, b in und)
+    ss = sum(deg[a] + deg[b] for a, b in und)
+    sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+    want = Fraction(4 * m * sjk - ss * ss, 2 * m * sq - ss * ss)
+    assert mgot[("assortativity", -1)] == round(float(want), 6)
+    assert mgot[("max_degree", -1)] == 4.0
+    assert mgot[("degree_hist", 1)] == 1.0            # the pendant
 
 
 def test_cluster_safe_split_singleton_fallback(spark):

@@ -280,6 +280,7 @@ def test_ann_family_never_broadcasts_corpus(spark, sf_dir, registry):
         "similarity_topk_ivfpq_index_rerank",
         "dedup_embedding_cosine", "dedup_semantic_ivf",
         "hard_negative_mining", "embedding_covariance",
+        "embedding_whiten_invariants",
     ]
     # disable the size-stats broadcast threshold for the audit: at test
     # SF the whole corpus is under 10 MB, so Catalyst legitimately

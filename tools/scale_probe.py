@@ -94,6 +94,13 @@ PROBE_QUERIES = [
     "token_pmi_table",
     "cluster_safe_split_report",
     "cosupplier_graph_triangles",
+    # r11: weighted PageRank, k-core, whiten certificate, aHash oracle
+    "trade_graph_pagerank_weighted",
+    "graph_kcore",
+    "embedding_whiten_invariants",
+    "multimodal_image_near_dup",
+    "zorder_cluster_keys",
+    "graph_degree_profile",
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",
