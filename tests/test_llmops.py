@@ -2546,6 +2546,26 @@ def test_pagerank_weighted_matches_integer_reference(spark):
                  pagerank(ones, iters=2, weight_col="w").collect()}
     assert unweighted == weighted1
 
+    # weighted + personalized compose: teleport mass concentrates on
+    # the seed, weighted contributions still split by w — the seed and
+    # its heavy out-neighbor dominate, and the independent reference
+    # (teleport/base/dangling to seeds only) matches exactly
+    seeds = spark.createDataFrame([(2,)], "node_id long")
+    wp = {r2["node_id"]: r2["rank_micro"] for r2 in
+          pagerank(e, iters=2, weight_col="w", seeds=seeds).collect()}
+    r = {v: (10 ** 12 if v == 2 else 0) for v in nodes}
+    for _ in range(2):
+        infl = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            infl[d] += halfup(r[s] * w, outw[s])
+        dang = sum(r[v] for v in nodes if v not in outw)
+        r = {v: ((halfup(150_000_000_000, 1) if v == 2 else 0)
+                 + (170 * (infl[v]
+                           + (halfup(dang, 1) if v == 2 else 0)) + 100)
+                 // 200)
+             for v in nodes}
+    assert wp == r
+
 
 def test_kcore_known_graph(spark):
     """kcore on a hand-analyzable graph: K4 plus a tail 4-5-6 hanging
