@@ -1494,6 +1494,67 @@ def ivfpq_index_compact(spark, index_dir: str, target_files: int = 1,
     return report
 
 
+def kcenter_select(corpus: DataFrame, k: int = 6, dims: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy farthest-point k-center selection (Gonzalez 1985, the
+    2-approximation) over an embedding column — the DIVERSITY selector
+    a curation pipeline runs to pick a maximally-spread subset (eval-set
+    seeding, coreset selection, dedup-cluster exemplar spread): start
+    from the lowest id, then repeatedly take the point FARTHEST from
+    everything selected so far.
+
+    Determinism by arithmetic (the module rule): vectors round to 6 dp
+    once, distances are `_sqdist_exact` (decimal-exact squared L2, so
+    no float-boundary luck feeds the argmax), and every argmax
+    tie-breaks on ascending id — the selection is a pure function of
+    the data in any engine, which is what lets the registry key carry a
+    fully-unrolled DuckDB oracle.
+
+    Scale shape: k−1 rounds, each ONE corpus pass updating the running
+    min-distance against the single NEW center (a d-scalar literal —
+    the kmeans training-scalar precedent) followed by a TakeOrdered(1)
+    argmax; nothing corpus² and only (k, d)-bounded scalars ever reach
+    the driver. Cost: O(k · corpus) — the standard greedy k-center
+    bound.
+
+    Output: (sel_rank INT, vec_id, dist DOUBLE) — dist is the point's
+    exact squared L2 to the previously-selected set at selection time
+    (NULL for the seed row); non-increasing in rank by construction
+    (the Gonzalez invariant, pinned in tests)."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
+    v6 = _persist(corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x, 6)).alias("_v")))
+    first = v6.orderBy(id_col).limit(1).collect()
+    spark = corpus.sparkSession
+    schema = f"sel_rank int, {id_col} long, dist double"
+    if not first:
+        return spark.createDataFrame([], schema)
+    center = [float(x) for x in first[0]["_v"]]
+    sel = [(1, int(first[0][id_col]), None)]
+    cur = _persist(v6.select(
+        id_col, "_v",
+        _sqdist_exact(F.col("_v"), _lit_vec(center)).alias("_mind")))
+    for rank in range(2, k + 1):
+        pick = (cur.filter(~F.col(id_col).isin([s[1] for s in sel]))
+                .orderBy(F.col("_mind").desc(), F.col(id_col).asc())
+                .limit(1).collect())
+        if not pick:
+            break                      # corpus smaller than k
+        row = pick[0]
+        sel.append((rank, int(row[id_col]), float(row["_mind"])))
+        if rank < k:
+            center = [float(x) for x in row["_v"]]
+            cur = _persist(cur.select(
+                id_col, "_v",
+                F.least(F.col("_mind"),
+                        _sqdist_exact(F.col("_v"), _lit_vec(center)))
+                 .alias("_mind")))
+    return spark.createDataFrame(sel, schema)
+
+
 def _per_dim_mu(corpus: DataFrame, vec_col: str) -> DataFrame:
     """The shared exact per-dimension mean aggregation (dim, mu):
     DECIMAL(20,10) sums rounded 6 dp — the centering constants both

@@ -2137,20 +2137,16 @@ FROM r
 def zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airline_data_warehouse_spark.sources.layout import (
         bucket_rank,
+        exact_equi_depth_boundaries,
         morton_key,
     )
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-    probs = ", ".join(repr(p) for p in _ZORDER_PROBS)
-    q = li.agg(
-        F.expr(f"percentile(l_partkey, array({probs}))").alias("q1"),
-        F.expr(f"percentile(l_suppkey, array({probs}))").alias("q2"),
-    ).collect()[0]
-    b1 = [round(float(x), 6) for x in q["q1"]]
-    b2 = [round(float(x), 6) for x in q["q2"]]
-    r1 = bucket_rank(li, "l_partkey", b1)
-    r2 = bucket_rank(li, "l_suppkey", b2)
+    r1 = bucket_rank(li, "l_partkey",
+                     exact_equi_depth_boundaries(li, "l_partkey", 16))
+    r2 = bucket_rank(li, "l_suppkey",
+                     exact_equi_depth_boundaries(li, "l_suppkey", 16))
     return li.select(
         "l_orderkey", "l_linenumber",
         r1.cast("int").alias("rank_part"),

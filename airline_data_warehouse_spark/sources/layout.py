@@ -54,6 +54,25 @@ def equi_depth_boundaries(df: DataFrame, col: str, n_buckets: int,
     return tmp.stat.approxQuantile("_q", probs, relative_error)
 
 
+def exact_equi_depth_boundaries(df: DataFrame, col: str,
+                                n_buckets: int) -> list[float]:
+    """EXACT equi-depth boundaries (n_buckets − 1 interior percentiles
+    via Spark's exact `percentile`, 6-dp-rounded) — the oracle-able twin
+    of `equi_depth_boundaries`' approxQuantile (Greenwald–Khanna depends
+    on partition merge order, so it can never be cross-engine
+    hash-compared; exact percentile ≡ DuckDB quantile_cont, the
+    certified exact_percentiles identity). Same driver cost class:
+    n_buckets − 1 scalars collected, never the data. Use this when the
+    clustering keys themselves must be reproducible (the
+    zorder_cluster_keys registry contract); approxQuantile remains the
+    right default for the physical write path at 100 TB (one pass,
+    bounded error, no full sort)."""
+    probs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
+    row = df.agg(F.expr(
+        f"percentile({col}, array({probs}))").alias("q")).collect()[0]
+    return [round(float(x), 6) for x in row["q"]]
+
+
 def _as_numeric(df: DataFrame, col: str) -> Column:
     """Timestamps rank by epoch micros; everything else casts to double
     (2024-range epoch micros ~1.7e15 sit well inside double's 53-bit

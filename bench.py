@@ -164,6 +164,7 @@ HEADLINE = [
     "multimodal_image_near_dup",
     "zorder_cluster_keys",
     "graph_degree_profile",
+    "diverse_kcenter_select",
 ]
 
 

@@ -2596,6 +2596,36 @@ def test_kcore_known_graph(spark):
     assert got1[4] == 4
 
 
+def test_kcenter_select_gonzalez_invariants(spark):
+    """kcenter_select on a hand-analyzable corpus: three tight clusters
+    around (0,0), (10,0), (0,10) plus the seed — greedy farthest-point
+    must visit a NEW cluster on each of the first rounds (the Gonzalez
+    spread property), selection distances are non-increasing in rank,
+    reruns are identical, and a corpus smaller than k returns every
+    point without crashing."""
+    rows = [(1, [0.0, 0.1]), (2, [0.1, 0.0]), (3, [0.05, 0.05]),
+            (10, [10.0, 0.1]), (11, [10.1, 0.0]),
+            (20, [0.1, 10.0]), (21, [0.0, 10.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r["sel_rank"], r["vec_id"], r["dist"]) for r in
+           sim.kcenter_select(emb, k=4, dims=2)
+           .orderBy("sel_rank").collect()]
+    assert got[0][1] == 1 and got[0][2] is None       # seed = lowest id
+    # rounds 2 and 3 each land in a different far cluster
+    assert {got[1][1], got[2][1]} <= {10, 11, 20, 21}
+    assert (got[1][1] // 10) != (got[2][1] // 10)
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)        # non-increasing
+    again = [(r["sel_rank"], r["vec_id"]) for r in
+             sim.kcenter_select(emb, k=4, dims=2)
+             .orderBy("sel_rank").collect()]
+    assert again == [(r, v) for r, v, _ in got]        # deterministic
+
+    small = spark.createDataFrame(rows[:2],
+                                  "vec_id long, embedding array<double>")
+    assert sim.kcenter_select(small, k=5, dims=2).count() == 2
+
+
 def test_degree_profile_histogram_and_assortativity(spark):
     """degree_profile vs hand math: a star is perfectly disassortative
     (r = −1 exactly — every edge joins the hub to a leaf), a regular

@@ -101,6 +101,7 @@ PROBE_QUERIES = [
     "multimodal_image_near_dup",
     "zorder_cluster_keys",
     "graph_degree_profile",
+    "diverse_kcenter_select",
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",
