@@ -205,7 +205,8 @@ def pagerank(edges: DataFrame, iters: int = 3,
 def label_propagation(nodes: DataFrame, edges: DataFrame,
                       seeds: DataFrame, iters: int = 2,
                       prior_micro: int = 500_000_000_000,
-                      id_col: str = "node_id") -> DataFrame:
+                      id_col: str = "node_id",
+                      weight_col: str | None = None) -> DataFrame:
     """Semi-supervised score propagation with clamped seeds (Zhu &
     Ghahramani 2002): every seeded node keeps its seed score at every
     step; every unlabeled node takes the half-up integer MEAN of its
@@ -222,6 +223,14 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
     directions for an undirected similarity graph; ``seeds``
     (id, seed_micro BIGINT in [0, 1e12]).
 
+    ``weight_col`` (optional, positive integers — e.g. the number of
+    LSH band collisions a pair shares): the WEIGHTED mean — an
+    unlabeled node takes halfup(Σ w·score, Σ w) over its in-edges, so
+    stronger-similarity neighbors pull harder. Rows with w ≤ 0 are
+    dropped; w ≡ 1 reproduces the unweighted results bit-for-bit
+    (halfup(Σ score, count)). w·score runs in DECIMAL(38,0) — exact at
+    any magnitude (the weighted-pagerank discipline).
+
     Integer micro-unit arithmetic throughout (the pagerank discipline):
     deterministic by arithmetic in any engine, oracle-unrollable.
     Per iteration: one edges ⋈ scores join keyed on src, one dst-keyed
@@ -235,19 +244,36 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
                       F.coalesce("_seed",
                                  F.lit(prior_micro).cast("long"))
                        .alias("score")))
-    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    if weight_col is not None:
+        e = (edges.select(F.col("src").cast("long"),
+                          F.col("dst").cast("long"),
+                          F.col(weight_col).cast("long").alias("w"))
+             .filter(F.col("w") > 0))
+    else:
+        e = edges.select(F.col("src").cast("long"),
+                         F.col("dst").cast("long"),
+                         F.lit(1).cast("long").alias("w"))
     for _ in range(iters):
         scores = _persist(scores)
-        # the sum widens to DECIMAL(38,0) BEFORE aggregation: a hub with
+        # the sums widen to DECIMAL(38,0) BEFORE aggregation: a hub with
         # ~9e6 full-score in-neighbors would wrap a BIGINT sum silently
         # (ANSI off); the oracle's SUM(BIGINT) is HUGEINT — exact — so
         # the Spark side must be too (same ADVICE-r10 class as
         # _div_halfup)
-        inflow = (e.join(scores.withColumnRenamed(id_col, "src"), "src")
-                  .groupBy(F.col("dst").alias(id_col))
-                  .agg(F.sum(F.col("score").cast("decimal(38,0)"))
-                        .alias("tot"),
-                       F.count(F.lit(1)).alias("cnt")))
+        joined = e.join(scores.withColumnRenamed(id_col, "src"), "src")
+        if weight_col is not None:
+            inflow = (joined.groupBy(F.col("dst").alias(id_col))
+                      .agg(F.sum(F.col("w").cast("decimal(38,0)")
+                                 * F.col("score")).alias("tot"),
+                           F.sum(F.col("w").cast("decimal(38,0)"))
+                            .alias("cnt")))
+        else:
+            # unweighted fast path: plain sum + count (the r10 certified
+            # shape); w ≡ 1 equality pinned by test
+            inflow = (joined.groupBy(F.col("dst").alias(id_col))
+                      .agg(F.sum(F.col("score").cast("decimal(38,0)"))
+                            .alias("tot"),
+                           F.count(F.lit(1)).alias("cnt")))
         scores = (scores.join(sd, id_col, "left")
                   .join(inflow, id_col, "left")
                   .select(id_col,

@@ -165,6 +165,7 @@ HEADLINE = [
     "zorder_cluster_keys",
     "graph_degree_profile",
     "diverse_kcenter_select",
+    "quality_label_propagation_weighted",
 ]
 
 

@@ -2462,6 +2462,49 @@ def test_label_propagation_matches_independent_reference(spark):
     assert got[9] == (500_000_000_000, False)                  # isolated
 
 
+def test_label_propagation_weighted_matches_reference(spark):
+    """label_propagation(weight_col=...) vs plain-Python integer
+    arithmetic: weighted mean halfup(Σ w·score, Σ w) with one weight
+    big enough (1e7) that w·score ≈ 1e19 exceeds int64 — the
+    DECIMAL(38,0) product must stay exact. w ≡ 1 reproduces the
+    unweighted form bit-for-bit; non-positive weights drop."""
+    from airline_data_warehouse_spark.operators.graph import (
+        label_propagation,
+    )
+
+    node_ids = [1, 2, 3]
+    edge_list = [(1, 3, 10 ** 7), (2, 3, 1), (1, 2, 0)]   # w=0 dropped
+    seed_map = {1: 10 ** 12, 2: 0}
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "node_id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    seeds = spark.createDataFrame(list(seed_map.items()),
+                                  "node_id long, seed_micro long")
+    got = {r["node_id"]: r["score_micro"] for r in
+           label_propagation(nodes, edges, seeds, iters=1,
+                             weight_col="w").collect()}
+
+    def halfup(a, b):
+        return (2 * a + b) // (2 * b)
+
+    live = [(s, d, w) for s, d, w in edge_list if w > 0]
+    s0 = {v: seed_map.get(v, 500_000_000_000) for v in node_ids}
+    tot = sum(w * s0[s] for s, d, w in live if d == 3)
+    wsum = sum(w for s, d, w in live if d == 3)
+    assert got[3] == halfup(tot, wsum)
+    assert got[1] == 10 ** 12 and got[2] == 0              # clamped
+
+    ones = spark.createDataFrame([(s, d, 1) for s, d, _ in edge_list],
+                                 "src long, dst long, w long")
+    plain = spark.createDataFrame([(s, d) for s, d, _ in edge_list],
+                                  "src long, dst long")
+    w1 = {r["node_id"]: r["score_micro"] for r in
+          label_propagation(nodes, ones, seeds, iters=2,
+                            weight_col="w").collect()}
+    uw = {r["node_id"]: r["score_micro"] for r in
+          label_propagation(nodes, plain, seeds, iters=2).collect()}
+    assert w1 == uw
+
+
 def test_label_propagation_high_degree_hub_exact(spark):
     """ADVICE r10-medium regression: a hub with 5,000 full-score (1e12)
     in-neighbors makes the half-up numerator 2·Σscores + cnt ≈ 1e16 —

@@ -102,6 +102,7 @@ PROBE_QUERIES = [
     "zorder_cluster_keys",
     "graph_degree_profile",
     "diverse_kcenter_select",
+    "quality_label_propagation_weighted",
     "pit_status_join",
     "weighted_sample_docs",
     "above_customer_average",
