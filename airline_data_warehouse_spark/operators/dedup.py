@@ -46,6 +46,25 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _release_one(df: DataFrame) -> None:
+    """Unpersist ONE frame created via _persist and drop it from the
+    registry — for bounded-iteration loops where round i's frame is
+    dead the moment round i+1's cache has materialized (VERDICT r11
+    item 4: at 20+ iterations the dead frames are pure executor-memory
+    pressure). Callers must only release a frame whose successor has
+    actually materialized (an action ran), or the lineage recompute
+    cascades right back through it."""
+    try:
+        _LIVE_CACHES.remove(df)
+    except ValueError:
+        pass  # already released (or never registered) — idempotent
+    try:
+        df.unpersist()
+    except Exception:
+        _LOG.warning("unpersist failed during _release_one",
+                     exc_info=True)
+
+
 def release_caches() -> None:
     """Unpersist every cache created by this module's operators. Safe to
     call at any time; blocking=False so it never stalls the caller.

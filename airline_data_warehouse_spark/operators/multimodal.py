@@ -409,6 +409,44 @@ def _wav_samples(payload: bytes):
     return samples, rate, nch, n
 
 
+def _wav_samples_int(payload: bytes):
+    """Decode a WAV payload to RAW INTEGER mono samples (np.int64 array,
+    rate, n_channels, n_frames) — the exact-arithmetic front end of
+    audio_fingerprint (the float path `_wav_samples` stays the front
+    end of audio_features, where [-1, 1] normalization is the
+    contract). Width handling mirrors _wav_samples: 8-bit PCM is
+    unsigned → sample − 128; 24-bit left-packs to int32 (a uniform ×256
+    that cancels in any scale-invariant comparison); 16/32-bit read
+    natively. Multi-channel audio SUMS channels to mono instead of
+    averaging — the sum stays an exact integer and is a uniform ×nch of
+    the mean, which likewise cancels in scale-invariant bits."""
+    import io
+    import wave
+
+    import numpy as np
+    widths = {1: np.uint8, 2: np.int16, 4: np.int32}
+    with wave.open(io.BytesIO(payload)) as wf:
+        rate, nch = wf.getframerate(), wf.getnchannels()
+        width, n = wf.getsampwidth(), wf.getnframes()
+        raw = wf.readframes(n)
+    if width == 3:
+        tri = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        quad = np.zeros((tri.shape[0], 4), dtype=np.uint8)
+        quad[:, 1:] = tri
+        samples = quad.view("<i4").ravel().astype(np.int64)
+    elif width not in widths:
+        raise NotImplementedError(
+            f"unsupported WAV sample width {width} bytes; supported "
+            f"widths are 1/2/3/4 (8/16/24/32-bit PCM)")
+    else:
+        samples = np.frombuffer(raw, dtype=widths[width]).astype(np.int64)
+        if width == 1:
+            samples = samples - 128        # 8-bit PCM is unsigned
+    if nch > 1:
+        samples = samples.reshape(-1, nch).sum(axis=1)
+    return samples, rate, nch, n
+
+
 def audio_features(df: DataFrame) -> DataFrame:
     """REAL audio feature extraction over WAV payloads — stdlib ``wave``
     + numpy end to end, no optional dependency and no fake seam. RMS /
@@ -514,16 +552,26 @@ def image_near_dup_pairs(pixels: DataFrame,
 def audio_fingerprint(df: DataFrame, n_frames: int = 64) -> DataFrame:
     """64-bit perceptual audio fingerprint per WAV payload — the audio
     twin of the image average-hash: split the mono signal into
-    ``n_frames`` equal windows, bit i = window-RMS energy above the
-    MEAN window energy, packed in time order (the aHash convention —
-    a median degenerates to all-zero bits whenever one of two energy
-    levels holds the majority). Comparing to the mean, which scales
-    with the signal, makes the hash GAIN-INVARIANT
-    — re-encoded or volume-normalized copies of a recording keep the
-    identical fingerprint, local edits flip only their windows' bits —
-    so hamming distance over it is the cheap audio near-dup screen
-    (the energy-profile family chromaprint/shazam-style fingerprints
-    refine with spectral detail; this stays stdlib-wave + numpy).
+    ``n_frames`` time windows, bit i = window ENERGY above the mean
+    window energy, packed in time order (the aHash convention — a
+    median degenerates to all-zero bits whenever one of two energy
+    levels holds the majority).
+
+    INTEGER arithmetic end to end (r12 — the image aHash playbook,
+    VERDICT r11 item 2; the old window-RMS-vs-mean comparison was
+    float, the exact float-tie-luck class the integer luma fix killed
+    for images): over RAW integer PCM samples (`_wav_samples_int`),
+    window energy E_i = Σ x² as exact Python ints, and
+    bit_i = n_frames·E_i > Σ_total x² — the same algebra as
+    luma·64 > Σluma, decided by integer ordering in ANY engine. Exact
+    INTEGER gain scaling (×g scales every energy by g², both sides of
+    the comparison) leaves the fingerprint bit-identical —
+    re-encoded / volume-scaled copies collide; local edits flip only
+    their windows' bits — which is what lets the
+    multimodal_audio_near_dup registry key carry a real DuckDB oracle.
+    Windows are np.array_split boundaries (first n % n_frames windows
+    one sample longer); the energy comparison weighs raw window energy,
+    not per-sample RMS, so the rule stays a pure integer predicate.
 
     Clips shorter than ``n_frames`` samples fingerprint as NULL (too
     short to window). Arrow-batched mapInPandas over MEDIA_SCHEMA rows,
@@ -540,17 +588,26 @@ def audio_fingerprint(df: DataFrame, n_frames: int = 64) -> DataFrame:
                 if row.media_type != "audio":
                     continue
                 payload = bytes(row.payload) if row.payload is not None else b""
-                samples, _rate, _nch, _n = _wav_samples(payload)
+                samples, _rate, _nch, _n = _wav_samples_int(payload)
                 if len(samples) < n_frames:
                     out.append((row.media_id, None))
                     continue
-                frames = np.array_split(samples, n_frames)
-                energy = np.array([float(np.sqrt(np.mean(f ** 2)))
-                                   for f in frames])
-                bits = energy > float(energy.mean())
+                max_abs = int(np.abs(samples).max(initial=0))
+                win_len = -(-len(samples) // n_frames)
+                if max_abs and max_abs * max_abs * win_len >= 2 ** 63:
+                    # 32-bit full-scale × long windows can pass int64:
+                    # exact Python-int fallback (slow path, never taken
+                    # for ≤16-bit PCM)
+                    energies = [sum(int(v) * int(v) for v in w)
+                                for w in np.array_split(samples, n_frames)]
+                else:
+                    sq = samples * samples            # int64-safe here
+                    energies = [int(w.sum()) for w in
+                                np.array_split(sq, n_frames)]
+                total = sum(energies)                 # Python int: exact
                 val = 0
-                for bit in bits:
-                    val = (val << 1) | int(bit)
+                for e in energies:
+                    val = (val << 1) | int(n_frames * e > total)
                 if val >= 1 << 63:           # wrap to signed int64
                     val -= 1 << 64
                 out.append((row.media_id, val))

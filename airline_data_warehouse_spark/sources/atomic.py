@@ -276,8 +276,16 @@ def recover_directory(spark: SparkSession, dest_path: str) -> None:
     if fs.exists(hpath(dest_path)):
         fs.delete(backup, True)
     elif not fs.rename(backup, hpath(dest_path)):
-        raise IOError(f"directory recovery: rename {backup} -> "
-                      f"{dest_path} failed")
+        # Benign race (ADVICE r11-low): a LIVE compactor's second rename
+        # (staging -> dest) can land between our existence check and
+        # this rename — dest now exists and the backup is an ordinary
+        # post-swap leftover, not a stranded sole copy. Only a rename
+        # failure with dest STILL missing is real corruption.
+        if fs.exists(hpath(dest_path)):
+            fs.delete(backup, True)
+        else:
+            raise IOError(f"directory recovery: rename {backup} -> "
+                          f"{dest_path} failed")
 
 
 def compact_directory(spark: SparkSession, dest_path: str,
@@ -324,6 +332,17 @@ def compact_directory(spark: SparkSession, dest_path: str,
         raise IOError(f"directory compact: rename {dest_path} -> "
                       f"{backup} failed")
     if not fs.rename(hpath(staging), root):
+        # The mirror of recover_directory's benign race: a concurrent
+        # reader's recover saw dest missing mid-swap and renamed the
+        # backup back. The table is then fully restored to its
+        # pre-compaction contents — drop the staged copy and report no
+        # rewrite instead of failing the owning foreachBatch mid-flight.
+        # (The documented contract is still single-maintenance-process;
+        # this just makes the reader-side heal convergent, ADVICE
+        # r11-low.)
+        if fs.exists(root) and not fs.exists(backup):
+            fs.delete(hpath(staging), True)
+            return False
         raise IOError(f"directory compact: rename {staging} -> "
                       f"{dest_path} failed")
     fs.delete(backup, True)

@@ -34,7 +34,17 @@ def append_log(spark: SparkSession, index_dir: str) -> DataFrame:
     """The per-batch drift log the ingest writes: (batch_id, appended,
     mean_d2, baseline_mean_d2, retrain_recommended). The retrain
     scheduler's input. Heals a log stranded mid-compaction-swap before
-    reading (the store-reader convention)."""
+    reading (the store-reader convention).
+
+    Concurrency: the heal step is itself a (rare) mutator, so a reader
+    racing the ingest thread's compaction swap could historically
+    rename the backup back mid-swap and fail the compactor
+    (ADVICE r11-low). Both sides now converge — recover_directory
+    treats a rename that loses to the swap's second rename as benign,
+    and compact_directory treats a reader-restored directory as a
+    no-op compaction — so calling this while an ingest is live is safe;
+    the read still observes the log either pre- or post-compaction
+    atomically."""
     from airline_data_warehouse_spark.sources.atomic import (
         recover_directory,
     )

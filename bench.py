@@ -166,6 +166,10 @@ HEADLINE = [
     "graph_degree_profile",
     "diverse_kcenter_select",
     "quality_label_propagation_weighted",
+    # r12 additions: oracle-backed audio near-dup (the image playbook),
+    # batched k-center (the scale-safe diversity selector)
+    "multimodal_audio_near_dup",
+    "diverse_kcenter_select_batched",
 ]
 
 
@@ -238,25 +242,30 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
-    # Key order matters: the driver truncates captured stdout at 2000
-    # chars (BENCH_r07–r10 all lost their tails, parsed:null since r7),
-    # so the total, the calibration constant, and the 20 slowest keys —
-    # the entire plan-audit signal — come FIRST; the full per-key map
-    # follows for readers of the untruncated BENCH_LOCAL.json.
+    # Key order matters: BENCH_r11's tail starts mid-key and the leading
+    # summary fields are gone — the driver provably keeps the LAST 2000
+    # chars of stdout (VERDICT r11 item 3; the r10-ordered summary-FIRST
+    # layout assumed head-truncation and lost everything). JSON object
+    # order is preserved, so the full per-key map goes FIRST and the
+    # total, calibration constant, and 20 slowest keys — the entire
+    # plan-audit signal — go LAST, inside the kept tail. The untruncated
+    # record is always in BENCH_LOCAL.json regardless.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    record = {
+    record = {"queries": timings}
+    if errors:
+        # errors also belong in the kept tail, but before the summary —
+        # a long error map must not push the total/calibration out
+        record["errors"] = errors
+    record.update({
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "calibration_sec": calibration,
+        "sf": sf_num,
         "runs_per_key": runs,
         "n_queries": len(timings),
-        "sf": sf_num,
         "slowest20": slowest,
-        "queries": timings,
-    }
-    if errors:
-        record["errors"] = errors
+        "calibration_sec": calibration,
+        "value": round(sum(timings.values()), 3),
+    })
     line = json.dumps(record)
     print(line)
     # The driver truncates captured stdout at 2000 chars, which cut the

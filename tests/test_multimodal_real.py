@@ -151,6 +151,46 @@ def make_patterned_wav(pattern, seg_len: int = 100, loud: int = 16384,
     return buf.getvalue()
 
 
+def test_audio_fingerprint_int64_overflow_fallback(spark):
+    """The integer-exact fingerprint's wide-sample path: 32-bit
+    full-scale PCM squares at 2^62 overflow an int64 window sum, so the
+    operator must take the Python-int fallback and still match a plain
+    Python reference computed with unbounded ints."""
+    import io
+    import struct
+    import wave
+
+    from airline_data_warehouse_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    vals = [(2 ** 31 - 1) if (i // 2) % 3 == 0 else -(2 ** 31 - 1) // 7
+            for i in range(128)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(4)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{len(vals)}i", *vals))
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame([(1, bytearray(payload), "audio", None)],
+                               "media_id long, payload binary, "
+                               "media_type string, mime string")
+    got = audio_fingerprint(df, n_frames=64).collect()[0]["afp"]
+
+    # unbounded-int reference on the same window layout
+    windows = [vals[i * 2:(i + 1) * 2] for i in range(64)]
+    energies = [sum(v * v for v in w) for w in windows]
+    total = sum(energies)
+    ref = 0
+    for e in energies:
+        ref = (ref << 1) | int(64 * e > total)
+    if ref >= 1 << 63:
+        ref -= 1 << 64
+    assert got == ref
+
+
 def test_audio_fingerprint_gain_invariant_near_dup(spark):
     """The audio energy fingerprint pins its contract: a gain-scaled
     copy hashes IDENTICALLY (windows compare to the mean, which

@@ -26,6 +26,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _avg(xs: list[float]) -> float | None:
+    """Mean rounded 3 dp, None for an empty window — n_batches <= 1
+    leaves the first10 slice empty and sum/len would raise
+    (ADVICE r11-low)."""
+    return round(sum(xs) / len(xs), 3) if xs else None
+
+
 def dir_stats(path: str) -> tuple[int, int]:
     files = bytes_ = 0
     for root, _dirs, names in os.walk(path):
@@ -76,8 +83,8 @@ def run_config(spark, docs_json: list[str], label: str, workdir: str,
     last10 = [b["sec"] for b in per_batch[-10:]]
     first10 = [b["sec"] for b in per_batch[1:11]]
     return {"config": label, "n_batches": len(per_batch),
-            "first10_avg_sec": round(sum(first10) / len(first10), 3),
-            "last10_avg_sec": round(sum(last10) / len(last10), 3),
+            "first10_avg_sec": _avg(first10),
+            "last10_avg_sec": _avg(last10),
             "final_band_files": per_batch[-1]["band_files"],
             "final_state_mb": per_batch[-1]["state_mb"],
             "n_pairs": n_pairs,
@@ -125,8 +132,8 @@ def run_ingest(spark, payloads: list[str], label: str, workdir: str,
     last10 = [b["sec"] for b in per_batch[-10:]]
     first10 = [b["sec"] for b in per_batch[1:11]]
     return {"config": label, "n_batches": len(per_batch),
-            "first10_avg_sec": round(sum(first10) / len(first10), 3),
-            "last10_avg_sec": round(sum(last10) / len(last10), 3),
+            "first10_avg_sec": _avg(first10),
+            "last10_avg_sec": _avg(last10),
             "final_state_files": per_batch[-1]["state_files"],
             "final_state_mb": per_batch[-1]["state_mb"],
             ("n_pairs" if (verdict_dir or "pairs") == "pairs"
@@ -211,8 +218,8 @@ def run_interval_join(spark, sf_dir: str, n_batches: int,
     first10 = [b["sec"] for b in per_batch[1:11]]
     states = [b["state_rows"] for b in per_batch if b["state_rows"]]
     return {"config": "interval_join", "n_batches": len(per_batch),
-            "first10_avg_sec": round(sum(first10) / len(first10), 3),
-            "last10_avg_sec": round(sum(last10) / len(last10), 3),
+            "first10_avg_sec": _avg(first10),
+            "last10_avg_sec": _avg(last10),
             "peak_state_rows": max(states) if states else None,
             "final_state_rows": states[-1] if states else None,
             "total_errors": len(errs), "total_signups": len(sups),
@@ -288,7 +295,8 @@ def run_cascade(spark, sf_dir: str, n_batches: int, workdir: str) -> dict:
 
 
 def run_index(spark, sf_dir: str, n_batches: int, workdir: str,
-              compact_every: int | None, label: str) -> dict:
+              compact_every: int | None, label: str,
+              vecs_per_batch: int | None = None) -> dict:
     """IVFADC streaming index-maintenance probe (VERDICT r10 item 3):
     build the index from the first half of the sf embeddings, replay
     the second half as micro-batches through start_index_ingest, and
@@ -317,12 +325,30 @@ def run_index(spark, sf_dir: str, n_batches: int, workdir: str,
     ivfpq_index_build(base, idx, n_lists=8, m=4, codes_k=16, iters=2,
                       dims=64)
     inc = rows[half:]
-    per = max(1, len(inc) // n_batches)
-    payloads = ["\n".join(
-        json.dumps({"vec_id": r["vec_id"],
-                    "embedding": [float(x) for x in r["embedding"]]})
-        for r in inc[i:i + per])
-        for i in range(0, len(inc), per)][:n_batches]
+    if vecs_per_batch:
+        # production-batch-size mode (VERDICT r11 item 5): the sf
+        # increment half is only ~1k vectors, so tile it with fresh
+        # vec_ids to reach vecs_per_batch × n_batches rows — the MERGE
+        # keys stay unique (real appends), the vector payloads are real
+        # embedding values, and the per-batch volume matches a
+        # production micro-batch instead of the 20-vector floor probe.
+        per = vecs_per_batch
+        base_id = max(r["vec_id"] for r in rows) + 1
+        need = per * n_batches
+        stream = [(base_id + j,
+                   [float(x) for x in inc[j % len(inc)]["embedding"]])
+                  for j in range(need)]
+        payloads = ["\n".join(
+            json.dumps({"vec_id": vid, "embedding": emb})
+            for vid, emb in stream[i * per:(i + 1) * per])
+            for i in range(n_batches)]
+    else:
+        per = max(1, len(inc) // n_batches)
+        payloads = ["\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": [float(x) for x in r["embedding"]]})
+            for r in inc[i:i + per])
+            for i in range(0, len(inc), per)][:n_batches]
     print(f"{label}: {len(payloads)} batches x ~{per} vecs "
           f"on a {half}-vector index", flush=True)
 
@@ -359,8 +385,8 @@ def run_index(spark, sf_dir: str, n_batches: int, workdir: str,
     last10 = [b["sec"] for b in per_batch[-10:]]
     first10 = [b["sec"] for b in per_batch[1:11]]
     return {"config": label, "n_batches": len(per_batch),
-            "first10_avg_sec": round(sum(first10) / len(first10), 3),
-            "last10_avg_sec": round(sum(last10) / len(last10), 3),
+            "first10_avg_sec": _avg(first10),
+            "last10_avg_sec": _avg(last10),
             "final_index_files": per_batch[-1]["index_files"],
             "final_log_files": per_batch[-1]["log_files"],
             "final_index_mb": per_batch[-1]["index_mb"],
@@ -373,9 +399,15 @@ def main() -> int:
     semantic_only = "--semantic" in sys.argv
     cascade_only = "--cascade" in sys.argv
     index_only = "--index" in sys.argv
-    argv = [a for a in sys.argv[1:]
-            if a not in ("--interval", "--semantic", "--cascade",
-                         "--index")]
+    vecs_per_batch = None
+    argv = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--vecs-per-batch":
+            vecs_per_batch = int(next(it))
+        elif a not in ("--interval", "--semantic", "--cascade",
+                       "--index"):
+            argv.append(a)
     n_batches = int(argv[0]) if argv else 50
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
 
@@ -395,10 +427,12 @@ def main() -> int:
         workdir = tempfile.mkdtemp(prefix="stream_probe_")
         try:
             out = []
-            for label, every in (("index_baseline", None),
-                                 ("index_compact", 10)):
+            suffix = f"_{vecs_per_batch}pb" if vecs_per_batch else ""
+            for label, every in ((f"index_baseline{suffix}", None),
+                                 (f"index_compact{suffix}", 10)):
                 summary = run_index(spark, sf_dir, n_batches, workdir,
-                                    every, label)
+                                    every, label,
+                                    vecs_per_batch=vecs_per_batch)
                 out.append(summary)
                 print(json.dumps({k: v for k, v in summary.items()
                                   if k != "per_batch"}))
