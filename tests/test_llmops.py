@@ -2861,6 +2861,54 @@ def test_degree_profile_histogram_and_assortativity(spark):
     assert mgot[("degree_hist", 1)] == 1.0            # the pendant
 
 
+def test_component_profile_hand_counts(spark):
+    """component_profile vs hand math on a labeled vertex set with a
+    4-component shape (sizes 3, 2, 1, 1): size histogram, component /
+    vertex / max-size / singleton scalars all to the digit."""
+    from airline_data_warehouse_spark.operators.graph import (
+        component_profile,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),          # size-3 component
+         (4, 4), (5, 4),                  # size-2
+         (6, 6), (7, 7)],                 # two singletons
+        "doc_id long, cluster_id long")
+    got = {(r["stat"], r["k"]): r["value"] for r in
+           component_profile(labels).collect()}
+    assert got[("size_hist", 3)] == 1.0
+    assert got[("size_hist", 2)] == 1.0
+    assert got[("size_hist", 1)] == 2.0
+    assert got[("components", -1)] == 4.0
+    assert got[("vertices", -1)] == 7.0
+    assert got[("max_size", -1)] == 3.0
+    assert got[("singletons", -1)] == 2.0
+
+
+def test_component_profile_end_to_end_cc(spark):
+    """component_profile over REAL connected_components output: a pair
+    graph with one 3-chain and one 2-clique over a 7-vertex set leaves
+    2 singletons; the profile must reflect the transitive closure (the
+    3-chain is ONE component even though no single pair spans it)."""
+    from airline_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+    from airline_data_warehouse_spark.operators.graph import (
+        component_profile,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)],
+                                  "id1 long, id2 long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)],
+                                  "doc_id long")
+    got = {(r["stat"], r["k"]): r["value"] for r in
+           component_profile(connected_components(pairs, verts)).collect()}
+    assert got[("size_hist", 3)] == 1.0
+    assert got[("components", -1)] == 4.0
+    assert got[("singletons", -1)] == 2.0
+    assert got[("vertices", -1)] == 7.0
+
+
 def test_cluster_safe_split_singleton_fallback(spark):
     """ADVICE r10-low: documents missing from the clusters frame (e.g.
     connected_components run without the full vertex set) become
