@@ -2758,6 +2758,64 @@ def test_pagerank_weighted_matches_integer_reference(spark):
     assert wp == r
 
 
+def test_countmin_overestimates_and_exact_when_sparse(spark):
+    """CMS invariants on a hand corpus: (1) est >= true for every
+    probe (one-sided error, guaranteed by construction); (2) with far
+    fewer distinct tokens than width, collisions are overwhelmingly
+    absent and estimates equal exact counts; (3) a token never
+    inserted estimates 0 (min with an untouched cell)."""
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    occurrences = [("alpha",)] * 7 + [("beta",)] * 3 + [("gamma",)] * 1
+    items = spark.createDataFrame(occurrences, "token string")
+    sketch = sk.countmin_build(items)
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("never_seen",)],
+        "token string")
+    got = {r["token"]: r["est_count"] for r in
+           sk.countmin_estimate(sketch, probes).collect()}
+    true = {"alpha": 7, "beta": 3, "gamma": 1, "never_seen": 0}
+    for tok, t in true.items():
+        assert got[tok] >= t
+    # 3 tokens into 512 buckets x 4 rows: a collision in ALL 4 rows
+    # (what it takes to inflate the min) is practically impossible
+    assert got == true
+
+
+def test_countmin_merge_equals_union_build(spark):
+    """CMS is a linear sketch: merge(build(A), build(B)) must be
+    cell-for-cell identical to build(A ∪ B)."""
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "token string")
+    b = spark.createDataFrame([("y",), ("z",)], "token string")
+    merged = {(r["row"], r["bucket"]): r["counter"] for r in
+              sk.countmin_merge(sk.countmin_build(a),
+                                sk.countmin_build(b)).collect()}
+    direct = {(r["row"], r["bucket"]): r["counter"] for r in
+              sk.countmin_build(a.unionByName(b)).collect()}
+    assert merged == direct
+
+
+def test_countmin_cell_bound(spark):
+    """The sketch NEVER exceeds depth x width rows — the fixed-size
+    state contract — and weights aggregate (weight_col path)."""
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    items = spark.createDataFrame(
+        [(f"tok{i}", i + 1) for i in range(2000)], "token string, w long")
+    sketch = sk.countmin_build(items, weight_col="w", depth=4, width=64)
+    rows = sketch.collect()
+    assert len(rows) <= 4 * 64
+    # per-row counter mass equals total weight: every occurrence lands
+    # in exactly one bucket per row
+    total = sum(i + 1 for i in range(2000))
+    by_row = {}
+    for r in rows:
+        by_row[r["row"]] = by_row.get(r["row"], 0) + r["counter"]
+    assert by_row == {0: total, 1: total, 2: total, 3: total}
+
+
 def test_kcore_known_graph(spark):
     """kcore on a hand-analyzable graph: K4 plus a tail 4-5-6 hanging
     off node 4. k=2: the tail peels in cascade (6 first, then 5, then
