@@ -385,6 +385,45 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
              .filter(F.col("score") >= threshold))
 
 
+def mutual_knn_pairs(corpus: DataFrame, centroids: DataFrame, k: int = 3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Mutual-kNN graph edges: each vector's exact cosine top-k WITHIN
+    its own IVF list, kept only when RECIPROCATED (a ∈ knn(b) AND
+    b ∈ knn(a)) — the classic mutual-kNN construction whose connected
+    components are semantic clusters (reciprocity prunes hub edges: a
+    generic vector near everything is in many top-k lists but its own
+    top-k reciprocates only its true neighborhood). Canonical
+    (id1 < id2) output, one row per undirected edge.
+
+    Scale shape: centroids broadcast (ivf_assign), the scoring
+    self-join keyed on list_id with the quadratic bounded by list size
+    BY DESIGN (the SemDeDup contract — quantizer k grows with the
+    corpus so lists stay bounded); top-k is a per-vector window inside
+    the list partitions; the reciprocity check is one edge-keyed
+    semi-join. Determinism: 6-dp rounded scores, neighbor-id
+    tie-breaks — replayed bit-for-bit by the SQL oracle."""
+    corpus = corpus.filter(_finite_ok(F.col(vec_col)))
+    assigned = _persist(ivf_assign(corpus, centroids, id_col, vec_col)
+                        .withColumn("_n", _norm(F.col(vec_col))))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    score = F.round(_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                    / (F.col("a._n") * F.col("b._n")), 6)
+    scored = (a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+                     & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("qid"),
+                      F.col(f"b.{id_col}").alias("nid"),
+                      score.alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("nid").asc())
+    topk = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).select("qid", "nid"))
+    rev = topk.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
+    return (topk.join(rev, ["qid", "nid"], "left_semi")
+            .filter(F.col("qid") < F.col("nid"))
+            .select(F.col("qid").alias("id1"), F.col("nid").alias("id2")))
+
+
 def label_centroids(corpus: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Per-label centroid vectors, computed dimension-wise via posexplode

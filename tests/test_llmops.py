@@ -2758,6 +2758,34 @@ def test_pagerank_weighted_matches_integer_reference(spark):
     assert wp == r
 
 
+def test_mutual_knn_reciprocity(spark):
+    """mutual_knn_pairs keeps an edge only when BOTH endpoints list
+    each other: three unit vectors at 0°, 5°, 30° with k=1 — A and B
+    are each other's nearest (edge kept), C's nearest is B but B's
+    nearest is A (C's edge pruned). At k=2 every pair reciprocates."""
+    import math
+
+    from airline_data_warehouse_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    corpus = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(5)), (3, unit(30))],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame([(0, [1.0, 0.0])],
+                                  "list_id int, centroid array<double>")
+    k1 = {(r["id1"], r["id2"]) for r in
+          mutual_knn_pairs(corpus, cents, k=1).collect()}
+    assert k1 == {(1, 2)}
+    k2 = {(r["id1"], r["id2"]) for r in
+          mutual_knn_pairs(corpus, cents, k=2).collect()}
+    assert k2 == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_countmin_overestimates_and_exact_when_sparse(spark):
     """CMS invariants on a hand corpus: (1) est >= true for every
     probe (one-sided error, guaranteed by construction); (2) with far
