@@ -1480,6 +1480,75 @@ def ivfpq_index_append(spark, index_dir: str, increment: DataFrame,
     }
 
 
+def ivfpq_index_delete(spark, index_dir: str, ids: DataFrame,
+                       id_col: str = "vec_id") -> dict:
+    """Targeted deletion from a persisted IVFADC index — the
+    right-to-be-forgotten / takedown operation a long-lived embedding
+    store must support (a revoked document's vectors must stop being
+    retrievable, not just stop being served): remove every code row
+    and (when the index stores vectors) every raw vector of the given
+    ids, touching ONLY the list partitions that hold them.
+
+    Semantics are exact, not tombstone-approximate: under the index's
+    frozen quantizers a vector's code rows are a pure function of the
+    vector, so deletion ≡ the index that would exist had the ids never
+    been inserted — every downstream query (ADC, rerank) is then
+    automatically correct with no filter bolted onto the read path.
+    Implementation rides sources/atomic.merge_parquet's WHEN MATCHED
+    DELETE clause: partition-scoped stage-then-swap directory rewrites
+    (a partition emptied by the delete is dropped atomically), readers
+    see each partition either pre- or post-delete at every instant,
+    crash → recover_partitions rollback + idempotent retry. A second
+    delete of the same ids is a no-op.
+
+    ``stats.parquet`` (the build-time drift baseline) is left as
+    built: it describes the TRAINING distribution the quantizers were
+    fit on, which deletion does not change; the retrain trigger
+    compares increments against that baseline by design.
+
+    Returns {"deleted": <distinct ids actually present>, "codes":
+    True, "vectors": <bool — table existed>}. Same single-maintenance-
+    process contract as append/compact."""
+    from airline_data_warehouse_spark.sources.atomic import (
+        _fs,
+        merge_parquet,
+        recover_partitions,
+    )
+
+    # no broadcast hint on the delete-key set: a routine takedown is a
+    # handful of ids but a bulk purge (expired source, licensing sweep)
+    # is corpus-proportional — AQE picks broadcast at runtime when the
+    # set is actually small (the merge_parquet convention)
+    keys = ids.select(F.col(id_col)).distinct()
+    codes_path = f"{index_dir}/codes.parquet"
+    recover_partitions(spark, codes_path, "list_id")
+    target = spark.read.parquet(codes_path)
+    # NOT persisted: CacheManager matches canonicalized plans, so a
+    # cached victims frame from THIS call would be substituted into the
+    # structurally-identical semi-join of a LATER delete against the
+    # same index and serve stale pre-delete rows (the retry would
+    # "find" the ids it already removed). Evaluated twice (count +
+    # merge staging), both against pre-swap files — cheap, and the
+    # merge stages fully before any rename.
+    victims = target.join(keys, id_col, "left_semi")
+    n = victims.select(id_col).distinct().count()
+    if n:
+        merge_parquet(spark, victims, codes_path, key=id_col,
+                      partition_col="list_id",
+                      delete_condition=F.lit(True))
+    vec_path = f"{index_dir}/vectors.parquet"
+    hpath, fs = _fs(spark, vec_path)
+    has_vectors = fs.exists(hpath(vec_path))
+    if has_vectors and n:
+        recover_partitions(spark, vec_path, "list_id")
+        vtarget = spark.read.parquet(vec_path)
+        vvictims = vtarget.join(keys, id_col, "left_semi")
+        merge_parquet(spark, vvictims, vec_path, key=id_col,
+                      partition_col="list_id",
+                      delete_condition=F.lit(True))
+    return {"deleted": int(n), "codes": True, "vectors": bool(has_vectors)}
+
+
 def ivfpq_index_compact(spark, index_dir: str, target_files: int = 1,
                         max_files_ok: int = 4) -> dict:
     """Index-lifecycle small-file compaction (VERDICT r10 item 2): a

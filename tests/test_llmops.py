@@ -1410,6 +1410,78 @@ def test_ivfpq_index_append_matches_frozen_rebuild(spark, tmp_path):
     assert rep3["mean_d2"] > rep3["baseline_mean_d2"] * 1.5
 
 
+def test_ivfpq_index_delete_exact_rows_and_query_promotion(
+        spark, tmp_path):
+    """ivfpq_index_delete: (1) codes/vectors tables after the delete
+    equal the pre-delete tables minus EXACTLY the deleted ids' rows;
+    (2) queries never return a deleted id and survivors are promoted
+    into the freed rank slots (deletion before ranking, not a filter
+    after top-k); (3) a second delete of the same ids is a no-op;
+    (4) deleting every id of a list drops its partition directory."""
+    import os
+
+    rows, corpus = _rand_corpus(spark, 30, 8, seed=31)
+    idx = str(tmp_path / "ivfpq_del")
+    sim.ivfpq_index_build(corpus, idx, n_lists=2, m=2, codes_k=4,
+                          iters=2, dims=8)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    pre = sim.ivfpq_index_topk(spark, idx, queries, k=29, n_probe=2,
+                               m=2, dims=8).collect()
+    pre_codes = {tuple(r) for r in
+                 spark.read.parquet(f"{idx}/codes.parquet").collect()}
+    pre_vecs = {(r["vec_id"],) for r in
+                spark.read.parquet(f"{idx}/vectors.parquet").collect()}
+    victims = {5, 6, 7}
+    ids = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    report = sim.ivfpq_index_delete(spark, idx, ids)
+    assert report == {"deleted": 3, "codes": True, "vectors": True}
+
+    post_codes = {tuple(r) for r in
+                  spark.read.parquet(f"{idx}/codes.parquet").collect()}
+    assert post_codes == {t for t in pre_codes
+                          if t[0] not in victims}  # vec_id is col 0
+    post_vecs = {(r["vec_id"],) for r in
+                 spark.read.parquet(f"{idx}/vectors.parquet").collect()}
+    assert post_vecs == {t for t in pre_vecs if t[0] not in victims}
+
+    # deep-k query over everything: survivors keep relative order and
+    # move up into the freed slots — exactly the pre list minus victims
+    post = sim.ivfpq_index_topk(spark, idx, queries, k=29, n_probe=2,
+                                m=2, dims=8).collect()
+    want = {}
+    for r in pre:
+        if r["neighbor_id"] not in victims:
+            want.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["adc_d2"]))
+    got = {}
+    for r in sorted(post, key=lambda r: (r["query_id"], r["rank"])):
+        assert r["neighbor_id"] not in victims
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["adc_d2"]))
+    assert got == want
+
+    # idempotent retry
+    assert sim.ivfpq_index_delete(spark, idx, ids)["deleted"] == 0
+
+    # purge an entire list: its partition directory must vanish
+    # (materialize the id list BEFORE the delete — a lazy frame would
+    # pin the pre-delete file listing and fail to re-collect after the
+    # swap removes those files)
+    a_list = spark.read.parquet(f"{idx}/codes.parquet") \
+        .select("list_id").first()["list_id"]
+    whole_ids = sorted(r["vec_id"] for r in
+                       spark.read.parquet(f"{idx}/codes.parquet")
+                       .filter(F.col("list_id") == a_list)
+                       .select("vec_id").distinct().collect())
+    sim.ivfpq_index_delete(
+        spark, idx,
+        spark.createDataFrame([(v,) for v in whole_ids], "vec_id long"))
+    assert f"list_id={a_list}" not in os.listdir(f"{idx}/codes.parquet")
+    left = sim.ivfpq_index_topk(spark, idx, queries, k=29, n_probe=2,
+                                m=2, dims=8)
+    assert left.filter(F.col("neighbor_id").isin(whole_ids)).count() == 0
+
+
 def test_ivfpq_index_compact_bounds_files_and_preserves_results(
         spark, tmp_path):
     """Index-lifecycle compaction (VERDICT r10 item 2): N appends
@@ -2280,6 +2352,9 @@ def test_operator_broadcast_targets_are_bounded():
             "months touched by one micro-batch",
         ("status.py", "_merge", "eligible", "batch"):
             "per-micro-batch eligible keys",
+        ("sketches.py", "countmin_estimate", "sketch", "<param>"):
+            "CMS cell table: <= depth*width rows by construction (the "
+            "sketch's entire point), corpus-independent",
     }
     sites = _broadcast_sites()
     unpinned = sites - set(pinned)
