@@ -109,3 +109,98 @@ def countmin_estimate(sketch: DataFrame, probes: DataFrame,
             .groupBy("token")
             .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))
                  .alias("est_count")))
+
+
+BLOOM_BITS = 65536   # m — fpp ≈ (1 - e^(-k·n/m))^k; at n=5k, k=4: ~2e-4
+BLOOM_HASHES = 4     # k
+
+
+def _bloom_positions(h: Column, hashes: int, bits: int) -> Column:
+    """array<int> of the k bit positions an already-31-bit-hashed item
+    sets/probes: ((a_i·h + b_i) mod p) mod bits over the same pinned
+    universal family as MinHash/CMS — duplicates possible when two
+    rows collide on a position, handled by array_distinct at use."""
+    return F.array(*[
+        (((F.lit(a) * h + F.lit(b)) % MERSENNE_P) % bits).cast("int")
+        for (a, b) in MINHASH_PARAMS[:hashes]])
+
+
+def bloom_build(items: DataFrame, hash_col: str = "sh",
+                hashes: int = BLOOM_HASHES,
+                bits: int = BLOOM_BITS) -> DataFrame:
+    """Build a Bloom filter (Bloom, CACM 1970) over pre-hashed 31-bit
+    members: (bit int) — the DISTINCT set positions, ≤ ``bits`` rows.
+
+    The membership state a decontamination / blocklist pipeline ships
+    to executors instead of joining the corpus against the full member
+    table: CONSTANT-bounded (≤ m rows whatever the member count),
+    always broadcastable, one-sided error (false positives only — a
+    member can never probe false, which is the guarantee that matters
+    for a blocklist). Same pinned integer hash family as MinHash/CMS,
+    so the filter's bits and every probe verdict replay bit-for-bit in
+    the SQL oracle."""
+    if hashes > len(MINHASH_PARAMS):
+        raise ValueError(f"hashes {hashes} exceeds the pinned family "
+                         f"({len(MINHASH_PARAMS)})")
+    return (items
+            .select(F.explode(_bloom_positions(
+                F.col(hash_col).cast("long"), hashes, bits)).alias("bit"))
+            .distinct())
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame,
+                hash_col: str = "sh", hashes: int = BLOOM_HASHES,
+                bits: int = BLOOM_BITS) -> DataFrame:
+    """(<probe columns>, might_contain boolean): true iff ALL k of the
+    probe's positions are set. The verdict is computed once per
+    DISTINCT probe hash (it is a pure function of the hash — no
+    synthetic row id, which would be recomputation-unstable) and joined
+    back to the probe rows on the hash. Probe-linear; the bloom side is
+    ≤ m rows, broadcast."""
+    uniq = (probes.select(F.col(hash_col).cast("long").alias(hash_col))
+            .distinct()
+            .withColumn("_bs", F.array_distinct(_bloom_positions(
+                F.col(hash_col), hashes, bits)))
+            .withColumn("_need", F.size("_bs")))
+    verdict = (uniq.select(hash_col, "_need", F.explode("_bs").alias("bit"))
+               .join(F.broadcast(bloom.withColumn("_set", F.lit(1))),
+                     "bit", "left")
+               .groupBy(hash_col)
+               .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+                     == F.max("_need")).alias("might_contain")))
+    return probes.join(verdict, hash_col)
+
+
+AMS_ROWS = 4  # independent ±1 estimators; median-of-rows tames variance
+
+
+def ams_f2_sketch(items: DataFrame, token_col: str = "token",
+                  rows: int = AMS_ROWS) -> DataFrame:
+    """AMS F₂ sketch (Alon, Matias & Szegedy, STOC 1996): per estimator
+    row i, S_i = Σ_items sign_i(item) where sign_i = ±1 from the pinned
+    universal family's parity — so S_i² estimates F₂ = Σ_t c(t)², the
+    self-join size. THE planning statistic for a key column: F₂/N is
+    the average join fan-out and a skew alarm (one hot key drives F₂
+    toward c_max²) — obtainable in ONE pass with ``rows`` counters
+    where the exact answer needs a full per-key count.
+
+    Output: (row int, signed_sum long) — one row per estimator.
+    Scale shape: a global aggregate of ``rows`` independent sums
+    (map-side partials are ``rows`` longs per task); the sketch is
+    mergeable by row-wise addition (linear, like CMS). Deterministic:
+    sign_i(item) is integer arithmetic on the md5-prefix base hash,
+    replayed bit-for-bit by the oracle. |S_i| ≤ N keeps S_i in BIGINT;
+    square in DECIMAL at read time when N may exceed 2³¹."""
+    if rows > len(MINHASH_PARAMS):
+        raise ValueError(f"rows {rows} exceeds the pinned hash family "
+                         f"({len(MINHASH_PARAMS)})")
+    h = base_hash(F.col(token_col))
+    signs = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("row"),
+                 (F.lit(1) - F.lit(2)
+                  * (((F.lit(a) * h + F.lit(b)) % MERSENNE_P) % 2))
+                 .cast("long").alias("s"))
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:rows])])
+    return (items.select(F.explode(signs).alias("rs"))
+            .groupBy(F.col("rs.row").alias("row"))
+            .agg(F.sum("rs.s").alias("signed_sum")))

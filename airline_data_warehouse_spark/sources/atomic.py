@@ -347,3 +347,47 @@ def compact_directory(spark: SparkSession, dest_path: str,
                       f"{dest_path} failed")
     fs.delete(backup, True)
     return True
+
+
+def replace_directory(spark: SparkSession, source: DataFrame,
+                      dest_path: str, target_files: int = 1) -> None:
+    """Atomically replace an UNPARTITIONED parquet directory's CONTENT
+    with ``source`` — compact_directory's protocol (stage to a sibling,
+    two renames, recover_directory healing) generalized from
+    layout-only rewrites to new content. The building block for small
+    derived state a maintenance loop folds wholesale (a Count-Min base
+    sketch, a watermark table): the directory is schema-bounded, so a
+    full rewrite is cheap, and readers see the old or the new content
+    at every instant — never a mix, never a torn window.
+
+    ``source`` is fully materialized into the staging directory BEFORE
+    the first rename, so it may (and typically does) read from
+    ``dest_path`` itself. Same single-maintenance-process contract and
+    reader-race convergence as compact_directory."""
+    recover_directory(spark, dest_path)
+    hpath, fs = _fs(spark, dest_path)
+    root = hpath(dest_path)
+    staging = dest_path.rstrip("/") + ".replacing"
+    if fs.exists(hpath(staging)):
+        fs.delete(hpath(staging), True)  # crashed prior attempt, pre-swap
+    (source.coalesce(target_files)
+           .write.mode("overwrite").parquet(staging))
+    import os
+
+    parent, name = os.path.split(dest_path.rstrip("/"))
+    backup = hpath(parent, f".{name}.replaced")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if fs.exists(root) and not fs.rename(root, backup):
+        raise IOError(f"directory replace: rename {dest_path} -> "
+                      f"{backup} failed")
+    if not fs.rename(hpath(staging), root):
+        if fs.exists(root) and not fs.exists(backup):
+            # reader-heal race (the compact_directory convergence): the
+            # old content is fully back — drop the staged copy; the
+            # idempotent maintenance retry re-derives it
+            fs.delete(hpath(staging), True)
+            return
+        raise IOError(f"directory replace: rename {staging} -> "
+                      f"{dest_path} failed")
+    fs.delete(backup, True)

@@ -170,6 +170,15 @@ HEADLINE = [
     # batched k-center (the scale-safe diversity selector)
     "multimodal_audio_near_dup",
     "diverse_kcenter_select_batched",
+    # r12 second wave: component profile over near-dup CC, Count-Min
+    # sketch, mutual-kNN semantic clustering, index deletion
+    "graph_component_profile",
+    "countmin_frequency_estimates",
+    "semantic_cluster_profile",
+    "similarity_topk_after_delete",
+    "countmin_heavy_hitters",
+    "bloom_decontamination_probe",
+    "ams_f2_join_size",
 ]
 
 

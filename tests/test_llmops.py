@@ -2355,6 +2355,13 @@ def test_operator_broadcast_targets_are_bounded():
         ("sketches.py", "countmin_estimate", "sketch", "<param>"):
             "CMS cell table: <= depth*width rows by construction (the "
             "sketch's entire point), corpus-independent",
+        ("sketches.py", "bloom_probe", "<expr:bloom>", "bloom"):
+            "Bloom bit table: <= bits rows by construction, "
+            "corpus-independent",
+        ("llmops.py", "countmin_heavy_hitters", "thr", "toks"):
+            "1-row scalar threshold (the exact_counts precedent)",
+        ("llmops.py", "ams_f2_join_size", "true", "toks"):
+            "1-row scalar (exact F2), the exact_counts precedent",
     }
     sites = _broadcast_sites()
     unpinned = sites - set(pinned)
@@ -2917,6 +2924,99 @@ def test_countmin_cell_bound(spark):
     for r in rows:
         by_row[r["row"]] = by_row.get(r["row"], 0) + r["counter"]
     assert by_row == {0: total, 1: total, 2: total, 3: total}
+
+
+def test_ams_f2_hand_values_and_linearity(spark):
+    """AMS invariants on a hand corpus: each row's signed_sum equals
+    the Python recomputation of Σ c(t)·sign_i(t) (same md5 arithmetic),
+    and the sketch is LINEAR — sketch(A ∪ B) = row-wise sum of
+    sketch(A) + sketch(B)."""
+    import hashlib
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+    from airline_data_warehouse_spark.operators.hashing import (
+        MERSENNE_P,
+        MINHASH_PARAMS,
+    )
+
+    def bh(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15],
+                   16) % MERSENNE_P
+
+    def sign(i, tok):
+        a, b = MINHASH_PARAMS[i]
+        return 1 - 2 * (((a * bh(tok) + b) % MERSENNE_P) % 2)
+
+    counts = {"alpha": 5, "beta": 2, "gamma": 1}
+    items = spark.createDataFrame(
+        [(t,) for t, c in counts.items() for _ in range(c)],
+        "token string")
+    got = {r["row"]: r["signed_sum"] for r in
+           sk.ams_f2_sketch(items).collect()}
+    for i in range(4):
+        assert got[i] == sum(c * sign(i, t) for t, c in counts.items())
+
+    a = spark.createDataFrame([("alpha",)] * 3 + [("beta",)],
+                              "token string")
+    b = spark.createDataFrame([("alpha",)] * 2 + [("beta",)]
+                              + [("gamma",)], "token string")
+    sa = {r["row"]: r["signed_sum"] for r in
+          sk.ams_f2_sketch(a).collect()}
+    sb = {r["row"]: r["signed_sum"] for r in
+          sk.ams_f2_sketch(b).collect()}
+    assert all(got[i] == sa[i] + sb[i] for i in range(4))
+
+
+def test_bloom_no_false_negatives_and_bit_bound(spark):
+    """Bloom invariants: (1) EVERY inserted member probes true — the
+    one-sided guarantee a blocklist needs, structural (its bits are by
+    definition set); (2) the bit table never exceeds m rows and never
+    k·n; (3) an empty filter rejects everything; (4) with n·k ≪ m,
+    non-members overwhelmingly probe false."""
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    members = spark.createDataFrame([(h,) for h in range(1000, 1200)],
+                                    "sh long")
+    bloom = sk.bloom_build(members, "sh", hashes=4, bits=4096)
+    n_bits = bloom.count()
+    assert n_bits <= 4096 and n_bits <= 4 * 200
+
+    got = {r["sh"]: r["might_contain"] for r in
+           sk.bloom_probe(bloom, members, "sh", hashes=4,
+                          bits=4096).collect()}
+    assert all(got[h] for h in range(1000, 1200))   # no false negatives
+
+    others = spark.createDataFrame([(h,) for h in range(500000, 500200)],
+                                   "sh long")
+    fp = sum(1 for r in sk.bloom_probe(bloom, others, "sh", hashes=4,
+                                       bits=4096).collect()
+             if r["might_contain"])
+    # fpp ≈ (1 - e^(-800/4096))^4 ≈ 0.1%; 200 probes — a handful at
+    # most even with bad luck
+    assert fp <= 5
+
+    empty = sk.bloom_build(
+        spark.createDataFrame([], "sh long"), "sh", hashes=4, bits=4096)
+    assert all(not r["might_contain"] for r in
+               sk.bloom_probe(empty, others, "sh", hashes=4,
+                              bits=4096).collect())
+
+
+def test_bloom_probe_preserves_probe_rows(spark):
+    """bloom_probe keys the verdict on the HASH (pure function), so
+    duplicate probe rows each keep their verdict and extra probe
+    columns ride through."""
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    members = spark.createDataFrame([(42,)], "sh long")
+    bloom = sk.bloom_build(members, "sh", hashes=4, bits=4096)
+    probes = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 99)], "doc_id long, sh long")
+    rows = sorted((r["doc_id"], r["sh"], r["might_contain"]) for r in
+                  sk.bloom_probe(bloom, probes, "sh", hashes=4,
+                                 bits=4096).collect())
+    assert rows[0] == (1, 42, True) and rows[1] == (2, 42, True)
+    assert rows[2][0] == 3 and not rows[2][2]
 
 
 def test_kcore_known_graph(spark):

@@ -896,3 +896,84 @@ def test_stream_index_ingest_appends_and_logs_drift(spark, tmp_path):
             q2.processAllAvailable()
     finally:
         q2.stop()
+
+
+def test_stream_countmin_ingest_exact_merge_and_fold(spark, tmp_path):
+    """Continuous Count-Min maintenance (streaming/sketch.py): the
+    store's merged sketch after N micro-batches equals countmin_build
+    over the union of all batch tokens EXACTLY (linear-sketch merge);
+    folding collapses batch partitions into the watermarked base with
+    estimates unchanged; a replayed (re-created) batch partition AT or
+    BELOW the watermark is ignored by the read path — the
+    double-counting retry hazard the watermark rule exists for."""
+    import json as jsonlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+    from airline_data_warehouse_spark.streaming.sketch import (
+        fold_countmin_store,
+        read_countmin_store,
+        start_countmin_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    store = str(tmp_path / "cms_store")
+    batches = [["alpha", "beta", "alpha"],
+               ["beta", "gamma"],
+               ["alpha", "delta", "delta", "beta"]]
+    for i, toks in enumerate(batches):
+        with open(in_dir / f"b{i}.json", "w") as f:
+            for t in toks:
+                f.write(jsonlib.dumps({"token": t}) + "\n")
+
+    src = (spark.readStream.schema("token string")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_countmin_ingest(src, store,
+                              checkpoint_dir=str(tmp_path / "ckpt"),
+                              fold_every=None)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_tokens = spark.createDataFrame(
+        [(t,) for b in batches for t in b], "token string")
+    want = {(r["row"], r["bucket"]): r["counter"]
+            for r in sk.countmin_build(all_tokens).collect()}
+    got = {(r["row"], r["bucket"]): r["counter"]
+           for r in read_countmin_store(spark, store).collect()}
+    assert got == want
+
+    # fold: base absorbs every batch partition, estimates unchanged
+    mark = fold_countmin_store(spark, store)
+    assert mark == 2
+    assert os.path.exists(f"{store}/base")
+    assert not any(d.startswith("batch_id=")
+                   for d in os.listdir(f"{store}/batches"))
+    got2 = {(r["row"], r["bucket"]): r["counter"]
+            for r in read_countmin_store(spark, store).collect()}
+    assert got2 == want
+
+    # a retry re-creating an already-folded batch partition must be
+    # IGNORED (watermark rule): re-write batch 1's sketch verbatim
+    b1 = spark.createDataFrame([(t,) for t in batches[1]], "token string")
+    (sk.countmin_build(b1).coalesce(1).write.mode("overwrite")
+     .parquet(f"{store}/batches/batch_id=1"))
+    got3 = {(r["row"], r["bucket"]): r["counter"]
+            for r in read_countmin_store(spark, store).collect()}
+    assert got3 == want
+    # and the next fold sweeps the garbage without re-counting it
+    assert fold_countmin_store(spark, store) == 2
+    got4 = {(r["row"], r["bucket"]): r["counter"]
+            for r in read_countmin_store(spark, store).collect()}
+    assert got4 == want
+
+    probes = spark.createDataFrame(
+        [("alpha",), ("delta",), ("nope",)], "token string")
+    est = {r["token"]: r["est_count"] for r in
+           sk.countmin_estimate(read_countmin_store(spark, store),
+                                probes).collect()}
+    assert est["alpha"] >= 3 and est["delta"] >= 2 and est["nope"] == 0
