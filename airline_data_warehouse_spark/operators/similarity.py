@@ -283,7 +283,21 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              bands: int = 4, rows_per_band: int = 8,
                              dims: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2) — the embedding
-    twin of ngram_jaccard_pairs, banded like the MinHash path.
+    twin of ngram_jaccard_pairs, banded like the MinHash path. See
+    _banded_scored_pairs for the candidate/verify shape; this is that
+    scorer plus the threshold filter."""
+    return (_banded_scored_pairs(corpus, id_col, vec_col, bands,
+                                 rows_per_band, dims)
+            .filter(F.col("score") >= threshold))
+
+
+def _banded_scored_pairs(corpus: DataFrame, id_col: str, vec_col: str,
+                         bands: int, rows_per_band: int,
+                         dims: int) -> DataFrame:
+    """Exact-cosine-scored banded-LSH candidate pairs (id1 < id2,
+    score) — the collision-linear candidate engine shared by the
+    near-dup threshold filter (embedding_near_dup_pairs) and the banded
+    mutual-kNN graph (mutual_knn_pairs_banded).
 
     Candidate generation explodes each vector into ``bands`` (band, key)
     rows — ids only, never vectors — and self-joins on the band key, so
@@ -349,8 +363,48 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     return (cand.join(v1, "id1").join(v2, "id2")
                 .select("id1", "id2",
                         F.round(_dot(F.col("v1"), F.col("v2"))
-                                / (F.col("n1") * F.col("n2")), 6).alias("score"))
-                .filter(F.col("score") >= threshold))
+                                / (F.col("n1") * F.col("n2")), 6).alias("score")))
+
+
+def mutual_knn_pairs_banded(corpus: DataFrame, k: int = 3,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding", bands: int = 4,
+                            rows_per_band: int = 8,
+                            dims: int = 64) -> DataFrame:
+    """Mutual approximate-kNN graph edges, COLLISION-LINEAR: candidates
+    come from the certified banded hyperplane LSH (never all-pairs,
+    never fixed-bucket quadratic), each candidate pair gets its exact
+    cosine, each vector keeps its top-k among ITS OWN candidates, and
+    an edge survives only when RECIPROCATED — reciprocity prunes hub
+    edges, so connected components are tight semantic neighborhoods.
+    Canonical (id1 < id2) output.
+
+    This is the 100 TB form of the mutual-kNN construction: the
+    fixed-quantizer variant (mutual_knn_pairs) is exact WITHIN lists
+    but its per-list quadratic blows up when the quantizer's k does not
+    scale with the corpus — the 8× probe measured 18.9× growth on a
+    fixed 8-list quantizer (SCALING.md r12), exactly the SemDeDup
+    contract violation. Banding keeps candidate volume proportional to
+    real key collisions at any corpus size. The kNN is approximate in
+    the LSH sense (a neighbor sharing no band key is invisible — such a
+    pair is low-cosine with overwhelming probability at 8 rows/band);
+    every step is 6-dp-rounded with id tie-breaks, so the graph is
+    deterministic by arithmetic and the oracle replays it exactly."""
+    scored = _banded_scored_pairs(corpus, id_col, vec_col, bands,
+                                  rows_per_band, dims)
+    sym = scored.select(F.col("id1").alias("qid"),
+                        F.col("id2").alias("nid"), "score") \
+                .unionByName(scored.select(
+                    F.col("id2").alias("qid"),
+                    F.col("id1").alias("nid"), "score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("nid").asc())
+    topk = (sym.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).select("qid", "nid"))
+    rev = topk.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
+    return (topk.join(rev, ["qid", "nid"], "left_semi")
+            .filter(F.col("qid") < F.col("nid"))
+            .select(F.col("qid").alias("id1"), F.col("nid").alias("id2")))
 
 
 def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,

@@ -2868,6 +2868,41 @@ def test_mutual_knn_reciprocity(spark):
     assert k2 == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_mutual_knn_banded_matches_python_over_candidates(spark):
+    """mutual_knn_pairs_banded ≡ a pure-Python replay of its contract
+    over the SAME candidate set (_banded_scored_pairs, the certified
+    collision-linear engine): symmetrize, per-vector top-k by
+    (score desc, id asc), keep reciprocated pairs. Pins the window +
+    reciprocity logic without assuming anything about which pairs the
+    banding surfaces."""
+    import random
+
+    from airline_data_warehouse_spark.operators.similarity import (
+        _banded_scored_pairs,
+        mutual_knn_pairs_banded,
+    )
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    cand = [(r["id1"], r["id2"], r["score"]) for r in
+            _banded_scored_pairs(corpus, "vec_id", "embedding",
+                                 4, 8, 8).collect()]
+    assert cand, "banding surfaced no candidates — corpus too sparse"
+    k = 2
+    nbrs = {}
+    for a, b, s in cand:
+        nbrs.setdefault(a, []).append((-s, b))
+        nbrs.setdefault(b, []).append((-s, a))
+    topk = {q: {b for _, b in sorted(v)[:k]} for q, v in nbrs.items()}
+    want = {(a, b) for a, s in topk.items() for b in s
+            if a < b and a in topk.get(b, set())}
+    got = {(r["id1"], r["id2"]) for r in
+           mutual_knn_pairs_banded(corpus, k=k, dims=8).collect()}
+    assert got == want
+
+
 def test_countmin_overestimates_and_exact_when_sparse(spark):
     """CMS invariants on a hand corpus: (1) est >= true for every
     probe (one-sided error, guaranteed by construction); (2) with far
