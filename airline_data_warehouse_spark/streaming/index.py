@@ -59,7 +59,8 @@ def start_index_ingest(stream: DataFrame, index_dir: str,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        drift_factor: float = 1.5,
-                       compact_every: int | None = 16):
+                       compact_every: int | None = 16,
+                       delete_col: str | None = None):
     """foreachBatch loop: frozen-quantizer append of each micro-batch
     into the persisted index, plus one drift-log row per batch. The
     index must already exist (`ivfpq_index_build`) — an index is
@@ -73,18 +74,39 @@ def start_index_ingest(stream: DataFrame, index_dir: str,
     and every touched list partition accretes per-delta files
     (VERDICT r10 item 2 / "what's wrong" 3). Runs inside the
     foreachBatch thread, satisfying the compactor's single-writer
-    contract. None disables."""
+    contract. None disables.
+
+    ``delete_col``: name of a boolean column marking TOMBSTONE rows —
+    the CDC/takedown stream shape (right-to-be-forgotten events riding
+    the same topic as inserts). Tombstoned ids go through
+    `ivfpq_index_delete` (exact partition-scoped removal), the rest
+    append as usual; within one batch the delete applies AFTER the
+    append, so a batch carrying both add(x) and delete(x) nets to
+    absent — and the at-least-once retry converges because both the
+    keyed MERGE and the delete are idempotent in sequence. None (the
+    default) keeps the pure-append contract."""
     from airline_data_warehouse_spark.operators.similarity import (
         ivfpq_index_append,
         ivfpq_index_compact,
+        ivfpq_index_delete,
     )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        dels = None
+        if delete_col is not None:
+            dels = (batch_df
+                    .filter(F.coalesce(F.col(delete_col), F.lit(False)))
+                    .select(id_col))
+            batch_df = batch_df.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))) \
+                .drop(delete_col)
         rep = ivfpq_index_append(spark, index_dir, batch_df, m=m,
                                  dims=dims, id_col=id_col,
                                  vec_col=vec_col,
                                  drift_factor=drift_factor)
+        if dels is not None:
+            ivfpq_index_delete(spark, index_dir, dels, id_col=id_col)
         (spark.createDataFrame(
             [(int(batch_id), rep["appended"], rep["mean_d2"],
               rep["baseline_mean_d2"], rep["retrain_recommended"])],

@@ -977,3 +977,74 @@ def test_stream_countmin_ingest_exact_merge_and_fold(spark, tmp_path):
            sk.countmin_estimate(read_countmin_store(spark, store),
                                 probes).collect()}
     assert est["alpha"] >= 3 and est["delta"] >= 2 and est["nope"] == 0
+
+
+def test_stream_index_ingest_with_tombstones(spark, tmp_path):
+    """CDC/takedown stream into the persisted index (delete_col):
+    tombstoned ids are removed via ivfpq_index_delete, adds append as
+    usual, and a batch carrying add(x) AND delete(x) nets to absent
+    (delete applies after append within the batch). Final index =
+    initial ∪ adds ∖ tombstones, and a deleted id never answers."""
+    import json as jsonlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import similarity as sim
+    from airline_data_warehouse_spark.streaming.index import (
+        start_index_ingest,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    corpus = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq_cdc")
+    sim.ivfpq_index_build(corpus, idx, n_lists=2, m=2, codes_k=4,
+                          iters=2, dims=8)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_batch(name, batch):
+        with open(in_dir / name, "w") as f:
+            for vid, vec, dead in batch:
+                f.write(jsonlib.dumps({"vec_id": vid, "embedding": vec,
+                                       "deleted": dead}) + "\n")
+
+    # batches are mutually independent (no id appears in two batches):
+    # file-to-batch ORDER is the source's choice, so cross-batch
+    # add-then-delete sequences would be order-dependent
+    v = [rng.uniform(-1, 1) for _ in range(8)]
+    write_batch("b0.json", [(100, list(rows[3][1]), False),
+                            (101, v, False)])
+    # mixed batch: one add, one tombstone for a BASE id
+    write_batch("b1.json", [(102, list(rows[8][1]), False),
+                            (5, None, True)])
+    # add-then-delete of the SAME id in one batch nets to absent,
+    # plus a second base-id tombstone
+    write_batch("b2.json", [(200, v, False), (200, None, True),
+                            (7, None, True)])
+
+    src = (spark.readStream
+           .schema("vec_id long, embedding array<double>, deleted boolean")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_index_ingest(src, idx, checkpoint_dir=str(tmp_path / "ck"),
+                           m=2, dims=8, delete_col="deleted")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = {r["vec_id"] for r in
+           spark.read.parquet(f"{idx}/codes.parquet")
+           .select("vec_id").distinct().collect()}
+    want = (set(range(30)) - {5, 7, 200}) | {100, 101, 102}
+    # 5 and 7 were base ids tombstoned mid-stream; 200 was
+    # added+tombstoned in the SAME batch (nets to absent)
+    assert ids == want
+    hits = sim.ivfpq_index_topk(
+        spark, idx, corpus.filter(F.col("vec_id") < 3), k=29,
+        n_probe=2, m=2, dims=8)
+    assert hits.filter(F.col("neighbor_id").isin([5, 7, 200])) \
+               .count() == 0
