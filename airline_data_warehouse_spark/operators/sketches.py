@@ -54,7 +54,8 @@ def _row_buckets(token: Column, depth: int, width: int) -> Column:
 def countmin_build(items: DataFrame, token_col: str = "token",
                    weight_col: str | None = None,
                    depth: int = CMS_DEPTH,
-                   width: int = CMS_WIDTH) -> DataFrame:
+                   width: int = CMS_WIDTH,
+                   group_cols: list[str] | None = None) -> DataFrame:
     """Build the sketch: (row int, bucket int, counter long), sparse —
     untouched cells are absent and read as 0.
 
@@ -64,15 +65,25 @@ def countmin_build(items: DataFrame, token_col: str = "token",
     size, so the exchange is CONSTANT-bounded (the entire point of the
     sketch vs. a vocabulary-sized exact count shuffle). Sketches built
     over corpus shards union + re-aggregate to the merged sketch
-    (cell-wise sum — see countmin_merge)."""
+    (cell-wise sum — see countmin_merge).
+
+    ``group_cols``: build ONE INDEPENDENT sketch per group in a single
+    pass — (group…, row, bucket, counter), key space bounded by
+    groups × d·w. The per-tenant / per-source monitoring shape: each
+    group's cells are exactly the sketch countmin_build would produce
+    on that group's rows alone (test-pinned), so per-group estimates,
+    merges, and cross-group comparisons all compose."""
     if depth > len(MINHASH_PARAMS):
         raise ValueError(f"depth {depth} exceeds the pinned hash family "
                          f"({len(MINHASH_PARAMS)})")
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    gcols = list(group_cols or [])
     return (items
-            .select(F.explode(_row_buckets(F.col(token_col), depth, width))
+            .select(*[F.col(g) for g in gcols],
+                    F.explode(_row_buckets(F.col(token_col), depth, width))
                     .alias("rb"), w.alias("_w"))
-            .groupBy(F.col("rb.row").alias("row"),
+            .groupBy(*gcols,
+                     F.col("rb.row").alias("row"),
                      F.col("rb.bucket").alias("bucket"))
             .agg(F.sum("_w").alias("counter")))
 

@@ -179,6 +179,7 @@ HEADLINE = [
     "countmin_heavy_hitters",
     "bloom_decontamination_probe",
     "ams_f2_join_size",
+    "countmin_source_cells",
 ]
 
 

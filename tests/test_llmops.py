@@ -2927,6 +2927,26 @@ def test_countmin_overestimates_and_exact_when_sparse(spark):
     assert got == true
 
 
+def test_countmin_grouped_equals_per_group_solo_builds(spark):
+    """Grouped CMS contract: each group's cells in a single grouped
+    build are EXACTLY the sketch a solo countmin_build would produce
+    on that group's rows alone."""
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"),
+            ("b", "x"), ("b", "z"), ("b", "z"), ("b", "z")]
+    items = spark.createDataFrame(rows, "src string, token string")
+    grouped = {}
+    for r in sk.countmin_build(items, group_cols=["src"]).collect():
+        grouped.setdefault(r["src"], {})[(r["row"], r["bucket"])] = \
+            r["counter"]
+    for g in ("a", "b"):
+        solo = {(r["row"], r["bucket"]): r["counter"] for r in
+                sk.countmin_build(
+                    items.filter(F.col("src") == g)).collect()}
+        assert grouped[g] == solo
+
+
 def test_countmin_merge_equals_union_build(spark):
     """CMS is a linear sketch: merge(build(A), build(B)) must be
     cell-for-cell identical to build(A ∪ B)."""

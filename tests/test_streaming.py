@@ -1048,3 +1048,91 @@ def test_stream_index_ingest_with_tombstones(spark, tmp_path):
         n_probe=2, m=2, dims=8)
     assert hits.filter(F.col("neighbor_id").isin([5, 7, 200])) \
                .count() == 0
+
+
+def test_replace_directory_crash_windows(spark, tmp_path):
+    """sources/atomic.replace_directory crash contract: (1) a crash
+    AFTER rename 1 (content only in the hidden backup) heals on the
+    next recover_directory — the old content comes back whole; (2) a
+    crashed pre-swap attempt's staging directory is deleted and
+    re-staged by the retry; (3) a completed replace leaves no backup
+    and the new content."""
+    import os
+    import shutil
+
+    from airline_data_warehouse_spark.sources.atomic import (
+        recover_directory,
+        replace_directory,
+    )
+
+    dest = str(tmp_path / "state")
+    v1 = spark.createDataFrame([(1, 10)], "k long, v long")
+    v2 = spark.createDataFrame([(2, 20)], "k long, v long")
+    replace_directory(spark, v1, dest)
+    assert [tuple(r) for r in spark.read.parquet(dest).collect()] \
+        == [(1, 10)]
+
+    # crash after rename 1: dest gone, only the backup remains
+    shutil.move(dest, str(tmp_path / ".state.replaced"))
+    recover_directory(spark, dest)
+    assert [tuple(r) for r in spark.read.parquet(dest).collect()] \
+        == [(1, 10)]
+    assert not os.path.exists(str(tmp_path / ".state.replaced"))
+
+    # crashed pre-swap attempt: stale staging must not poison the retry
+    os.makedirs(dest + ".replacing")
+    with open(dest + ".replacing/garbage.txt", "w") as f:
+        f.write("stale")
+    replace_directory(spark, v2, dest)
+    assert [tuple(r) for r in spark.read.parquet(dest).collect()] \
+        == [(2, 20)]
+    assert not os.path.exists(dest + ".replacing")
+    assert not os.path.exists(str(tmp_path / ".state.replaced"))
+
+
+def test_stream_countmin_fold_every_triggers_in_loop(spark, tmp_path):
+    """fold_every inside start_countmin_ingest: with 10 sequential
+    micro-batches and fold_every=4, folds fire at batch 4 and 8 (inside
+    the foreachBatch thread), so at stream end the base holds
+    everything through batch 8 and at most batch 9's partition remains
+    unfolded — and the merged sketch still equals the batch-built
+    sketch over ALL tokens."""
+    import json as jsonlib
+    import os
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+    from airline_data_warehouse_spark.streaming.sketch import (
+        read_countmin_store,
+        start_countmin_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    store = str(tmp_path / "cms_store")
+    batches = [[f"tok{i}", f"tok{i % 3}"] for i in range(10)]
+    for i, toks in enumerate(batches):
+        with open(in_dir / f"b{i}.json", "w") as f:
+            for t in toks:
+                f.write(jsonlib.dumps({"token": t}) + "\n")
+
+    src = (spark.readStream.schema("token string")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_countmin_ingest(src, store,
+                              checkpoint_dir=str(tmp_path / "ckpt"),
+                              fold_every=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert os.path.exists(f"{store}/base")
+    leftover = [d for d in os.listdir(f"{store}/batches")
+                if d.startswith("batch_id=")]
+    assert len(leftover) <= 1          # only post-fold batches remain
+    all_tokens = spark.createDataFrame(
+        [(t,) for b in batches for t in b], "token string")
+    want = {(r["row"], r["bucket"]): r["counter"]
+            for r in sk.countmin_build(all_tokens).collect()}
+    got = {(r["row"], r["bucket"]): r["counter"]
+           for r in read_countmin_store(spark, store).collect()}
+    assert got == want
