@@ -215,3 +215,40 @@ def ams_f2_sketch(items: DataFrame, token_col: str = "token",
     return (items.select(F.explode(signs).alias("rs"))
             .groupBy(F.col("rs.row").alias("row"))
             .agg(F.sum("rs.s").alias("signed_sum")))
+
+
+LC_BITS = 4096  # m — load factor n/m up to ~12 keeps the estimator sane
+
+
+def linear_counting(items: DataFrame, hash_col: str = "sh",
+                    bits: int = LC_BITS) -> DataFrame:
+    """Linear Counting distinct estimate (Whang, Vander-Zanden & Taylor,
+    TODS 1990): hash every item to one of ``bits`` positions, count the
+    positions left EMPTY, estimate n̂ = m·ln(m/empty) — the
+    cardinality sketch that, unlike HLL (whose estimator is
+    engine-internal: approx_distinct_count is the registry's one
+    rows-only key), is DETERMINISTIC given the pinned hash family and
+    therefore bit-exactly oracle-checkable.
+
+    Output: one row (set_bits long, empty_bits long, estimate double)
+    — estimate rounded 6 dp from an exact integer ratio, so both
+    engines compute ln of the identical double. All-bits-set (severe
+    overload, ln(m/0)) returns NULL estimate rather than a crash;
+    callers treat NULL as "raise m". Uses the k=1 Bloom position
+    arithmetic (first pinned (a,b) row).
+
+    Scale shape: one bit-keyed DISTINCT bounded at m rows, then a
+    1-row aggregate — constant exchange at any corpus size, and two
+    bitmaps union to the bitmap of the union (mergeable like Bloom)."""
+    bitmap = bloom_build(items, hash_col, hashes=1, bits=bits)
+    m = F.lit(bits).cast("long")
+    return (bitmap.agg(F.count(F.lit(1)).alias("set_bits"))
+            .select("set_bits",
+                    (m - F.col("set_bits")).alias("empty_bits"),
+                    F.when(F.col("set_bits") < bits,
+                           F.round(m.cast("double")
+                                   * F.log(m.cast("double")
+                                           / (m - F.col("set_bits"))
+                                           .cast("double")), 6))
+                    .otherwise(F.lit(None).cast("double"))
+                    .alias("estimate")))

@@ -180,6 +180,7 @@ HEADLINE = [
     "bloom_decontamination_probe",
     "ams_f2_join_size",
     "countmin_source_cells",
+    "linear_counting_distinct",
 ]
 
 

@@ -3022,6 +3022,31 @@ def test_ams_f2_hand_values_and_linearity(spark):
     assert all(got[i] == sa[i] + sb[i] for i in range(4))
 
 
+def test_linear_counting_invariants(spark):
+    """Linear Counting invariants: duplicates don't move the bitmap
+    (n̂ depends on DISTINCT items only); with n ≪ m the estimate lands
+    within a few percent of the truth; the estimate recomputes from
+    the emitted set_bits by the published formula; empty input → 0
+    set bits and estimate 0."""
+    import math
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    m = 4096
+    items = spark.createDataFrame([(h,) for h in range(200)], "sh long")
+    dup = items.unionByName(items).unionByName(items)
+    r1 = sk.linear_counting(items, "sh", bits=m).collect()[0]
+    r3 = sk.linear_counting(dup, "sh", bits=m).collect()[0]
+    assert (r1["set_bits"], r1["estimate"]) == (r3["set_bits"],
+                                                r3["estimate"])
+    assert abs(r1["estimate"] - 200) / 200 < 0.05
+    assert r1["estimate"] == round(m * math.log(m / r1["empty_bits"]), 6)
+
+    empty = sk.linear_counting(
+        spark.createDataFrame([], "sh long"), "sh", bits=m).collect()[0]
+    assert empty["set_bits"] == 0 and empty["estimate"] == 0.0
+
+
 def test_bloom_no_false_negatives_and_bit_bound(spark):
     """Bloom invariants: (1) EVERY inserted member probes true — the
     one-sided guarantee a blocklist needs, structural (its bits are by
