@@ -188,3 +188,66 @@ def start_countmin_ingest(stream: DataFrame, store_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def read_bloom_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The accumulated Bloom bit set (bit int, distinct) — heals a
+    store stranded mid-compaction first (the store-reader convention),
+    then de-duplicates across batch appends at read time."""
+    from airline_data_warehouse_spark.sources.atomic import (
+        _fs,
+        recover_directory,
+    )
+
+    bdir = f"{store_dir}/bits"
+    recover_directory(spark, bdir)
+    hpath, fs = _fs(spark, bdir)
+    if not fs.exists(hpath(bdir)):
+        return spark.createDataFrame([], "bit int")
+    return (spark.read.schema("bit int").parquet(bdir)
+            .select("bit").distinct())
+
+
+def start_bloom_ingest(stream: DataFrame, store_dir: str,
+                       checkpoint_dir: str | None = None,
+                       hash_col: str = "sh",
+                       hashes: int | None = None,
+                       bits: int | None = None,
+                       compact_every: int | None = 8):
+    """foreachBatch loop: accumulate a growing Bloom blocklist from a
+    member stream (new benchmark n-grams, newly revoked content) — the
+    filter every decontamination probe then reads with
+    read_bloom_store + operators.sketches.bloom_probe.
+
+    Unlike the Count-Min store, NO watermark machinery is needed: a
+    bit set is idempotent under union, so an at-least-once replay
+    appending the same bits twice changes nothing the read-time
+    DISTINCT doesn't absorb. Every ``compact_every`` batches the
+    accumulated appends are rewritten as one de-duplicated file
+    (replace_directory stage-then-swap) — bounding both file count
+    and row count at ≤ ``bits`` (the r10 unbounded-log lesson)."""
+    from airline_data_warehouse_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_build,
+    )
+    from airline_data_warehouse_spark.sources.atomic import (
+        replace_directory,
+    )
+
+    k = BLOOM_HASHES if hashes is None else hashes
+    m = BLOOM_BITS if bits is None else bits
+    bdir = f"{store_dir}/bits"
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        (bloom_build(batch_df, hash_col, hashes=k, bits=m)
+         .coalesce(1).write.mode("append").parquet(bdir))
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            replace_directory(spark, read_bloom_store(spark, store_dir),
+                              bdir)
+
+    writer = stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

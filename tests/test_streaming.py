@@ -1136,3 +1136,66 @@ def test_stream_countmin_fold_every_triggers_in_loop(spark, tmp_path):
     got = {(r["row"], r["bucket"]): r["counter"]
            for r in read_countmin_store(spark, store).collect()}
     assert got == want
+
+
+def test_stream_bloom_blocklist_accumulates_and_compacts(spark, tmp_path):
+    """Streaming Bloom blocklist (streaming/sketch.py): members
+    streamed across micro-batches all probe TRUE afterwards (set-union
+    accumulation; idempotent under replay — a verbatim re-append
+    changes nothing), compaction bounds the bits directory to one
+    de-duplicated file with the bit set unchanged."""
+    import json as jsonlib
+    import os
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+    from airline_data_warehouse_spark.streaming.sketch import (
+        read_bloom_store,
+        start_bloom_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    store = str(tmp_path / "bloom_store")
+    members = list(range(1000, 1030))
+    for i in range(3):
+        with open(in_dir / f"b{i}.json", "w") as f:
+            for h in members[i * 10:(i + 1) * 10]:
+                f.write(jsonlib.dumps({"sh": h}) + "\n")
+
+    src = (spark.readStream.schema("sh long")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_bloom_ingest(src, store,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           hashes=4, bits=4096, compact_every=None)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    bloom = read_bloom_store(spark, store)
+    probes = spark.createDataFrame([(h,) for h in members]
+                                   + [(77,), (88,)], "sh long")
+    got = {r["sh"]: r["might_contain"] for r in
+           sk.bloom_probe(bloom, probes, "sh", hashes=4,
+                          bits=4096).collect()}
+    assert all(got[h] for h in members)       # no false negatives
+
+    pre_bits = {r["bit"] for r in bloom.collect()}
+    # simulated at-least-once replay: verbatim re-append of batch 0
+    b0 = spark.createDataFrame([(h,) for h in members[:10]], "sh long")
+    (sk.bloom_build(b0, "sh", hashes=4, bits=4096)
+     .coalesce(1).write.mode("append").parquet(f"{store}/bits"))
+    assert {r["bit"] for r in
+            read_bloom_store(spark, store).collect()} == pre_bits
+
+    # compaction: one file, identical bit set
+    from airline_data_warehouse_spark.sources.atomic import (
+        replace_directory,
+    )
+    replace_directory(spark, read_bloom_store(spark, store),
+                      f"{store}/bits")
+    files = [f for f in os.listdir(f"{store}/bits")
+             if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert {r["bit"] for r in
+            read_bloom_store(spark, store).collect()} == pre_bits
