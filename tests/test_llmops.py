@@ -2362,6 +2362,8 @@ def test_operator_broadcast_targets_are_bounded():
             "1-row scalar threshold (the exact_counts precedent)",
         ("llmops.py", "ams_f2_join_size", "true", "toks"):
             "1-row scalar (exact F2), the exact_counts precedent",
+        ("llmops.py", "linear_counting_distinct", "true", "toks"):
+            "1-row scalar (exact distinct), the exact_counts precedent",
     }
     sites = _broadcast_sites()
     unpinned = sites - set(pinned)
