@@ -604,3 +604,126 @@ def component_profile(labels: DataFrame, id_col: str = "doc_id",
                             F.col("s1").alias("value")))).alias("s"))
                .select("s.stat", "s.k", "s.value"))
     return hist.unionByName(scalars)
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
+             src_col: str = "src", dst_col: str = "dst",
+             id_col: str = "node_id") -> DataFrame:
+    """Bounded-hop BFS distance from a seed set: (node_id, hops) for
+    every node reachable in ≤ ``max_hops`` directed hops — the
+    link-distance feature a curation pipeline derives around anchor
+    content (distance-from-trusted-seeds as a quality prior, the
+    crawl-frontier depth read), and the graph family's reachability
+    primitive next to the score-propagation (PageRank/LP) and
+    structure (k-core/triangles/CC) members.
+
+    Exact integers end to end: hops is an INT min-plus relaxation —
+    round i extends every frontier node's distance along its out-edges
+    with min() folds, so the result is deterministic in any engine
+    with no arithmetic convention at all. Seeds are hops=0 (distinct);
+    a seed id absent from the edge set still reports (isolated seed).
+    Fixed ``iters`` = max_hops, so the oracle unrolls rounds
+    bit-for-bit (the kmeans/kcore bounded-iteration convention).
+
+    Scale shape: per round one src-keyed edges ⋈ frontier join + a
+    dst-keyed min + a full-outer fold into the running distance table
+    — edge-linear; the distance table only grows toward the reachable
+    set. Round plans are localCheckpoint-barriered like every loop in
+    this module (_round_barrier: analysis is O(2^iters) without
+    truncation; previous round's blocks released)."""
+    dist = _round_barrier(
+        seeds.select(F.col(id_col).cast("long").alias("v"))
+             .distinct()
+             .withColumn("hops", F.lit(0).cast("int")),
+        None)
+    e = _persist(edges.select(F.col(src_col).cast("long").alias("src"),
+                              F.col(dst_col).cast("long").alias("dst")))
+    for _ in range(max_hops):
+        nbr = (e.join(dist, e.src == dist.v)
+               .groupBy(F.col("dst"))
+               .agg((F.min("hops") + 1).cast("int").alias("nh")))
+        merged = (dist.join(nbr, dist.v == nbr.dst, "full")
+                  .select(F.coalesce(F.col("v"), F.col("dst")).alias("v"),
+                          F.least(F.coalesce(F.col("hops"), F.col("nh")),
+                                  F.coalesce(F.col("nh"), F.col("hops")))
+                          .alias("hops")))
+        dist = _round_barrier(merged, dist)
+    return dist.select(F.col("v").alias(id_col), "hops")
+
+
+def hits(edges: DataFrame, iters: int = 2,
+         src_col: str = "src", dst_col: str = "dst",
+         id_col: str = "node_id") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999), ``iters``
+    synchronous rounds, exact integer micro-units: the link-analysis
+    complement to PageRank — a node is a good AUTHORITY when good hubs
+    point at it and a good HUB when it points at good authorities (the
+    query-dependent ranking read; in a curation pipeline: directories/
+    link farms light up as hubs, canonical content as authorities).
+
+    Departure from the classic (documented, deliberate): normalization
+    is L1 (scores halfup-rescaled to total 10¹² each half-step) instead
+    of the textbook L2 — L2 needs a square root, which is FLOAT
+    territory and breaks the module's deterministic-by-arithmetic rule;
+    L1 preserves the eigenvector direction's ORDER and ratios
+    identically in any engine, which is what a ranking consumer reads.
+    Rounding drift < 1 micro-unit per node per half-step, same bound
+    class as pagerank's.
+
+    Returns (node_id, auth_micro, hub_micro, auth, hub) — the doubles
+    are micro/1e12 for human use, identical everywhere because the
+    integers are. Fixed ``iters`` so the oracle unrolls rounds; loop
+    frames are localCheckpoint-barriered (_round_barrier) with the
+    previous round's blocks released. Scale shape per half-step: one
+    edge-keyed join + a node-keyed sum + a 1-row total that rides as a
+    broadcast scalar — edge-linear, the pagerank class."""
+    e = _persist(edges.select(F.col(src_col).cast("long").alias("src"),
+                              F.col(dst_col).cast("long").alias("dst")))
+    nodes = _persist(e.select(F.col("src").alias(id_col))
+                     .unionByName(e.select(F.col("dst").alias(id_col)))
+                     .distinct())
+    ncount = nodes.agg(F.count(F.lit(1)).alias("n"))
+    scale = F.lit(10 ** 12).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def _renorm(raw: DataFrame, val: str) -> DataFrame:
+        """nodes ⟕ raw totals → halfup(raw·10¹², Σraw) per node; an
+        edgeless graph half (Σ = 0) yields all-zero scores, not NULLs."""
+        tot = raw.agg(F.coalesce(F.sum(val), F.lit(0)
+                                 .cast("decimal(38,0)")).alias("t"))
+        return (nodes.join(raw, id_col, "left")
+                .crossJoin(F.broadcast(tot))
+                .select(id_col,
+                        F.when(F.col("t") > 0,
+                               _div_halfup(
+                                   F.coalesce(F.col(val),
+                                              F.lit(0).cast("decimal(38,0)"))
+                                   * F.lit(10 ** 12).cast("decimal(38,0)"),
+                                   F.col("t")))
+                        .otherwise(zero).alias("micro")))
+
+    hub = (nodes.crossJoin(F.broadcast(ncount))
+           .select(id_col, _div_halfup(scale, F.col("n")).alias("micro")))
+    prev_hub: DataFrame | None = None
+    prev_auth: DataFrame | None = None
+    auth = hub
+    for _ in range(iters):
+        hub = _round_barrier(hub, prev_hub)
+        prev_hub = hub
+        araw = (e.join(hub.withColumnRenamed(id_col, "src"), "src")
+                .groupBy(F.col("dst").alias(id_col))
+                .agg(F.sum(F.col("micro").cast("decimal(38,0)"))
+                     .alias("raw")))
+        auth = _round_barrier(_renorm(araw, "raw"), prev_auth)
+        prev_auth = auth
+        hraw = (e.join(auth.withColumnRenamed(id_col, "dst"), "dst")
+                .groupBy(F.col("src").alias(id_col))
+                .agg(F.sum(F.col("micro").cast("decimal(38,0)"))
+                     .alias("raw")))
+        hub = _renorm(hraw, "raw")
+    hub = _round_barrier(hub, None)
+    return (auth.withColumnRenamed("micro", "auth_micro")
+            .join(hub.withColumnRenamed("micro", "hub_micro"), id_col)
+            .select(id_col, "auth_micro", "hub_micro",
+                    (F.col("auth_micro") / F.lit(1e12)).alias("auth"),
+                    (F.col("hub_micro") / F.lit(1e12)).alias("hub")))

@@ -181,6 +181,8 @@ HEADLINE = [
     "ams_f2_join_size",
     "countmin_source_cells",
     "linear_counting_distinct",
+    "graph_bfs_hops",
+    "graph_hits",
 ]
 
 

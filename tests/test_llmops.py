@@ -3204,6 +3204,68 @@ def test_degree_profile_histogram_and_assortativity(spark):
     assert mgot[("degree_hist", 1)] == 1.0            # the pendant
 
 
+def test_hits_matches_integer_reference_and_bipartite_structure(spark):
+    """hits vs an independent pure-Python replay of the exact integer
+    algorithm (L1 halfup normalization) on a hand graph, plus the
+    bipartite structural pin: on a directed bipartite graph, source
+    nodes have auth ≡ 0 and sink nodes hub ≡ 0, and a sink with two
+    in-hubs out-ranks a sink with one."""
+    from airline_data_warehouse_spark.operators.graph import hits
+
+    edges = [(1, 10), (2, 10), (3, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node_id"]: (r["auth_micro"], r["hub_micro"]) for r in
+           hits(df, iters=2).collect()}
+
+    S = 10 ** 12
+
+    def halfup(n, d):
+        return (2 * n + d) // (2 * d)
+
+    nodes = sorted({u for e in edges for u in e})
+    hub = {v: halfup(S, len(nodes)) for v in nodes}
+    for _ in range(2):
+        araw = {v: 0 for v in nodes}
+        for s, d in edges:
+            araw[d] += hub[s]
+        t = sum(araw.values())
+        auth = {v: (halfup(araw[v] * S, t) if t else 0) for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for s, d in edges:
+            hraw[s] += auth[d]
+        t = sum(hraw.values())
+        hub = {v: (halfup(hraw[v] * S, t) if t else 0) for v in nodes}
+    assert got == {v: (auth[v], hub[v]) for v in nodes}
+    assert got[1][0] == 0 and got[10][1] == 0      # bipartite structure
+    assert got[10][0] > got[11][0]                 # two hubs beat one
+
+
+def test_bfs_hops_chain_isolated_seed_and_min_path(spark):
+    """bfs_hops on a hand graph: chain 1→2→3→4→5 with seeds {1, 99}
+    (99 isolated) at max_hops=2 reaches exactly {1:0, 2:1, 3:2, 99:0};
+    adding a shortcut 1→3 drops 3 to hops=1 (min over paths); a
+    second seed closer to a node wins (min over seeds)."""
+    from airline_data_warehouse_spark.operators.graph import bfs_hops
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node_id long")
+    got = {r["node_id"]: r["hops"] for r in
+           bfs_hops(chain, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 99: 0}
+
+    shortcut = chain.unionByName(
+        spark.createDataFrame([(1, 3)], "src long, dst long"))
+    got2 = {r["node_id"]: r["hops"] for r in
+            bfs_hops(shortcut, seeds, max_hops=2).collect()}
+    assert got2[3] == 1 and got2[4] == 2
+
+    seeds2 = spark.createDataFrame([(1,), (4,)], "node_id long")
+    got3 = {r["node_id"]: r["hops"] for r in
+            bfs_hops(chain, seeds2, max_hops=2).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 0, 5: 1}
+
+
 def test_component_profile_hand_counts(spark):
     """component_profile vs hand math on a labeled vertex set with a
     4-component shape (sizes 3, 2, 1, 1): size histogram, component /
