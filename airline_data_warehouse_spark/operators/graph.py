@@ -727,3 +727,49 @@ def hits(edges: DataFrame, iters: int = 2,
             .select(id_col, "auth_micro", "hub_micro",
                     (F.col("auth_micro") / F.lit(1e12)).alias("auth"),
                     (F.col("hub_micro") / F.lit(1e12)).alias("hub")))
+
+
+def bounded_shortest_paths(edges: DataFrame, seeds: DataFrame,
+                           rounds: int = 3, src_col: str = "src",
+                           dst_col: str = "dst",
+                           weight_col: str = "w",
+                           id_col: str = "node_id") -> DataFrame:
+    """Bounded-round Bellman–Ford: (node_id, dist) — the minimum total
+    edge weight over any path of ≤ ``rounds`` edges from the seed set
+    (bfs_hops' weighted sibling; with w ≡ 1 the dist column equals the
+    hop count). The cheapest-connection feature over a weighted link
+    graph (edit-cost between near-dup revisions, trade-cost distance)
+    without an unbounded fixpoint: ``rounds`` is fixed, so the oracle
+    unrolls relaxations bit-for-bit.
+
+    Exact integers: dist is a BIGINT min-plus fold (min(dist_v,
+    min over in-edges dist_u + w)) — no division, no rounding, no
+    arithmetic convention; negative weights are rejected (min-plus
+    with bounded rounds is well-defined anyway, but a blocklist
+    distance is non-negative by construction and rejecting early makes
+    misuse loud). Seeds are dist=0.
+
+    Scale shape: identical to bfs_hops — per round one src-keyed
+    edges ⋈ frontier join, a dst-keyed MIN, a full-outer fold;
+    edge-linear, rounds localCheckpoint-barriered with previous-round
+    block release."""
+    e = _persist(edges.select(F.col(src_col).cast("long").alias("src"),
+                              F.col(dst_col).cast("long").alias("dst"),
+                              F.col(weight_col).cast("long").alias("w"))
+                 .filter(F.col("w") >= 0))
+    dist = _round_barrier(
+        seeds.select(F.col(id_col).cast("long").alias("v"))
+             .distinct()
+             .withColumn("dist", F.lit(0).cast("long")),
+        None)
+    for _ in range(rounds):
+        nbr = (e.join(dist, e.src == dist.v)
+               .groupBy(F.col("dst"))
+               .agg(F.min(F.col("dist") + F.col("w")).alias("nd")))
+        merged = (dist.join(nbr, dist.v == nbr.dst, "full")
+                  .select(F.coalesce(F.col("v"), F.col("dst")).alias("v"),
+                          F.least(F.coalesce(F.col("dist"), F.col("nd")),
+                                  F.coalesce(F.col("nd"), F.col("dist")))
+                          .alias("dist")))
+        dist = _round_barrier(merged, dist)
+    return dist.select(F.col("v").alias(id_col), "dist")

@@ -183,6 +183,7 @@ HEADLINE = [
     "linear_counting_distinct",
     "graph_bfs_hops",
     "graph_hits",
+    "graph_shortest_paths",
 ]
 
 

@@ -3204,6 +3204,42 @@ def test_degree_profile_histogram_and_assortativity(spark):
     assert mgot[("degree_hist", 1)] == 1.0            # the pendant
 
 
+def test_bounded_shortest_paths_relaxation_and_hop_equivalence(spark):
+    """bounded_shortest_paths: a heavy direct edge loses to a lighter
+    2-edge path once rounds permit it (1→3 weight 10 vs 1→2→3 weight
+    2+3); w ≡ 1 reproduces bfs_hops' hop counts exactly; negative
+    weights are dropped at entry."""
+    from airline_data_warehouse_spark.operators.graph import (
+        bfs_hops,
+        bounded_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 3)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node_id long")
+    r1 = {r["node_id"]: r["dist"] for r in
+          bounded_shortest_paths(edges, seeds, rounds=1).collect()}
+    assert r1[3] == 10                     # only the direct edge so far
+    r2 = {r["node_id"]: r["dist"] for r in
+          bounded_shortest_paths(edges, seeds, rounds=2).collect()}
+    assert r2 == {1: 0, 2: 2, 3: 5}        # relaxation found 1→2→3
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    unit = chain.withColumn("w", F.lit(1).cast("long"))
+    hops = {r["node_id"]: r["hops"] for r in
+            bfs_hops(chain, seeds, max_hops=3).collect()}
+    dist = {r["node_id"]: r["dist"] for r in
+            bounded_shortest_paths(unit, seeds, rounds=3).collect()}
+    assert dist == hops
+
+    neg = spark.createDataFrame([(1, 2, -5), (1, 2, 4)],
+                                "src long, dst long, w long")
+    nd = {r["node_id"]: r["dist"] for r in
+          bounded_shortest_paths(neg, seeds, rounds=1).collect()}
+    assert nd[2] == 4                      # the -5 edge was rejected
+
+
 def test_hits_matches_integer_reference_and_bipartite_structure(spark):
     """hits vs an independent pure-Python replay of the exact integer
     algorithm (L1 halfup normalization) on a hand graph, plus the
