@@ -2364,6 +2364,12 @@ def test_operator_broadcast_targets_are_bounded():
             "1-row scalar (exact F2), the exact_counts precedent",
         ("llmops.py", "linear_counting_distinct", "true", "toks"):
             "1-row scalar (exact distinct), the exact_counts precedent",
+        ("graph.py", "hits", "ncount", "nodes"):
+            "1-row scalar (node count), the pagerank pcount precedent",
+        ("graph.py", "hits", "tot", "raw"):
+            "1-row scalar (L1 normalization total)",
+        ("graph.py", "_renorm", "tot", "raw"):
+            "1-row scalar (L1 normalization total, hits helper)",
     }
     sites = _broadcast_sites()
     unpinned = sites - set(pinned)
