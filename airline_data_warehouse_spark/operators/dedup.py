@@ -22,6 +22,7 @@ from airline_data_warehouse_spark.operators.hashing import (
     BAND_ROWS,
     DEFAULT_SHINGLE_K,
     LSH_BANDS,
+    N_HASHES,
     SIMHASH_BITS,
     hashed_shingle_set,
     minhash_signature,
@@ -895,3 +896,51 @@ def cascade_classify(inc_docs: DataFrame, inc_emb: DataFrame,
                  .otherwise(F.lit("kept")).alias("verdict"),
                 F.coalesce("e_partner", "n_partner", "s_partner")
                  .cast("long").alias("partner_id")))
+
+
+def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """Estimator calibration for the MinHash family: for every LSH
+    candidate pair, BOTH the MinHash Jaccard estimate (matching
+    signature components / N_HASHES — the Broder 1997 unbiased
+    estimator the banding's collision probability is built on) and the
+    exact shingle-set Jaccard, side by side — the read that tunes
+    band/row counts against a corpus (how tight is 16 permutations
+    HERE?) and the sketch-calibration discipline the CMS/LC keys set
+    (estimator and truth certified together).
+
+    (id1, id2, est_jaccard, jaccard), both 6-dp. Deterministic: the
+    pinned permutation family makes the estimate itself replayable
+    bit-for-bit, not just in distribution.
+
+    Scale shape: candidates from the banded join (collision-linear);
+    the signature sides are N_HASHES longs per doc (fixed width —
+    far smaller than the shingle arrays the exact side ships, which
+    keep the shuffle_hash discipline of ngram_jaccard_pairs)."""
+    sh = _persist(shingled(df, text_col, id_col, k))
+    cand = minhash_lsh_candidates(df, text_col, id_col, k,
+                                  shingle_sets=sh)
+    sig = sh.select(id_col, *[c.alias(f"h{i}") for i, c in
+                              enumerate(minhash_signature("hs"))])
+    s1 = sig.select(F.col(id_col).alias("id1"),
+                    *[F.col(f"h{i}").alias(f"a{i}")
+                      for i in range(N_HASHES)])
+    s2 = sig.select(F.col(id_col).alias("id2"),
+                    *[F.col(f"h{i}").alias(f"b{i}")
+                      for i in range(N_HASHES)])
+    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1)
+                  .otherwise(0) for i in range(N_HASHES))
+    v1 = sh.select(F.col(id_col).alias("id1"),
+                   _i32("hs").alias("sh1")).hint("shuffle_hash")
+    v2 = sh.select(F.col(id_col).alias("id2"),
+                   _i32("hs").alias("sh2")).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (cand.join(s1, "id1").join(s2, "id2")
+            .withColumn("est_jaccard",
+                        F.round(matches / F.lit(float(N_HASHES)), 6))
+            .join(v1, "id1").join(v2, "id2")
+            .withColumn("jaccard",
+                        F.round(inter.cast("double") / union, 6))
+            .select("id1", "id2", "est_jaccard", "jaccard"))

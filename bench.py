@@ -184,6 +184,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "graph_hits",
     "graph_shortest_paths",
+    "minhash_jaccard_calibration",
 ]
 
 

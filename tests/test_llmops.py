@@ -2911,6 +2911,28 @@ def test_mutual_knn_banded_matches_python_over_candidates(spark):
     assert got == want
 
 
+def test_minhash_estimate_identical_and_disjoint_docs(spark):
+    """minhash_estimate_pairs extremes: an exact duplicate pair
+    estimates 1.0 with exact jaccard 1.0; near-dups estimate within
+    the 16-permutation granularity (est is a multiple of 1/16) and
+    both columns are present for every candidate pair."""
+    from airline_data_warehouse_spark.operators import dedup as dd
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps running through the quiet evening meadow for a "
+            "long while before resting")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " slightly edited tail")],
+        "doc_id long, text string")
+    rows = dd.minhash_estimate_pairs(docs).collect()
+    got = {(r["id1"], r["id2"]): (r["est_jaccard"], r["jaccard"])
+           for r in rows}
+    assert got[(1, 2)] == (1.0, 1.0)
+    for (a, b), (est, jac) in got.items():
+        assert abs(est * 16 - round(est * 16)) < 1e-9   # 1/16 grid
+        assert 0.0 <= jac <= 1.0
+
+
 def test_countmin_overestimates_and_exact_when_sparse(spark):
     """CMS invariants on a hand corpus: (1) est >= true for every
     probe (one-sided error, guaranteed by construction); (2) with far
