@@ -102,27 +102,21 @@ _REVALIDATE: tuple[str, ...] = (
     # re-certified green in the r11 driver window, VERDICT r11, and is
     # cleared.)
     #
-    # r12 (ADVICE r11-medium + low): whiten_invariants' fit moved to
-    # 9-dp covariance cells so the Gram certificate's ANALYTIC error
-    # bound clears the 3-dp margin at the refusal floor (the 6-dp bound
-    # flaked for λ_min ∈ [1e-4, 1e-2] — this corpus sits at 0.0065);
-    # pagerank's per-source out-weight sum widened to DECIMAL(38,0)
-    # pre-aggregation (BIGINT-wrap class). Result-neutral on these keys
-    # (locally hash-verified via tools/check_correctness.py), but the
-    # priority contract says: a cert older than the plan it certifies
-    # must rotate back into the window.
-    # Also r12: the graph loops' per-round frames moved from persist to
-    # localCheckpoint (lineage truncation — un-truncated analysis was
-    # O(2^iters), measured driver-OOM at depth 8) with loop-invariant
-    # e/nodes/outw now cached once. Result-neutral (integer arithmetic
-    # unchanged), but the physical plans changed.
-    "embedding_whiten_invariants",    # r11 cert; 9-dp cells + new floor
-    "trade_graph_pagerank",           # r11 cert; decimal wsum + barrier
-    "customer_anchored_pagerank",     # r11 cert; decimal wsum + barrier
-    "trade_graph_pagerank_weighted",  # r11 cert; decimal wsum + barrier
-    "quality_label_propagation",          # r11 cert; round barrier
-    "quality_label_propagation_weighted",  # r11 cert; round barrier
-    "graph_kcore",                    # r11 cert; round barrier
+    # (The r12 cohort — 9-dp whiten cells, decimal pagerank wsum +
+    # localCheckpoint round barriers — was re-certified green in the
+    # r12 driver window, CORRECTNESS_r12, and is cleared.)
+    #
+    # r13 (VERDICT r12 item 1 / ADVICE r12-medium): ams_f2_join_size
+    # was the round's ONLY driver-red row (hash_match false in
+    # CORRECTNESS_r12 while bit-green under tools/check_correctness.py
+    # on the same commit+sf). The suspected surface was the key's two
+    # DECIMAL(38,0) columns built via different widening routes per
+    # engine (Spark decimal(19,0)² → 38,0 vs DuckDB HUGEINT→DECIMAL).
+    # est_f2/true_f2 are now emitted as plain BIGINT in BOTH engines —
+    # the magnitudes provably fit (F₂ ≤ N² ≈ 1e12 at sf0.1) — removing
+    # the canonicalization surface entirely; the column types are
+    # pinned engine-equal by a unit test.
+    "ams_f2_join_size",               # driver-red r12; BIGINT re-emit
 )
 
 

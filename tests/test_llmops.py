@@ -3052,6 +3052,32 @@ def test_ams_f2_hand_values_and_linearity(spark):
     assert all(got[i] == sa[i] + sb[i] for i in range(4))
 
 
+def test_ams_f2_join_size_column_types_engine_equal(spark, sf_dir):
+    """r13 (VERDICT r12 item 1): ams_f2_join_size was the only
+    driver-red r12 row — hash mismatch suspected from the two engines
+    building its DECIMAL(38,0) columns via different widening routes.
+    The fix emits est_f2/true_f2 as BIGINT in BOTH engines (magnitudes
+    provably fit: F₂ ≤ N² ≈ 1e12 at sf0.1). Pin the output column
+    types of the Spark plan AND the DuckDB oracle equal, so the
+    canonicalization surface can't silently reappear."""
+    import duckdb
+
+    from airline_data_warehouse_spark.plans.registry import all_queries
+
+    q = all_queries()["ams_f2_join_size"]
+    spark_types = dict(q.builder(spark, sf_dir).dtypes)
+    assert spark_types == {"row": "int", "signed_sum": "bigint",
+                           "est_f2": "bigint", "true_f2": "bigint"}
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    oracle_types = {col: typ for col, typ, *_ in
+                    con.execute(f"DESCRIBE {q.oracle}").fetchall()}
+    assert oracle_types == {"row": "INTEGER", "signed_sum": "BIGINT",
+                            "est_f2": "BIGINT", "true_f2": "BIGINT"}
+
+
 def test_linear_counting_invariants(spark):
     """Linear Counting invariants: duplicates don't move the bitmap
     (n̂ depends on DISTINCT items only); with n ≪ m the estimate lands
