@@ -60,7 +60,8 @@ def start_index_ingest(stream: DataFrame, index_dir: str,
                        vec_col: str = "embedding",
                        drift_factor: float = 1.5,
                        compact_every: int | None = 16,
-                       delete_col: str | None = None):
+                       delete_col: str | None = None,
+                       order_col: str | None = None):
     """foreachBatch loop: frozen-quantizer append of each micro-batch
     into the persisted index, plus one drift-log row per batch. The
     index must already exist (`ivfpq_index_build`) — an index is
@@ -80,11 +81,28 @@ def start_index_ingest(stream: DataFrame, index_dir: str,
     the CDC/takedown stream shape (right-to-be-forgotten events riding
     the same topic as inserts). Tombstoned ids go through
     `ivfpq_index_delete` (exact partition-scoped removal), the rest
-    append as usual; within one batch the delete applies AFTER the
-    append, so a batch carrying both add(x) and delete(x) nets to
-    absent — and the at-least-once retry converges because both the
-    keyed MERGE and the delete are idempotent in sequence. None (the
-    default) keeps the pure-append contract."""
+    append as usual. None (the default) keeps the pure-append contract.
+
+    ``order_col``: name of a monotone event-order column (CDC offset /
+    sequence number). When given, each micro-batch is first reduced to
+    the LAST event per ``id_col`` — so an ordered CDC sequence like
+    delete(x) → re-insert(x) landing in ONE batch nets to present with
+    the re-inserted vector, and add(x) → delete(x) nets to absent,
+    exactly as if the events had arrived in separate batches. Ties on
+    ``order_col`` within a batch resolve in favor of the tombstone
+    (a takedown wins a dead heat — the conservative direction). After
+    the reduction, insert and delete id-sets are disjoint, so the
+    apply order inside the batch no longer matters, and at-least-once
+    retries still converge (keyed MERGE + delete both idempotent).
+    Requires ``delete_col``. Without ``order_col`` the legacy
+    semantics stand: the delete applies AFTER the append, so any batch
+    carrying both add(x) and delete(x) — in either event order — nets
+    to absent; a re-insert after a delete must then arrive in a LATER
+    batch to survive (ADVICE r12-medium)."""
+    if order_col is not None and delete_col is None:
+        raise ValueError("order_col requires delete_col: last-event "
+                         "reduction only matters when inserts and "
+                         "tombstones ride the same stream")
     from airline_data_warehouse_spark.operators.similarity import (
         ivfpq_index_append,
         ivfpq_index_compact,
@@ -95,6 +113,16 @@ def start_index_ingest(stream: DataFrame, index_dir: str,
         spark = batch_df.sparkSession
         dels = None
         if delete_col is not None:
+            if order_col is not None:
+                from pyspark.sql import Window
+                w = (Window.partitionBy(id_col)
+                     .orderBy(F.col(order_col).desc(),
+                              F.coalesce(F.col(delete_col),
+                                         F.lit(False)).desc()))
+                batch_df = (batch_df
+                            .withColumn("_rn", F.row_number().over(w))
+                            .filter(F.col("_rn") == 1)
+                            .drop("_rn", order_col))
             dels = (batch_df
                     .filter(F.coalesce(F.col(delete_col), F.lit(False)))
                     .select(id_col))

@@ -1050,6 +1050,92 @@ def test_stream_index_ingest_with_tombstones(spark, tmp_path):
                .count() == 0
 
 
+def test_stream_index_ingest_ordered_cdc_last_event_wins(spark, tmp_path):
+    """order_col (ADVICE r12-medium): with an event-order column, each
+    micro-batch reduces to the LAST event per id before the insert /
+    tombstone split — so delete(x) → re-insert(x) in ONE batch nets to
+    PRESENT with the re-inserted vector (the legacy delete-after-append
+    path would net it absent), add(y) → delete(y) still nets absent,
+    an order_col tie resolves toward the tombstone, and order_col
+    without delete_col raises."""
+    import json as jsonlib
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import similarity as sim
+    from airline_data_warehouse_spark.streaming.index import (
+        start_index_ingest,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    corpus = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq_ordered")
+    sim.ivfpq_index_build(corpus, idx, n_lists=2, m=2, codes_k=4,
+                          iters=2, dims=8)
+
+    v_new = [rng.uniform(-1, 1) for _ in range(8)]
+    batch = [
+        # ordered CDC on base id 5: tombstone at seq 10, re-insert at
+        # seq 11 — last event wins, so 5 survives with v_new
+        {"vec_id": 5, "embedding": None, "deleted": True, "seq": 10},
+        {"vec_id": 5, "embedding": v_new, "deleted": False, "seq": 11},
+        # add then delete on a NEW id: nets to absent
+        {"vec_id": 200, "embedding": v_new, "deleted": False, "seq": 12},
+        {"vec_id": 200, "embedding": None, "deleted": True, "seq": 13},
+        # tie on seq for base id 7: tombstone wins the dead heat
+        {"vec_id": 7, "embedding": v_new, "deleted": False, "seq": 20},
+        {"vec_id": 7, "embedding": None, "deleted": True, "seq": 20},
+        # plain add
+        {"vec_id": 300, "embedding": v_new, "deleted": False, "seq": 30},
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        for r in batch:
+            f.write(jsonlib.dumps(r) + "\n")
+
+    src = (spark.readStream
+           .schema("vec_id long, embedding array<double>, "
+                   "deleted boolean, seq long")
+           .json(str(in_dir)))
+    q = start_index_ingest(src, idx, checkpoint_dir=str(tmp_path / "ck"),
+                           m=2, dims=8, delete_col="deleted",
+                           order_col="seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = {r["vec_id"] for r in
+           spark.read.parquet(f"{idx}/codes.parquet")
+           .select("vec_id").distinct().collect()}
+    assert ids == (set(range(30)) - {7}) | {300}
+    # id 5 must carry the RE-INSERTED vector's code, not the original's:
+    # its frozen-quantizer code must equal a fresh encode of v_new
+    fresh = str(tmp_path / "fresh_probe")
+    sim.ivfpq_index_build(corpus, fresh, n_lists=2, m=2, codes_k=4,
+                          iters=2, dims=8)
+    probe = spark.createDataFrame([(5, v_new)],
+                                  "vec_id long, embedding array<double>")
+    sim.ivfpq_index_delete(spark, fresh,
+                           probe.select("vec_id"), id_col="vec_id")
+    sim.ivfpq_index_append(spark, fresh, probe, m=2, dims=8)
+    want_code = (spark.read.parquet(f"{fresh}/codes.parquet")
+                 .filter(F.col("vec_id") == 5).collect())
+    got_code = (spark.read.parquet(f"{idx}/codes.parquet")
+                .filter(F.col("vec_id") == 5).collect())
+    key = lambda r: (r["sub"], r["code"], r["list_id"])  # noqa: E731
+    assert sorted(map(key, got_code)) == sorted(map(key, want_code))
+    assert len(want_code) == 2  # m=2 subcodes — the probe saw data
+
+    with pytest.raises(ValueError, match="order_col requires delete_col"):
+        start_index_ingest(src, idx, m=2, dims=8, order_col="seq")
+
+
 def test_replace_directory_crash_windows(spark, tmp_path):
     """sources/atomic.replace_directory crash contract: (1) a crash
     AFTER rename 1 (content only in the hidden backup) heals on the
