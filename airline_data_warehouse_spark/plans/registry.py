@@ -117,6 +117,11 @@ _REVALIDATE: tuple[str, ...] = (
     # the canonicalization surface entirely; the column types are
     # pinned engine-equal by a unit test.
     "ams_f2_join_size",               # driver-red r12; BIGINT re-emit
+    # r13 (VERDICT r12 item 2): bounded_shortest_paths' silent
+    # negative-weight filter became a loud ValueError guard — the
+    # registry corpus has no negative weights so the result is
+    # identical, but the physical plan lost the filter node.
+    "graph_shortest_paths",           # r12 cert; filter -> guard probe
 )
 
 

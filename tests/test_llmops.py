@@ -2653,6 +2653,7 @@ def test_graph_loops_release_previous_round_caches(spark):
     both proves the plan stays linear and bounds the storage."""
     from airline_data_warehouse_spark.operators import dedup
     from airline_data_warehouse_spark.operators.graph import (
+        hits,
         kcore,
         label_propagation,
         pagerank,
@@ -2696,6 +2697,16 @@ def test_graph_loops_release_previous_round_caches(spark):
     assert len(out) == 40                   # 2-regular+ graph: all alive
     assert n_rdds() - base <= 4, (n_rdds(), base)
     assert len(dedup._LIVE_CACHES) <= 1, len(dedup._LIVE_CACHES)
+    dedup.release_caches()
+
+    # hits: the final barrier must release the LAST round's checkpointed
+    # hub (prev_hub) too — live after return is e + nodes caches plus
+    # the final auth and hub checkpoints only (ADVICE r12-low: prev_hub
+    # used to leak to GC)
+    base = n_rdds()
+    hits(edges, iters=10).collect()
+    assert n_rdds() - base <= 4, (n_rdds(), base)
+    assert len(dedup._LIVE_CACHES) <= 2, len(dedup._LIVE_CACHES)
     dedup.release_caches()
 
 
@@ -3261,8 +3272,12 @@ def test_degree_profile_histogram_and_assortativity(spark):
 def test_bounded_shortest_paths_relaxation_and_hop_equivalence(spark):
     """bounded_shortest_paths: a heavy direct edge loses to a lighter
     2-edge path once rounds permit it (1→3 weight 10 vs 1→2→3 weight
-    2+3); w ≡ 1 reproduces bfs_hops' hop counts exactly; negative
-    weights are dropped at entry."""
+    2+3); w ≡ 1 reproduces bfs_hops' hop counts exactly; a negative
+    weight raises at entry — the fail-fast contract the docstring
+    promises (VERDICT r12 item 2: the former silent per-edge filter
+    handed callers a structurally different graph with no signal)."""
+    import pytest
+
     from airline_data_warehouse_spark.operators.graph import (
         bfs_hops,
         bounded_shortest_paths,
@@ -3289,9 +3304,8 @@ def test_bounded_shortest_paths_relaxation_and_hop_equivalence(spark):
 
     neg = spark.createDataFrame([(1, 2, -5), (1, 2, 4)],
                                 "src long, dst long, w long")
-    nd = {r["node_id"]: r["dist"] for r in
-          bounded_shortest_paths(neg, seeds, rounds=1).collect()}
-    assert nd[2] == 4                      # the -5 edge was rejected
+    with pytest.raises(ValueError, match="negative edge weight"):
+        bounded_shortest_paths(neg, seeds, rounds=1)
 
 
 def test_hits_matches_integer_reference_and_bipartite_structure(spark):
