@@ -441,7 +441,8 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
 
 def mutual_knn_pairs(corpus: DataFrame, centroids: DataFrame, k: int = 3,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     max_list_size: int = 4096) -> DataFrame:
     """Mutual-kNN graph edges: each vector's exact cosine top-k WITHIN
     its own IVF list, kept only when RECIPROCATED (a ∈ knn(b) AND
     b ∈ knn(a)) — the classic mutual-kNN construction whose connected
@@ -456,10 +457,31 @@ def mutual_knn_pairs(corpus: DataFrame, centroids: DataFrame, k: int = 3,
     corpus so lists stay bounded); top-k is a per-vector window inside
     the list partitions; the reciprocity check is one edge-keyed
     semi-join. Determinism: 6-dp rounded scores, neighbor-id
-    tie-breaks — replayed bit-for-bit by the SQL oracle."""
+    tie-breaks — replayed bit-for-bit by the SQL oracle.
+
+    ``max_list_size`` ENFORCES the contract (VERDICT r12 item 5): the
+    r12 8× probe measured 18.9× growth when a stale 8-list quantizer
+    met a grown corpus — the per-list quadratic silently eating the
+    scale-up. A pre-pass aggregate (over the already-persisted
+    assignment, one groupBy count) raises when any list exceeds the
+    bound, pointing at `mutual_knn_pairs_banded` (collision-linear,
+    no quantizer) instead of letting the self-join go quadratic; a
+    caller who has sized executors for bigger lists can raise the
+    bound deliberately."""
     corpus = corpus.filter(_finite_ok(F.col(vec_col)))
     assigned = _persist(ivf_assign(corpus, centroids, id_col, vec_col)
                         .withColumn("_n", _norm(F.col(vec_col))))
+    biggest = (assigned.groupBy("list_id")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.max("c").alias("mx")).collect()[0]["mx"])
+    if biggest is not None and biggest > max_list_size:
+        raise ValueError(
+            f"mutual_knn_pairs: largest IVF list holds {biggest} "
+            f"vectors (> max_list_size={max_list_size}) — the per-list "
+            "quadratic would dominate (the quantizer's k must grow "
+            "with the corpus). Retrain a bigger quantizer, raise "
+            "max_list_size deliberately, or use mutual_knn_pairs_banded"
+            " (collision-linear, no quantizer needed)")
     a, b = assigned.alias("a"), assigned.alias("b")
     score = F.round(_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
                     / (F.col("a._n") * F.col("b._n")), 6)

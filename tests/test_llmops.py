@@ -2887,6 +2887,36 @@ def test_mutual_knn_reciprocity(spark):
     assert k2 == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_mutual_knn_raises_on_oversized_list(spark):
+    """VERDICT r12 item 5: the fixed-quantizer variant's per-list
+    quadratic bites exactly when a stale small-k quantizer meets a
+    grown corpus (the 18.9×-at-8× probe). The pre-pass guard must
+    raise — naming mutual_knn_pairs_banded as the scale path — when
+    any list exceeds max_list_size, and stay silent under it."""
+    import math
+
+    import pytest
+
+    from airline_data_warehouse_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    corpus = spark.createDataFrame(
+        [(i, unit(i % 89)) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame([(0, [1.0, 0.0])],
+                                  "list_id int, centroid array<double>")
+    with pytest.raises(ValueError, match="mutual_knn_pairs_banded"):
+        mutual_knn_pairs(corpus, cents, k=1, max_list_size=39)
+    # at the bound exactly (40 rows, one list): no raise
+    assert mutual_knn_pairs(corpus, cents, k=1,
+                            max_list_size=40).count() > 0
+
+
 def test_mutual_knn_banded_matches_python_over_candidates(spark):
     """mutual_knn_pairs_banded ≡ a pure-Python replay of its contract
     over the SAME candidate set (_banded_scored_pairs, the certified
