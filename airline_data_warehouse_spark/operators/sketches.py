@@ -24,7 +24,7 @@ by nature; this sketch is hash-certifiable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airline_data_warehouse_spark.operators.hashing import (
@@ -252,3 +252,182 @@ def linear_counting(items: DataFrame, hash_col: str = "sh",
                                            .cast("double")), 6))
                     .otherwise(F.lit(None).cast("double"))
                     .alias("estimate")))
+
+
+QD_BRANCH_BITS = 4   # degree-16 tree: parent id = id >> 4
+QD_LEVELS = 5        # universe [0, 16^5) = [0, 1,048,576)
+QD_K = 256           # compression factor: thr = max(1, n // k)
+
+
+def qdigest_build(items: DataFrame, value_col: str = "v",
+                  k: int = QD_K, levels: int = QD_LEVELS,
+                  branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
+    """q-digest quantile sketch (Shrivastava, Buragohain, Agrawal &
+    Suri, "Medians and beyond", SenSys 2004), generalized to a
+    degree-2^branch_bits tree and built with LEVEL-SYNCHRONOUS
+    compression so the result is a pure function of the value multiset
+    — no insertion order, no partition order, no randomness — and a
+    SQL oracle replays every round bit-for-bit. The quantile member of
+    the deterministic sketch quartet (frequency=CMS, membership=Bloom,
+    cardinality=Linear Counting, moments=AMS): bounded-size, mergeable
+    (union node counts, re-compress), one pass.
+
+    Structure: values are leaves of a fixed tree over the integer
+    universe [0, 2^(branch_bits·levels)); the node (id, lvl) covers
+    [id << branch_bits·lvl, (id+1) << branch_bits·lvl). Compression
+    round l (l = 0 … levels-1), identical in both engines: group the
+    lvl-l nodes by parent id (id >> branch_bits), and when the
+    children's sum plus the existing parent count is UNDER
+    thr = max(1, n // k), fold the children into the parent; otherwise
+    both stay. Internal-node counts therefore stay < thr, which gives
+    the rank-error bound: a quantile read off the digest overshoots
+    the true rank-r order statistic by at most levels·thr ranks
+    (only ancestors of the true leaf can hold mass that sorts after
+    it), i.e. ε = levels/k relative rank error — and never
+    undershoots (every count at a node with upper bound ≤ u is an
+    item ≤ u).
+
+    Output: (id long, lvl int, cnt long) — ≤ O(k·levels) rows after
+    compression (distinct leaves below thr fold upward), always
+    broadcastable, the shape a 100 TB write path can afford to ship
+    to the driver or a planner (zorder/range-partition boundary
+    estimation without a global sort).
+
+    Scale shape: ``levels`` fixed rounds, each one groupBy keyed on
+    parent id + one full join on parent id + a union — every frame is
+    bounded by the CURRENT node set (≤ distinct values, shrinking as
+    compression folds), never corpus-proportional after the first
+    leaf aggregation; rounds are localCheckpoint-barriered with
+    previous-round block release (the graph-loop discipline — plan
+    references the round frame three times, so un-truncated analysis
+    is O(3^levels)). The domain guard and n are one 1-row scalar
+    aggregate."""
+    from airline_data_warehouse_spark.operators.graph import (
+        _round_barrier,
+    )
+
+    cap = 1 << (branch_bits * levels)
+    vals = items.select(F.col(value_col).cast("long").alias("id")) \
+                .filter(F.col("id").isNotNull())
+    mm = vals.agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
+                  F.count(F.lit(1)).alias("n")).collect()[0]
+    if not mm["n"]:
+        raise ValueError("qdigest_build: empty input after null filter")
+    if mm["lo"] < 0 or mm["hi"] >= cap:
+        raise ValueError(
+            f"qdigest_build: values span [{mm['lo']}, {mm['hi']}] "
+            f"outside the universe [0, {cap}) — rescale/offset the "
+            f"values or raise levels/branch_bits")
+    thr = max(1, mm["n"] // k)
+    leaves = (vals.groupBy("id")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+              .withColumn("lvl", F.lit(0).cast("int")))
+    return _qd_compress(leaves, thr, levels, branch_bits)
+
+
+def _qd_compress(state: DataFrame, thr: int, levels: int,
+                 branch_bits: int) -> DataFrame:
+    """The level-synchronous compression rounds shared by build (state
+    = leaves) and merge (state = summed node union). Pure function of
+    the state multiset — see qdigest_build for the round rule."""
+    from airline_data_warehouse_spark.operators.graph import (
+        _round_barrier,
+    )
+
+    cur = _round_barrier(state, None)
+    for lvl in range(levels):
+        a = cur.filter(F.col("lvl") == lvl)
+        p = cur.filter(F.col("lvl") == lvl + 1) \
+               .select(F.col("id").alias("pid"), F.col("cnt").alias("pc"))
+        g = (a.groupBy(F.shiftright("id", branch_bits).alias("pid"))
+             .agg(F.sum("cnt").alias("cs")))
+        d = (g.join(p, "pid", "full")
+             .select("pid",
+                     F.coalesce("cs", F.lit(0).cast("long")).alias("cs"),
+                     F.coalesce("pc", F.lit(0).cast("long")).alias("pc"))
+             .withColumn("mrg", (F.col("cs") + F.col("pc")) < F.lit(thr)))
+        keep = a.join(d.filter(~F.col("mrg")).select("pid"),
+                      F.shiftright(F.col("id"), branch_bits)
+                      == F.col("pid"), "left_semi")
+        parents = (d.select(
+            F.col("pid").alias("id"),
+            F.when(F.col("mrg"), F.col("pc") + F.col("cs"))
+             .otherwise(F.col("pc")).alias("cnt"),
+            F.lit(lvl + 1).cast("int").alias("lvl"))
+            .filter(F.col("cnt") > 0))
+        # the state is sketch-bounded after round 0 — coalesce so each
+        # eager checkpoint materializes a handful of tasks instead of
+        # spark.sql.shuffle.partitions near-empty ones per round
+        cur = _round_barrier(
+            cur.filter(~F.col("lvl").isin(lvl, lvl + 1))
+               .unionByName(keep.select("id", "cnt", "lvl"))
+               .unionByName(parents)
+               .coalesce(8),
+            cur)
+    return cur
+
+
+def qdigest_merge(a: DataFrame, b: DataFrame, k: int = QD_K,
+                  levels: int = QD_LEVELS,
+                  branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
+    """Merge two digests built with the same tree parameters: union
+    the node sets, sum counts per (id, lvl), re-compress with the
+    COMBINED n's threshold — the shard/micro-batch composition path
+    (each executor or batch keeps its own digest; the merged digest
+    summarizes the union without revisiting raw values). Error bounds
+    add across merges in the standard q-digest way: each input's
+    internal nodes carry < its own thr, so the merged read is within
+    (levels·thr_a + levels·thr_b + levels·thr) ranks; mass is
+    conserved exactly (test-pinned)."""
+    both = a.unionByName(b).groupBy("id", "lvl") \
+            .agg(F.sum("cnt").alias("cnt"))
+    n = int(both.agg(F.sum("cnt").alias("n")).collect()[0]["n"])
+    return _qd_compress(both, max(1, n // k), levels, branch_bits)
+
+
+def qdigest_quantiles(digest: DataFrame, n: int,
+                      pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+                      branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
+    """Read percentile estimates off a built digest: for each pct, the
+    smallest node upper bound whose cumulative count (nodes ordered by
+    upper bound asc, level asc — narrower node first on a tie) reaches
+    rnk = ceil(n·pct/100), computed in INTEGER arithmetic as
+    (n·pct + 99) // 100 so both engines derive the identical rank.
+
+    Output: (pct int, rnk long, est_value long). Guarantee (see
+    qdigest_build): est_value ≥ the true rank-rnk order statistic,
+    and ≤ the true order statistic at rank rnk + levels·thr.
+
+    Scale shape: the digest is sketch-sized (≤ O(k·levels) rows), so
+    the global cumulative window and the non-equi rank probe join are
+    bounded-frame operations — the digest side of the join is
+    broadcast by construction."""
+    out = qdigest_rank_values(
+        digest, [(int(p), (int(n) * int(p) + 99) // 100) for p in pcts],
+        branch_bits)
+    return out.withColumnRenamed("key", "pct")
+
+
+def qdigest_rank_values(digest: DataFrame,
+                        ranks: list[tuple[int, int]],
+                        branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
+    """(key int, rnk long, est_value long): the digest's value estimate
+    at arbitrary target ranks — the shared read primitive under
+    qdigest_quantiles (key = pct) and layout.qdigest_boundaries
+    (key = bucket index). Nodes in canonical (upper bound asc, level
+    asc) order, cumulative counts, smallest upper bound reaching each
+    rank."""
+    # SQL-form shiftleft: the Python wrapper F.shiftleft only takes a
+    # literal shift, but the node's width depends on its level
+    ub = F.expr(f"shiftleft(id + 1, lvl * {int(branch_bits)}) - 1") \
+          .alias("ub")
+    win = Window.orderBy(F.col("ub").asc(), F.col("lvl").asc())
+    nodes = (digest.select(ub, "lvl", "cnt")
+             .withColumn("cum", F.sum("cnt").over(win)))
+    spark = digest.sparkSession
+    rdf = spark.createDataFrame(
+        [(int(kk), int(r)) for kk, r in ranks], "key int, rnk long")
+    return (rdf.join(F.broadcast(nodes),
+                     F.col("cum") >= F.col("rnk"))
+            .groupBy("key", "rnk")
+            .agg(F.min("ub").alias("est_value")))

@@ -185,6 +185,7 @@ HEADLINE = [
     "graph_hits",
     "graph_shortest_paths",
     "minhash_jaccard_calibration",
+    "quantile_sketch_order_totals",
 ]
 
 

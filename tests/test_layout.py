@@ -125,6 +125,34 @@ def test_bucket_rank_equi_depth_and_null_low(spark):
     assert max(sizes) <= 2 * min(sizes), counts
 
 
+def test_qdigest_boundaries_deterministic_and_near_exact(spark):
+    """qdigest_boundaries (the certified counterpart of approxQuantile
+    boundaries): repeat calls are BIT-IDENTICAL (the reproducibility
+    approxQuantile's GK summary can't give), each boundary is within
+    the q-digest rank bound of the exact equi-depth rank, and
+    boundaries are non-decreasing."""
+    import random
+
+    from airline_data_warehouse_spark.sources.layout import (
+        qdigest_boundaries,
+    )
+
+    rng = random.Random(53)
+    vals = [rng.randrange(0, 1 << 20) for _ in range(6000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    b1 = qdigest_boundaries(df, "v", 8)
+    b2 = qdigest_boundaries(df, "v", 8)
+    assert b1 == b2 and len(b1) == 7
+    assert b1 == sorted(b1)
+    svals = sorted(vals)
+    n, thr = len(vals), max(1, len(vals) // 256)
+    from airline_data_warehouse_spark.operators.sketches import QD_LEVELS
+    for i, b in enumerate(b1, start=1):
+        rnk = (n * i + 7) // 8
+        assert svals[rnk - 1] <= b \
+            <= svals[min(rnk - 1 + QD_LEVELS * thr, n - 1)]
+
+
 def test_morton_key_interleaves_bits(spark):
     """Spot-check the Z-curve: key(a, b) interleaves a's bits at even
     and b's at odd positions."""

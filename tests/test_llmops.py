@@ -2370,6 +2370,9 @@ def test_operator_broadcast_targets_are_bounded():
             "1-row scalar (L1 normalization total)",
         ("graph.py", "_renorm", "tot", "raw"):
             "1-row scalar (L1 normalization total, hits helper)",
+        ("sketches.py", "qdigest_rank_values", "nodes", "digest"):
+            "q-digest node table: <= O(k*levels) rows after compression "
+            "(distinct sub-thr leaves fold upward), corpus-independent",
     }
     sites = _broadcast_sites()
     unpinned = sites - set(pinned)
@@ -3117,6 +3120,135 @@ def test_ams_f2_join_size_column_types_engine_equal(spark, sf_dir):
                     con.execute(f"DESCRIBE {q.oracle}").fetchall()}
     assert oracle_types == {"row": "INTEGER", "signed_sum": "BIGINT",
                             "est_f2": "BIGINT", "true_f2": "BIGINT"}
+
+
+def _py_qdigest(vals, k, levels, bb):
+    """Independent pure-Python replay of the level-synchronous q-digest
+    compression (the oracle's algorithm, a third implementation)."""
+    from collections import Counter, defaultdict
+
+    n = len(vals)
+    thr = max(1, n // k)
+    state = {(v, 0): c for v, c in Counter(vals).items()}
+    for l in range(levels):
+        a = {i: c for (i, lv), c in state.items() if lv == l}
+        p = {i: c for (i, lv), c in state.items() if lv == l + 1}
+        gs = defaultdict(int)
+        for i, c in a.items():
+            gs[i >> bb] += c
+        new = {kk: c for kk, c in state.items() if kk[1] not in (l, l + 1)}
+        for pid in set(gs) | set(p):
+            cs, pc = gs.get(pid, 0), p.get(pid, 0)
+            if cs + pc < thr:
+                if cs + pc > 0:
+                    new[(pid, l + 1)] = cs + pc
+            else:
+                for i, c in a.items():
+                    if i >> bb == pid:
+                        new[(i, l)] = c
+                if pc > 0:
+                    new[(pid, l + 1)] = pc
+        state = new
+    return state, thr
+
+
+def test_qdigest_matches_python_replay_exactly(spark):
+    """The Spark q-digest node set (id, lvl, cnt) is BIT-IDENTICAL to
+    an independent Python replay of the level-synchronous compression
+    on the same multiset — the determinism the oracle certification
+    rests on — with mass conserved and every internal node under thr."""
+    import random
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    rng = random.Random(23)
+    vals = [rng.randrange(0, 1 << 20) for _ in range(3000)] \
+        + [77777] * 400                                # a heavy leaf
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {(r["id"], r["lvl"]): r["cnt"]
+           for r in sk.qdigest_build(df, "v", k=64).collect()}
+    want, thr = _py_qdigest(vals, 64, sk.QD_LEVELS, sk.QD_BRANCH_BITS)
+    assert got == want
+    assert sum(got.values()) == len(vals)
+    assert all(c < thr for (_, lv), c in got.items() if lv > 0)
+    # the heavy leaf survives at level 0 with its exact count
+    assert got[(77777, 0)] == want[(77777, 0)] >= 400
+
+
+def test_qdigest_quantile_bounds_and_rank_arithmetic(spark):
+    """qdigest_quantiles: rnk = (n·pct + 99) // 100 exactly; every
+    estimate is ≥ the true rank-rnk order statistic (counts at nodes
+    with ub ≤ est are items ≤ est) and ≤ the true order statistic at
+    rank rnk + levels·thr (only ancestors hold mass sorting late)."""
+    import random
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    rng = random.Random(31)
+    vals = sorted(rng.randrange(0, 500_000) for _ in range(8000))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    dig = sk.qdigest_build(df, "v", k=128)
+    n, thr = len(vals), max(1, len(vals) // 128)
+    out = {r["pct"]: r for r in sk.qdigest_quantiles(dig, n).collect()}
+    assert set(out) == {25, 50, 75, 90, 99}
+    for pct, r in out.items():
+        rnk = (n * pct + 99) // 100
+        assert r["rnk"] == rnk
+        exact = vals[rnk - 1]
+        hi = vals[min(rnk - 1 + sk.QD_LEVELS * thr, n - 1)]
+        assert exact <= r["est_value"] <= hi, (pct, r, exact, hi)
+
+
+def test_qdigest_merge_conserves_mass_within_added_bounds(spark):
+    """qdigest_merge: shard digests union + re-compress to a digest of
+    the combined multiset — mass exactly conserved, internal nodes
+    under the COMBINED thr + the shards' carried thrs, and quantile
+    reads stay within the additive merged error bound."""
+    import random
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    rng = random.Random(41)
+    a_vals = [rng.randrange(0, 300_000) for _ in range(4000)]
+    b_vals = [rng.randrange(200_000, 900_000) for _ in range(4000)]
+    da = sk.qdigest_build(
+        spark.createDataFrame([(v,) for v in a_vals], "v long"), "v",
+        k=128)
+    db = sk.qdigest_build(
+        spark.createDataFrame([(v,) for v in b_vals], "v long"), "v",
+        k=128)
+    merged = sk.qdigest_merge(da, db, k=128)
+    rows = merged.collect()
+    n = len(a_vals) + len(b_vals)
+    assert sum(r["cnt"] for r in rows) == n
+    thr_shard = max(1, 4000 // 128)
+    thr = max(1, n // 128)
+    svals = sorted(a_vals + b_vals)
+    slack = sk.QD_LEVELS * (thr + 2 * thr_shard)
+    out = {r["pct"]: r for r in sk.qdigest_quantiles(merged, n).collect()}
+    for pct, r in out.items():
+        rnk = r["rnk"]
+        assert svals[rnk - 1] <= r["est_value"] \
+            <= svals[min(rnk - 1 + slack, n - 1)]
+
+
+def test_qdigest_domain_guards(spark):
+    """qdigest_build fail-fast contract: empty input, negative values,
+    and values at/above the universe cap all raise with a pointed
+    message instead of producing a silently wrong tree."""
+    import pytest
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    empty = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError, match="empty input"):
+        sk.qdigest_build(empty, "v")
+    neg = spark.createDataFrame([(-1,), (5,)], "v long")
+    with pytest.raises(ValueError, match="outside the universe"):
+        sk.qdigest_build(neg, "v")
+    over = spark.createDataFrame([(1 << 20,)], "v long")
+    with pytest.raises(ValueError, match="outside the universe"):
+        sk.qdigest_build(over, "v")
 
 
 def test_linear_counting_invariants(spark):
