@@ -186,6 +186,8 @@ HEADLINE = [
     "graph_shortest_paths",
     "minhash_jaccard_calibration",
     "quantile_sketch_order_totals",
+    "stream_countmin_read",
+    "stream_bloom_read",
 ]
 
 

@@ -142,10 +142,37 @@ FIXED_TABLES = ["region", "nation", "customer", "supplier", "part"]
 _ALPHA = "abcdefghijklmnop"
 
 
-def build_scaled(spark, factor: int, out_dir: str) -> None:
+def build_scaled(spark, factor: int, out_dir: str,
+                 perturb: bool = False) -> None:
+    """``perturb`` (VERDICT r12 item 3 — retire the replica-clique
+    probe artifact): the default copy transforms leave residual
+    cross-copy identity — the 16-char substitution cipher only maps
+    a–p, so any 9-gram shingle built from other characters is
+    IDENTICAL in every copy, and those surviving shingles alone are
+    enough to make cross-copy band collisions grow ~copies² (the
+    superlinear envelope every similarity-family ratio was judged
+    against). Perturb mode decorrelates every replica EVERYWHERE while
+    preserving the within-copy near-dup structure exactly:
+
+    * text — full-alphabet rotation (a–z, A–Z, 0–9 each rotated by i),
+      so every letter/digit changes and no content shingle survives
+      across copies; within a copy, relative text structure (and thus
+      every planted near-dup pair) is preserved bijectively.
+    * embeddings — position rotation by i (as before) PLUS a per-copy
+      deterministic sign mask (flip dims whose bit (i−1) mod 6 is
+      set). Both are orthogonal transforms applied uniformly to a
+      copy, so ALL within-copy inner products — the near-dup cliques
+      the operators should find — are bit-preserved, while cross-copy
+      cosines are decorrelated twice over.
+
+    Copy 0 is always the untouched base."""
+    import string
+
     from pyspark.sql import functions as F
     from airline_data_warehouse_spark.plans.registry import load
     os.makedirs(out_dir, exist_ok=True)
+    lo, up, dg = (string.ascii_lowercase, string.ascii_uppercase,
+                  string.digits)
     for t in FIXED_TABLES:
         load(spark, BASE, t).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     for t, key in SCALED_TABLES.items():
@@ -154,11 +181,20 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
         for i in range(factor):
             shifted = df.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
             if t == "documents" and i > 0:
-                # substitution-cipher each copy's text so copies are NOT
-                # near-duplicates of each other — keeps near-dup volume
-                # linear in corpus size, i.e. a fair scaling measurement
-                rot = _ALPHA[i:] + _ALPHA[:i]
-                shifted = shifted.withColumn("text", F.translate("text", _ALPHA, rot))
+                if perturb:
+                    full = lo + up + dg
+                    rot = (lo[i:] + lo[:i] + up[i:] + up[:i]
+                           + dg[i % 10:] + dg[:i % 10])
+                    shifted = shifted.withColumn(
+                        "text", F.translate("text", full, rot))
+                else:
+                    # substitution-cipher each copy's text so copies are
+                    # NOT near-duplicates of each other — keeps near-dup
+                    # volume linear in corpus size (residual caveat: see
+                    # the perturb docstring)
+                    rot = _ALPHA[i:] + _ALPHA[:i]
+                    shifted = shifted.withColumn(
+                        "text", F.translate("text", _ALPHA, rot))
             if t == "embeddings" and i > 0:
                 # rotate each copy's vector by i positions: norm-preserving
                 # but decorrelating, so copies of the same vector are not
@@ -167,6 +203,13 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
                     "embedding",
                     F.concat(F.slice("embedding", i + 1, 64 - i),
                              F.slice("embedding", 1, i)))
+                if perturb:
+                    bit = 1 << ((i - 1) % 6)
+                    shifted = shifted.withColumn(
+                        "embedding",
+                        F.expr("transform(embedding, (x, d) -> "
+                               f"CASE WHEN (d div {bit}) % 2 = 1 "
+                               "THEN -x ELSE x END)"))
             copies = shifted if copies is None else copies.unionByName(shifted)
         # fact keys shift identically on both sides (l_orderkey follows
         # o_orderkey), so joins keep matching while cardinality scales
@@ -368,17 +411,18 @@ def main() -> None:
     keep = "--keep" in sys.argv
     reuse = "--reuse" in sys.argv
     recall = "--recall" in sys.argv
+    perturb = "--perturb" in sys.argv
     argv = [a for a in sys.argv[1:]
-            if a not in ("--keep", "--reuse", "--recall")]
+            if a not in ("--keep", "--reuse", "--recall", "--perturb")]
     factor = int(argv[0]) if argv else 8
     names = argv[1:] or PROBE_QUERIES
-    out_dir = f"/tmp/adw_scale_{factor}x"
+    out_dir = f"/tmp/adw_scale_{factor}x" + ("_pert" if perturb else "")
     from airline_data_warehouse_spark.session import get_spark
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     if not (reuse and os.path.isdir(out_dir)):
-        build_scaled(spark, factor, out_dir)
+        build_scaled(spark, factor, out_dir, perturb=perturb)
     if recall:
         report = {"factor": factor,
                   "recall_base": recall_probe(spark, BASE),
