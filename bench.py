@@ -188,6 +188,7 @@ HEADLINE = [
     "quantile_sketch_order_totals",
     "stream_countmin_read",
     "stream_bloom_read",
+    "stream_quantile_read",
 ]
 
 
