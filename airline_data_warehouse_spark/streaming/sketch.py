@@ -251,3 +251,155 @@ def start_bloom_ingest(stream: DataFrame, store_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+_QD_BASE_SCHEMA = "id long, cnt long, folded_through long"
+
+
+def read_qdigest_leaves(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The accumulated LEAF-COUNT state (id, cnt): base + the batch
+    partitions above the watermark, summed per value — same
+    watermark-not-directory truth as the Count-Min store (the fold/
+    retry reasoning transfers verbatim because both states are LINEAR:
+    per-batch frames merge by keyed addition).
+
+    The store keeps LEAF COUNTS, not compressed digests, on purpose:
+    a compressed q-digest depends on the batch split (compression
+    states differ), but leaf counts are a pure function of the row
+    multiset — so the store stays bit-certifiable against a batch
+    oracle AND any read can compress at whatever k it wants. Rows are
+    bounded by the value DOMAIN (≤ 2^(branch_bits·levels)), not the
+    stream length."""
+    from airline_data_warehouse_spark.sources.atomic import (
+        _fs,
+        recover_directory,
+    )
+
+    base_path = _base_dir(store_dir)
+    recover_directory(spark, base_path)
+    hpath, fs = _fs(spark, store_dir)
+    watermark = -1
+    parts = []
+    if fs.exists(hpath(base_path)):
+        base = spark.read.schema(_QD_BASE_SCHEMA).parquet(base_path)
+        head = base.select("folded_through").first()
+        if head is not None:
+            watermark = head["folded_through"]
+        parts.append(base.select("id", "cnt"))
+    bdir = _batches_dir(store_dir)
+    if fs.exists(hpath(bdir)):
+        # explicit schema: a post-fold batches dir is EMPTY
+        inc = (spark.read.schema("id long, cnt long, batch_id long")
+               .parquet(bdir)
+               .filter(F.col("batch_id") > watermark)
+               .select("id", "cnt"))
+        parts.append(inc)
+    if not parts:
+        return spark.createDataFrame([], "id long, cnt long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("id").agg(F.sum("cnt").alias("cnt"))
+
+
+def fold_qdigest_store(spark: SparkSession, store_dir: str) -> int:
+    """Fold batch partitions above the watermark into the base — the
+    Count-Min fold's reasoning verbatim (linear state, per-partition
+    overwrite retries, watermark truth, crash-safe replace_directory
+    swap, post-swap cleanup safe at any point). Returns the new
+    watermark (-1 if nothing to fold)."""
+    from airline_data_warehouse_spark.sources.atomic import (
+        _fs,
+        recover_directory,
+        replace_directory,
+    )
+
+    base_path = _base_dir(store_dir)
+    recover_directory(spark, base_path)
+    hpath, fs = _fs(spark, store_dir)
+    watermark = -1
+    if fs.exists(hpath(base_path)):
+        head = (spark.read.schema(_QD_BASE_SCHEMA).parquet(base_path)
+                .select("folded_through").first())
+        if head is not None:
+            watermark = head["folded_through"]
+    bdir = _batches_dir(store_dir)
+    if not fs.exists(hpath(bdir)):
+        return watermark
+    batch_ids = [int(s.getPath().getName().split("=", 1)[1])
+                 for s in fs.listStatus(hpath(bdir))
+                 if s.isDirectory()
+                 and s.getPath().getName().startswith("batch_id=")]
+    new_ids = [b for b in batch_ids if b > watermark]
+    if not new_ids:
+        for b in batch_ids:
+            fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
+        return watermark
+    new_mark = max(new_ids)
+    merged = (read_qdigest_leaves(spark, store_dir)
+              .withColumn("folded_through", F.lit(new_mark).cast("long")))
+    replace_directory(spark, merged, base_path)
+    for b in batch_ids:
+        if b <= new_mark:
+            fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
+    return new_mark
+
+
+def start_qdigest_ingest(stream: DataFrame, store_dir: str,
+                         checkpoint_dir: str | None = None,
+                         value_col: str = "v",
+                         fold_every: int | None = 8):
+    """foreachBatch loop: per-batch leaf counts of an integer value
+    stream into their own ``batch_id=N`` partition, folded into the
+    watermarked base every ``fold_every`` batches — the quantile
+    member of the streaming sketch-store family (CMS folds / Bloom
+    appends). Any reader compresses the accumulated leaves at read
+    time (operators/sketches._qd_compress via qdigest_store_quantiles)
+    — so the stream maintains ONE linear state serving every k."""
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        leaves = (batch_df
+                  .select(F.col(value_col).cast("long").alias("id"))
+                  .filter(F.col("id").isNotNull())
+                  .groupBy("id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+        (leaves.coalesce(1).write.mode("overwrite")
+         .parquet(f"{_batches_dir(store_dir)}/batch_id={int(batch_id)}"))
+        if fold_every and batch_id > 0 and batch_id % fold_every == 0:
+            fold_qdigest_store(spark, store_dir)
+
+    writer = stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def qdigest_store_quantiles(spark: SparkSession, store_dir: str,
+                            pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+                            k: int | None = None) -> DataFrame:
+    """Quantile estimates off the accumulated store: compress the leaf
+    state with the standard tree parameters (at read-time ``k``), then
+    the canonical rank read — (pct, rnk, est_value). Because the leaf
+    state ≡ the batch leaf counts of all streamed rows, this result is
+    BIT-IDENTICAL to qdigest_build + qdigest_quantiles over the same
+    rows, whatever the batch split or fold timing was (the property
+    the stream_quantile_read certificate pins)."""
+    from airline_data_warehouse_spark.operators.sketches import (
+        QD_BRANCH_BITS,
+        QD_K,
+        QD_LEVELS,
+        _qd_compress,
+        qdigest_quantiles,
+    )
+
+    kk = QD_K if k is None else k
+    leaves = (read_qdigest_leaves(spark, store_dir)
+              .withColumn("lvl", F.lit(0).cast("int")))
+    nrow = leaves.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    if not nrow:
+        return spark.createDataFrame(
+            [], "pct int, rnk long, est_value long")
+    n = int(nrow)
+    dig = _qd_compress(leaves, max(1, n // kk), QD_LEVELS, QD_BRANCH_BITS)
+    return qdigest_quantiles(dig, n, pcts)

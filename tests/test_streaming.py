@@ -979,6 +979,84 @@ def test_stream_countmin_ingest_exact_merge_and_fold(spark, tmp_path):
     assert est["alpha"] >= 3 and est["delta"] >= 2 and est["nope"] == 0
 
 
+def test_stream_qdigest_store_equals_batch_build(spark, tmp_path):
+    """Streaming q-digest leaf store (streaming/sketch.py): the store
+    keeps the LINEAR leaf-count state, so after any batch split the
+    accumulated leaves equal the batch leaf counts of all streamed
+    rows EXACTLY, the read-time compression is bit-identical to
+    qdigest_build over the same rows, folding changes nothing, and a
+    replayed at/below-watermark partition is ignored (the CMS
+    watermark rule, transferred)."""
+    import json as jsonlib
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+    from airline_data_warehouse_spark.streaming.sketch import (
+        fold_qdigest_store,
+        qdigest_store_quantiles,
+        read_qdigest_leaves,
+        start_qdigest_ingest,
+    )
+
+    rng = random.Random(61)
+    batches = [[rng.randrange(0, 100_000) for _ in range(400)]
+               for _ in range(3)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, vs in enumerate(batches):
+        with open(in_dir / f"b{i}.json", "w") as f:
+            for v in vs:
+                f.write(jsonlib.dumps({"v": v}) + "\n")
+    store = str(tmp_path / "qd_store")
+    src = (spark.readStream.schema("v long")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = start_qdigest_ingest(src, store,
+                             checkpoint_dir=str(tmp_path / "ckpt"),
+                             fold_every=None)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_vals = [v for b in batches for v in b]
+    from collections import Counter
+    want_leaves = dict(Counter(all_vals))
+    got_leaves = {r["id"]: r["cnt"] for r in
+                  read_qdigest_leaves(spark, store).collect()}
+    assert got_leaves == want_leaves
+
+    # read-time compression ≡ the batch build over the same rows
+    df = spark.createDataFrame([(v,) for v in all_vals], "v long")
+    want_q = {r["pct"]: (r["rnk"], r["est_value"]) for r in
+              sk.qdigest_quantiles(sk.qdigest_build(df, "v"),
+                                   len(all_vals)).collect()}
+    got_q = {r["pct"]: (r["rnk"], r["est_value"]) for r in
+             qdigest_store_quantiles(spark, store).collect()}
+    assert got_q == want_q
+
+    # fold collapses partitions, state unchanged; a replayed folded
+    # partition is ignored by the watermark rule
+    assert fold_qdigest_store(spark, store) == 2
+    assert not any(d.startswith("batch_id=")
+                   for d in os.listdir(f"{store}/batches"))
+    assert {r["id"]: r["cnt"] for r in
+            read_qdigest_leaves(spark, store).collect()} == want_leaves
+    b1 = spark.createDataFrame([(v,) for v in batches[1]], "v long")
+    (b1.groupBy(F.col("v").alias("id"))
+     .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{store}/batches/batch_id=1"))
+    assert {r["id"]: r["cnt"] for r in
+            read_qdigest_leaves(spark, store).collect()} == want_leaves
+
+    # empty store: 0-row quantile frame, not a crash
+    empty = qdigest_store_quantiles(spark, str(tmp_path / "nope"))
+    assert empty.count() == 0
+
+
 def test_stream_index_ingest_with_tombstones(spark, tmp_path):
     """CDC/takedown stream into the persisted index (delete_col):
     tombstoned ids are removed via ivfpq_index_delete, adds append as
