@@ -409,14 +409,17 @@ def qdigest_quantiles(digest: DataFrame, n: int,
 
 
 def qdigest_rank_values(digest: DataFrame,
-                        ranks: list[tuple[int, int]],
+                        ranks: list[tuple[int, int]] | DataFrame,
                         branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
     """(key int, rnk long, est_value long): the digest's value estimate
     at arbitrary target ranks — the shared read primitive under
     qdigest_quantiles (key = pct) and layout.qdigest_boundaries
     (key = bucket index). Nodes in canonical (upper bound asc, level
     asc) order, cumulative counts, smallest upper bound reaching each
-    rank."""
+    rank. ``ranks``: a list of (key, rank) pairs, or an
+    already-lazy (key int, rnk long) frame — the frame form lets a
+    registry builder derive ranks from an in-plan 1-row n aggregate
+    instead of collecting n to the driver."""
     # SQL-form shiftleft: the Python wrapper F.shiftleft only takes a
     # literal shift, but the node's width depends on its level
     ub = F.expr(f"shiftleft(id + 1, lvl * {int(branch_bits)}) - 1") \
@@ -424,9 +427,11 @@ def qdigest_rank_values(digest: DataFrame,
     win = Window.orderBy(F.col("ub").asc(), F.col("lvl").asc())
     nodes = (digest.select(ub, "lvl", "cnt")
              .withColumn("cum", F.sum("cnt").over(win)))
-    spark = digest.sparkSession
-    rdf = spark.createDataFrame(
-        [(int(kk), int(r)) for kk, r in ranks], "key int, rnk long")
+    if isinstance(ranks, DataFrame):
+        rdf = ranks.select("key", "rnk")
+    else:
+        rdf = digest.sparkSession.createDataFrame(
+            [(int(kk), int(r)) for kk, r in ranks], "key int, rnk long")
     return (rdf.join(F.broadcast(nodes),
                      F.col("cum") >= F.col("rnk"))
             .groupBy("key", "rnk")

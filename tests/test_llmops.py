@@ -2373,6 +2373,11 @@ def test_operator_broadcast_targets_are_bounded():
         ("sketches.py", "qdigest_rank_values", "nodes", "digest"):
             "q-digest node table: <= O(k*levels) rows after compression "
             "(distinct sub-thr leaves fold upward), corpus-independent",
+        ("llmops.py", "_qd_pct_ranks", "nf", "dig"):
+            "1-row scalar (digest total mass), the heavy-hitters thr "
+            "precedent",
+        ("llmops.py", "_exact_rank_values", "ranks", "<param>"):
+            "target-rank frame: |pcts| rows (5), schema-bounded",
     }
     sites = _broadcast_sites()
     unpinned = sites - set(pinned)

@@ -82,6 +82,16 @@ WINDOW_ALLOWLIST = {
     # per-bucket count frame (≤ n_buckets = 10 rows by construction);
     # the per-document rank IS partitioned (by bucket)
     "curriculum_training_order": "≤10-row bucket-offset frame",
+    # q-digest quantile reads: the only unpartitioned windows are (a)
+    # the digest cumulative count — the digest is ≤ O(k·levels) rows
+    # after compression, corpus-independent by construction — and (b)
+    # the exact-side bucket-offset prefix-sum over the ≤ 4096-row
+    # (v >> 8 over a 2^20 domain) bucket frame; the per-value cumsum
+    # IS partitioned (by _bkt, the profile_numeric_columns discipline)
+    "quantile_sketch_order_totals":
+        "sketch-sized digest frame + ≤4096-row bucket-offset frame",
+    "stream_quantile_read":
+        "sketch-sized digest frame + ≤4096-row bucket-offset frame",
 }
 
 
