@@ -261,7 +261,8 @@ QD_K = 256           # compression factor: thr = max(1, n // k)
 
 def qdigest_build(items: DataFrame, value_col: str = "v",
                   k: int = QD_K, levels: int = QD_LEVELS,
-                  branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
+                  branch_bits: int = QD_BRANCH_BITS,
+                  weight_col: str | None = None) -> DataFrame:
     """q-digest quantile sketch (Shrivastava, Buragohain, Agrawal &
     Suri, "Medians and beyond", SenSys 2004), generalized to a
     degree-2^branch_bits tree and built with LEVEL-SYNCHRONOUS
@@ -301,18 +302,31 @@ def qdigest_build(items: DataFrame, value_col: str = "v",
     previous-round block release (the graph-loop discipline — plan
     references the round frame three times, so un-truncated analysis
     is O(3^levels)). The domain guard and n are one 1-row scalar
-    aggregate."""
-    from airline_data_warehouse_spark.operators.graph import (
-        _round_barrier,
-    )
+    aggregate.
 
+    ``weight_col``: per-row positive integer weights (the
+    countmin_build convention) — leaf mass becomes Σ weights and
+    ranks/thresholds read in WEIGHT units (byte-weighted length
+    quantiles, count-weighted pre-aggregated inputs). Exactly
+    equivalent to repeating each row weight times (test-pinned); a
+    non-positive weight raises (weighted rank semantics are undefined
+    for them, and silently dropping mass is the bug class the
+    negative-weight graph guard exists for)."""
     cap = 1 << (branch_bits * levels)
-    vals = items.select(F.col(value_col).cast("long").alias("id")) \
-                .filter(F.col("id").isNotNull())
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    vals = (items.select(F.col(value_col).cast("long").alias("id"),
+                         w.alias("_w"))
+            .filter(F.col("id").isNotNull()))
     mm = vals.agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
-                  F.count(F.lit(1)).alias("n")).collect()[0]
-    if not mm["n"]:
+                  F.sum("_w").alias("n"),
+                  F.min("_w").alias("wlo")).collect()[0]
+    if mm["n"] is None:
         raise ValueError("qdigest_build: empty input after null filter")
+    if mm["wlo"] is not None and mm["wlo"] <= 0:
+        raise ValueError(
+            f"qdigest_build: non-positive weight {mm['wlo']} in "
+            f"{weight_col!r} — weighted ranks are undefined; clean or "
+            "clamp weights upstream")
     if mm["lo"] < 0 or mm["hi"] >= cap:
         raise ValueError(
             f"qdigest_build: values span [{mm['lo']}, {mm['hi']}] "
@@ -320,7 +334,7 @@ def qdigest_build(items: DataFrame, value_col: str = "v",
             f"values or raise levels/branch_bits")
     thr = max(1, mm["n"] // k)
     leaves = (vals.groupBy("id")
-              .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+              .agg(F.sum("_w").cast("long").alias("cnt"))
               .withColumn("lvl", F.lit(0).cast("int")))
     return _qd_compress(leaves, thr, levels, branch_bits)
 

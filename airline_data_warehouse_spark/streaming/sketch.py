@@ -1,13 +1,19 @@
-"""Continuous Count-Min maintenance: keep a persisted CMS current
-against a token stream — the live form of `operators.sketches`, and
-the reason the sketch earned its place (a LINEAR sketch is the
-frequency state a stream can actually keep: per-batch sketches merge
-into the running one by cell-wise addition, where an exact per-token
-count table grows with Heaps' law forever and every merge is
-vocabulary-sized).
+"""Continuous sketch-state maintenance: keep persisted LINEAR sketch
+states current against a stream — the live form of
+`operators.sketches`, and the reason those sketches earned their
+place (a LINEAR state is what a stream can actually keep: per-batch
+frames merge into the running one by keyed addition, where an exact
+per-token count table grows with Heaps' law forever and every merge
+is vocabulary-sized). Three states share one store machinery
+(_read_linear_state / _fold_linear_state): Count-Min cells
+(frequency), q-digest leaf counts (quantiles — leaves rather than
+compressed digests, because compression depends on the batch split
+while leaf counts are a pure function of the row multiset), and the
+Bloom blocklist (which needs no watermark at all — bit-set union is
+idempotent, see start_bloom_ingest).
 
 Exactly-once accounting on top of foreachBatch's at-least-once
-replays, WITHOUT a keyed idempotent merge (cell-wise ADD double-counts
+replays, WITHOUT a keyed idempotent merge (keyed ADD double-counts
 on a blind retry):
 
 * Each micro-batch writes its OWN sketch to
@@ -24,8 +30,9 @@ on a blind retry):
   not directory presence, is truth), so the post-swap cleanup can crash
   or race a retry re-creating a folded partition without ever
   double-counting.
-* Read = base cells + batch partitions ABOVE the watermark, cell-wise
-  sum — ≤ (1 + batches-since-fold)·depth·width rows, always tiny.
+* Read = base rows + batch partitions ABOVE the watermark, keyed
+  sum — bounded by the state's own size class (d·w cells for CMS,
+  the value domain for q-digest leaves), never the stream length.
 """
 
 from __future__ import annotations
@@ -40,10 +47,6 @@ from airline_data_warehouse_spark.operators.sketches import (
     countmin_estimate,
 )
 
-_BASE_SCHEMA = ("row int, bucket int, counter long, "
-                "folded_through long")
-
-
 def _base_dir(store_dir: str) -> str:
     return f"{store_dir}/base"
 
@@ -52,13 +55,18 @@ def _batches_dir(store_dir: str) -> str:
     return f"{store_dir}/batches"
 
 
-def read_countmin_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The merged sketch (row, bucket, counter): base cells + the batch
-    partitions the watermark says are NOT yet folded. Heals a base
+def _read_linear_state(spark: SparkSession, store_dir: str,
+                       cols: str, keys: list[str],
+                       val: str) -> DataFrame:
+    """Shared read path for every LINEAR keyed sketch state (Count-Min
+    cells, q-digest leaf counts): base rows + the batch partitions the
+    watermark says are NOT yet folded, summed per key. Heals a base
     stranded mid-swap first (the store-reader convention). Partitions
     at/below the watermark are ignored even when their directories
     exist — they are either post-fold garbage awaiting cleanup or a
-    replayed batch's re-creation; counting them would double-add."""
+    replayed batch's re-creation; counting them would double-add.
+    ``cols``: the state schema ("k type, …, val type"); ``keys``/
+    ``val``: its key columns and the summed value column."""
     from airline_data_warehouse_spark.sources.atomic import (
         _fs,
         recover_directory,
@@ -70,30 +78,87 @@ def read_countmin_store(spark: SparkSession, store_dir: str) -> DataFrame:
     watermark = -1
     parts = []
     if fs.exists(hpath(base_path)):
-        base = spark.read.schema(_BASE_SCHEMA).parquet(base_path)
+        base = spark.read.schema(f"{cols}, folded_through long")                          .parquet(base_path)
         head = base.select("folded_through").first()
         if head is not None:
             watermark = head["folded_through"]
-        parts.append(base.select("row", "bucket", "counter"))
+        parts.append(base.select(*keys, val))
     bdir = _batches_dir(store_dir)
     if fs.exists(hpath(bdir)):
         # explicit schema: a post-fold batches dir is EMPTY (every
         # partition swept), where inference would throw; batch_id is
         # the directory-derived partition column
-        inc = (spark.read
-               .schema("row int, bucket int, counter long, batch_id long")
+        inc = (spark.read.schema(f"{cols}, batch_id long")
                .parquet(bdir)
                .filter(F.col("batch_id") > watermark)
-               .select("row", "bucket", "counter"))
+               .select(*keys, val))
         parts.append(inc)
     if not parts:
-        return spark.createDataFrame([], "row int, bucket int, counter long")
+        return spark.createDataFrame([], cols)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return (out.groupBy("row", "bucket")
-            .agg(F.sum("counter").alias("counter")))
+    return out.groupBy(*keys).agg(F.sum(val).alias(val))
 
+
+def _fold_linear_state(spark: SparkSession, store_dir: str,
+                       cols: str, keys: list[str], val: str) -> int:
+    """Shared fold for the linear stores: aggregate (base ∪ new batch
+    partitions) per key, stamp folded_through = max folded batch_id,
+    swap the base directory in atomically, THEN delete the folded
+    partitions (safe at any point — readers trust the watermark, not
+    directory presence; a crash between swap and cleanup leaves
+    ignorable garbage the next fold's cleanup sweeps). Returns the new
+    watermark (-1 if nothing to fold)."""
+    from airline_data_warehouse_spark.sources.atomic import (
+        _fs,
+        recover_directory,
+        replace_directory,
+    )
+
+    base_path = _base_dir(store_dir)
+    recover_directory(spark, base_path)
+    hpath, fs = _fs(spark, store_dir)  # Hadoop FS API: non-local stores
+    watermark = -1
+    if fs.exists(hpath(base_path)):
+        head = (spark.read.schema(f"{cols}, folded_through long")
+                .parquet(base_path)
+                .select("folded_through").first())
+        if head is not None:
+            watermark = head["folded_through"]
+    bdir = _batches_dir(store_dir)
+    if not fs.exists(hpath(bdir)):
+        return watermark
+    batch_ids = [int(st.getPath().getName().split("=", 1)[1])
+                 for st in fs.listStatus(hpath(bdir))
+                 if st.isDirectory()
+                 and st.getPath().getName().startswith("batch_id=")]
+    new_ids = [b for b in batch_ids if b > watermark]
+    if not new_ids:
+        # nothing to fold, but sweep pre-watermark garbage (a replayed
+        # batch re-created after its fold, or a crash between a prior
+        # fold's swap and cleanup) — readers already ignore it
+        for b in batch_ids:
+            fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
+        return watermark
+    new_mark = max(new_ids)
+    merged = (_read_linear_state(spark, store_dir, cols, keys, val)
+              .withColumn("folded_through", F.lit(new_mark).cast("long")))
+    replace_directory(spark, merged, base_path)
+    for b in batch_ids:          # includes pre-watermark garbage
+        if b <= new_mark:
+            fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
+    return new_mark
+
+
+def read_countmin_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The merged sketch (row, bucket, counter): base cells + the batch
+    partitions the watermark says are NOT yet folded, cell-wise summed
+    (_read_linear_state — CMS is a linear sketch, so the keyed sum IS
+    the merge)."""
+    return _read_linear_state(spark, store_dir,
+                              "row int, bucket int, counter long",
+                              ["row", "bucket"], "counter")
 
 def countmin_store_estimate(spark: SparkSession, store_dir: str,
                             probes: DataFrame, token_col: str = "token",
@@ -110,55 +175,13 @@ def fold_countmin_store(spark: SparkSession, store_dir: str,
                         depth: int = CMS_DEPTH,
                         width: int = CMS_WIDTH) -> int:
     """Fold every batch partition above the current watermark into the
-    base: aggregate (base ∪ new batches) cell-wise, stamp
-    folded_through = max folded batch_id, swap the base directory in
-    atomically, THEN delete the folded partitions (safe at any point —
-    readers trust the watermark, not directory presence; a crash
-    between swap and cleanup leaves ignorable garbage the next fold's
-    cleanup sweeps). Returns the new watermark (-1 if nothing to fold).
-
-    Scale shape: the fold reads ≤ (1 + batches-since-fold)·d·w rows and
-    writes ≤ d·w — constant-bounded, like everything else the sketch
-    touches."""
-    from airline_data_warehouse_spark.sources.atomic import (
-        _fs,
-        recover_directory,
-        replace_directory,
-    )
-
-    base_path = _base_dir(store_dir)
-    recover_directory(spark, base_path)
-    hpath, fs = _fs(spark, store_dir)  # Hadoop FS API: non-local stores
-    watermark = -1
-    if fs.exists(hpath(base_path)):
-        head = (spark.read.schema(_BASE_SCHEMA).parquet(base_path)
-                .select("folded_through").first())
-        if head is not None:
-            watermark = head["folded_through"]
-    bdir = _batches_dir(store_dir)
-    if not fs.exists(hpath(bdir)):
-        return watermark
-    batch_ids = [int(s.getPath().getName().split("=", 1)[1])
-                 for s in fs.listStatus(hpath(bdir))
-                 if s.isDirectory()
-                 and s.getPath().getName().startswith("batch_id=")]
-    new_ids = [b for b in batch_ids if b > watermark]
-    if not new_ids:
-        # nothing to fold, but sweep pre-watermark garbage (a replayed
-        # batch re-created after its fold, or a crash between a prior
-        # fold's swap and cleanup) — readers already ignore it
-        for b in batch_ids:
-            fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
-        return watermark
-    new_mark = max(new_ids)
-    merged = (read_countmin_store(spark, store_dir)
-              .withColumn("folded_through", F.lit(new_mark).cast("long")))
-    replace_directory(spark, merged, base_path)
-    for b in batch_ids:          # includes pre-watermark garbage
-        if b <= new_mark:
-            fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
-    return new_mark
-
+    base (_fold_linear_state): the fold reads ≤ (1 + batches-since-
+    fold)·d·w rows and writes ≤ d·w — constant-bounded, like everything
+    else the sketch touches. Returns the new watermark (-1 if nothing
+    to fold)."""
+    return _fold_linear_state(spark, store_dir,
+                              "row int, bucket int, counter long",
+                              ["row", "bucket"], "counter")
 
 def start_countmin_ingest(stream: DataFrame, store_dir: str,
                           checkpoint_dir: str | None = None,
@@ -253,15 +276,11 @@ def start_bloom_ingest(stream: DataFrame, store_dir: str,
     return writer.start()
 
 
-_QD_BASE_SCHEMA = "id long, cnt long, folded_through long"
-
-
 def read_qdigest_leaves(spark: SparkSession, store_dir: str) -> DataFrame:
     """The accumulated LEAF-COUNT state (id, cnt): base + the batch
-    partitions above the watermark, summed per value — same
-    watermark-not-directory truth as the Count-Min store (the fold/
-    retry reasoning transfers verbatim because both states are LINEAR:
-    per-batch frames merge by keyed addition).
+    partitions above the watermark, summed per value
+    (_read_linear_state — leaf counts are linear like CMS cells, so
+    the fold/retry reasoning transfers verbatim).
 
     The store keeps LEAF COUNTS, not compressed digests, on purpose:
     a compressed q-digest depends on the batch split (compression
@@ -270,80 +289,15 @@ def read_qdigest_leaves(spark: SparkSession, store_dir: str) -> DataFrame:
     oracle AND any read can compress at whatever k it wants. Rows are
     bounded by the value DOMAIN (≤ 2^(branch_bits·levels)), not the
     stream length."""
-    from airline_data_warehouse_spark.sources.atomic import (
-        _fs,
-        recover_directory,
-    )
-
-    base_path = _base_dir(store_dir)
-    recover_directory(spark, base_path)
-    hpath, fs = _fs(spark, store_dir)
-    watermark = -1
-    parts = []
-    if fs.exists(hpath(base_path)):
-        base = spark.read.schema(_QD_BASE_SCHEMA).parquet(base_path)
-        head = base.select("folded_through").first()
-        if head is not None:
-            watermark = head["folded_through"]
-        parts.append(base.select("id", "cnt"))
-    bdir = _batches_dir(store_dir)
-    if fs.exists(hpath(bdir)):
-        # explicit schema: a post-fold batches dir is EMPTY
-        inc = (spark.read.schema("id long, cnt long, batch_id long")
-               .parquet(bdir)
-               .filter(F.col("batch_id") > watermark)
-               .select("id", "cnt"))
-        parts.append(inc)
-    if not parts:
-        return spark.createDataFrame([], "id long, cnt long")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy("id").agg(F.sum("cnt").alias("cnt"))
-
+    return _read_linear_state(spark, store_dir, "id long, cnt long",
+                              ["id"], "cnt")
 
 def fold_qdigest_store(spark: SparkSession, store_dir: str) -> int:
-    """Fold batch partitions above the watermark into the base — the
-    Count-Min fold's reasoning verbatim (linear state, per-partition
-    overwrite retries, watermark truth, crash-safe replace_directory
-    swap, post-swap cleanup safe at any point). Returns the new
-    watermark (-1 if nothing to fold)."""
-    from airline_data_warehouse_spark.sources.atomic import (
-        _fs,
-        recover_directory,
-        replace_directory,
-    )
-
-    base_path = _base_dir(store_dir)
-    recover_directory(spark, base_path)
-    hpath, fs = _fs(spark, store_dir)
-    watermark = -1
-    if fs.exists(hpath(base_path)):
-        head = (spark.read.schema(_QD_BASE_SCHEMA).parquet(base_path)
-                .select("folded_through").first())
-        if head is not None:
-            watermark = head["folded_through"]
-    bdir = _batches_dir(store_dir)
-    if not fs.exists(hpath(bdir)):
-        return watermark
-    batch_ids = [int(s.getPath().getName().split("=", 1)[1])
-                 for s in fs.listStatus(hpath(bdir))
-                 if s.isDirectory()
-                 and s.getPath().getName().startswith("batch_id=")]
-    new_ids = [b for b in batch_ids if b > watermark]
-    if not new_ids:
-        for b in batch_ids:
-            fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
-        return watermark
-    new_mark = max(new_ids)
-    merged = (read_qdigest_leaves(spark, store_dir)
-              .withColumn("folded_through", F.lit(new_mark).cast("long")))
-    replace_directory(spark, merged, base_path)
-    for b in batch_ids:
-        if b <= new_mark:
-            fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
-    return new_mark
-
+    """Fold batch partitions above the watermark into the base
+    (_fold_linear_state — the Count-Min fold's reasoning verbatim).
+    Returns the new watermark (-1 if nothing to fold)."""
+    return _fold_linear_state(spark, store_dir, "id long, cnt long",
+                              ["id"], "cnt")
 
 def start_qdigest_ingest(stream: DataFrame, store_dir: str,
                          checkpoint_dir: str | None = None,

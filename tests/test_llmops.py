@@ -3237,6 +3237,33 @@ def test_qdigest_merge_conserves_mass_within_added_bounds(spark):
             <= svals[min(rnk - 1 + slack, n - 1)]
 
 
+def test_qdigest_weighted_equals_exploded(spark):
+    """qdigest_build(weight_col): a weighted build is BIT-IDENTICAL to
+    the unweighted build over the weight-exploded rows (the
+    countmin_build weight convention carried over), and a non-positive
+    weight raises."""
+    import random
+
+    import pytest
+
+    from airline_data_warehouse_spark.operators import sketches as sk
+
+    rng = random.Random(47)
+    rows = [(rng.randrange(0, 50_000), rng.randrange(1, 6))
+            for _ in range(800)]
+    wdf = spark.createDataFrame(rows, "v long, w long")
+    xdf = spark.createDataFrame([(v,) for v, w in rows for _ in range(w)],
+                                "v long")
+    got = {(r["id"], r["lvl"]): r["cnt"] for r in
+           sk.qdigest_build(wdf, "v", k=64, weight_col="w").collect()}
+    want = {(r["id"], r["lvl"]): r["cnt"] for r in
+            sk.qdigest_build(xdf, "v", k=64).collect()}
+    assert got == want
+    bad = spark.createDataFrame([(5, 0)], "v long, w long")
+    with pytest.raises(ValueError, match="non-positive weight"):
+        sk.qdigest_build(bad, "v", weight_col="w")
+
+
 def test_qdigest_domain_guards(spark):
     """qdigest_build fail-fast contract: empty input, negative values,
     and values at/above the universe cap all raise with a pointed
