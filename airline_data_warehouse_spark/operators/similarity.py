@@ -2094,3 +2094,76 @@ def whiten_invariants(corpus: DataFrame, dims: int = 64,
          ("n_rows", -1, -1, float(n))],
         "stat string, i int, j int, value double")
     return gram.unionByName(scalars)
+
+
+def lsh_band_plan(n_rows: int,
+                  target_candidates_per_item: float = 64.0,
+                  design_cosine: float = 0.8,
+                  target_recall: float = 0.9,
+                  bands_hint: int = 8,
+                  min_rows_per_band: int = 4,
+                  max_rows_per_band: int = 24) -> dict:
+    """Deterministic banded-hyperplane-LSH parameter planner — the
+    operational form of the SCALING.md r13 note that band width must
+    grow ~log n: random-pair candidate volume per item is
+    ≈ bands · n / 2^rows_per_band (a random pair agrees with a
+    hyperplane sign w.p. 1/2, so a band of R bits collides w.p. 2^-R),
+    so holding the candidate BUDGET constant as the corpus grows means
+    R = ⌈log₂(bands · n / budget)⌉ — and recall is then restored by
+    the band count: a pair at cosine s agrees per bit w.p.
+    1 − arccos(s)/π (Goemans–Williamson / Charikar SimHash), collides
+    per band w.p. p = (1 − arccos(s)/π)^R, and over B bands w.p.
+    1 − (1−p)^B, giving B = ⌈ln(1−recall)/ln(1−p)⌉.
+
+    The two constraints are coupled (more bands → more candidates →
+    wider bands), so the planner iterates the pair to a fixed point
+    (converges in ≤ 4 rounds for any feasible target; R is clamped to
+    [min, max] — at max_rows_per_band=24 a band key still fits the
+    int32 the key builders emit). Driver-side pure math: call it once
+    with the corpus count, pass the result to lsh_topk /
+    embedding_near_dup_pairs / mutual_knn_pairs_banded. The
+    minhash_jaccard_calibration registry key is the measured
+    counterpart for the MinHash family — this is the closed-form one
+    for hyperplanes.
+
+    Returns {bands, rows_per_band, expected_random_candidates_per_item,
+    per_band_true_pair_prob, expected_recall, budget_met}.
+    ``budget_met`` is False when R hit max_rows_per_band and the
+    candidate budget is still exceeded — the signal that banding alone
+    no longer carries the corpus (at ~10¹⁰ rows, shard first: coarse
+    IVF cells, then band WITHIN cells — the semantic_cluster_profile
+    composition) rather than a silently-blown budget."""
+    import math
+
+    if n_rows <= 0:
+        raise ValueError("lsh_band_plan: n_rows must be positive")
+    if not 0.0 < design_cosine < 1.0:
+        raise ValueError("lsh_band_plan: design_cosine must be in (0,1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("lsh_band_plan: target_recall must be in (0,1)")
+    p_bit = 1.0 - math.acos(design_cosine) / math.pi
+    bands = max(1, int(bands_hint))
+    rows = min_rows_per_band
+    for _ in range(4):
+        want = max(2.0, bands * n_rows / target_candidates_per_item)
+        rows = min(max(min_rows_per_band, math.ceil(math.log2(want))),
+                   max_rows_per_band)
+        p_band = p_bit ** rows
+        if p_band >= 1.0:
+            new_bands = 1
+        else:
+            new_bands = max(1, math.ceil(
+                math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+        if new_bands == bands:
+            break
+        bands = new_bands
+    p_band = p_bit ** rows
+    cand = bands * n_rows / (1 << rows)
+    return {
+        "bands": bands,
+        "rows_per_band": rows,
+        "expected_random_candidates_per_item": round(cand, 3),
+        "per_band_true_pair_prob": round(p_band, 6),
+        "expected_recall": round(1.0 - (1.0 - p_band) ** bands, 6),
+        "budget_met": cand <= 2.0 * target_candidates_per_item,
+    }

@@ -3237,6 +3237,42 @@ def test_qdigest_merge_conserves_mass_within_added_bounds(spark):
             <= svals[min(rnk - 1 + slack, n - 1)]
 
 
+def test_lsh_band_plan_math_and_scaling():
+    """lsh_band_plan: the closed-form SimHash planner — per-band
+    true-pair probability is (1 − arccos(s)/π)^R, expected recall
+    clears the target at the returned band count, random candidates
+    respect the budget while R is unclamped, R grows with log n (the
+    SCALING.md r13 claim, operationalized), and the clamp regime
+    reports budget_met=False instead of a silently-blown budget."""
+    import math
+
+    from airline_data_warehouse_spark.operators.similarity import (
+        lsh_band_plan,
+    )
+
+    p1 = lsh_band_plan(2_000)
+    p_bit = 1 - math.acos(0.8) / math.pi
+    assert p1["per_band_true_pair_prob"] == round(
+        p_bit ** p1["rows_per_band"], 6)
+    assert p1["expected_recall"] >= 0.9
+    assert p1["expected_random_candidates_per_item"] <= 2 * 64
+    assert p1["budget_met"]
+
+    sizes = [2_000, 16_000, 1_000_000, 10_000_000]
+    rows = [lsh_band_plan(n)["rows_per_band"] for n in sizes]
+    assert rows == sorted(rows) and rows[-1] > rows[0]
+
+    huge = lsh_band_plan(10_000_000_000)
+    assert huge["rows_per_band"] == 24          # clamped
+    assert not huge["budget_met"]               # and says so
+
+    import pytest
+    with pytest.raises(ValueError, match="n_rows"):
+        lsh_band_plan(0)
+    with pytest.raises(ValueError, match="design_cosine"):
+        lsh_band_plan(100, design_cosine=1.5)
+
+
 def test_qdigest_weighted_equals_exploded(spark):
     """qdigest_build(weight_col): a weighted build is BIT-IDENTICAL to
     the unweighted build over the weight-exploded rows (the
