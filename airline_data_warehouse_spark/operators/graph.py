@@ -749,14 +749,16 @@ def bounded_shortest_paths(edges: DataFrame, seeds: DataFrame,
 
     Exact integers: dist is a BIGINT min-plus fold (min(dist_v,
     min over in-edges dist_u + w)) — no division, no rounding, no
-    arithmetic convention; a negative weight RAISES ValueError before
-    any relaxation runs (min-plus with bounded rounds is well-defined
-    anyway, but a blocklist distance is non-negative by construction
-    and rejecting early makes misuse loud — the module's fail-fast
-    convention, like pagerank's empty-seed raise; VERDICT r12 item 2
-    closed the gap between this contract and a former silent per-edge
-    filter). The guard is a 1-row limit(1) probe, not a full count.
-    Seeds are dist=0.
+    arithmetic convention; a negative OR NULL weight RAISES ValueError
+    before any relaxation runs (min-plus with bounded rounds is
+    well-defined for negatives anyway, but a blocklist distance is
+    non-negative by construction, a NULL weight would propagate
+    dist=NULL through the min-plus fold, and rejecting early makes
+    misuse loud — the module's fail-fast convention, like pagerank's
+    empty-seed raise; VERDICT r12 item 2 closed the gap between this
+    contract and a former silent per-edge filter, and the NULL arm
+    covers what that filter used to drop silently). The guard is a
+    1-row limit(1) probe, not a full count. Seeds are dist=0.
 
     Scale shape: identical to bfs_hops — per round one src-keyed
     edges ⋈ frontier join, a dst-keyed MIN, a full-outer fold;
@@ -765,13 +767,16 @@ def bounded_shortest_paths(edges: DataFrame, seeds: DataFrame,
     e = _persist(edges.select(F.col(src_col).cast("long").alias("src"),
                               F.col(dst_col).cast("long").alias("dst"),
                               F.col(weight_col).cast("long").alias("w")))
-    bad = e.filter(F.col("w") < 0).limit(1).collect()
+    bad = e.filter((F.col("w") < 0) | F.col("w").isNull()) \
+           .limit(1).collect()
     if bad:
+        w = bad[0]["w"]
+        kind = "negative" if w is not None else "NULL"
         raise ValueError(
-            "bounded_shortest_paths: negative edge weight "
-            f"(src={bad[0]['src']}, dst={bad[0]['dst']}, "
-            f"w={bad[0]['w']}) — min-plus distances here are "
-            "non-negative by contract; clean or clamp weights upstream")
+            f"bounded_shortest_paths: {kind} edge weight "
+            f"(src={bad[0]['src']}, dst={bad[0]['dst']}, w={w}) — "
+            "min-plus distances here are non-negative by contract; "
+            "clean or clamp weights upstream")
     dist = _round_barrier(
         seeds.select(F.col(id_col).cast("long").alias("v"))
              .distinct()

@@ -319,9 +319,18 @@ def qdigest_build(items: DataFrame, value_col: str = "v",
             .filter(F.col("id").isNotNull()))
     mm = vals.agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
                   F.sum("_w").alias("n"),
-                  F.min("_w").alias("wlo")).collect()[0]
-    if mm["n"] is None:
+                  F.min("_w").alias("wlo"),
+                  F.max(F.col("_w").isNull().cast("int"))
+                  .alias("wnull")).collect()[0]
+    if mm["n"] is None and not mm["wnull"]:
         raise ValueError("qdigest_build: empty input after null filter")
+    if mm["wnull"]:
+        # F.min/F.sum skip NULLs, so a NULL weight would silently drop
+        # that row's mass from the digest — the exact bug class the
+        # guard exists to prevent; detect it explicitly
+        raise ValueError(
+            f"qdigest_build: NULL weight in {weight_col!r} — weighted "
+            "ranks are undefined; clean or default weights upstream")
     if mm["wlo"] is not None and mm["wlo"] <= 0:
         raise ValueError(
             f"qdigest_build: non-positive weight {mm['wlo']} in "

@@ -309,7 +309,20 @@ def start_qdigest_ingest(stream: DataFrame, store_dir: str,
     member of the streaming sketch-store family (CMS folds / Bloom
     appends). Any reader compresses the accumulated leaves at read
     time (operators/sketches._qd_compress via qdigest_store_quantiles)
-    — so the stream maintains ONE linear state serving every k."""
+    — so the stream maintains ONE linear state serving every k.
+
+    Each batch enforces qdigest_build's universe guard BEFORE its
+    partition is written (an out-of-domain value fails the streaming
+    query loudly, never poisons the store): arithmetic shiftright
+    keeps negative ids negative and oversized ids fold past the root,
+    so a silently-stored bad leaf would mean silently wrong quantiles
+    — the exact contract break the batch path raises on."""
+    from airline_data_warehouse_spark.operators.sketches import (
+        QD_BRANCH_BITS,
+        QD_LEVELS,
+    )
+
+    cap = 1 << (QD_BRANCH_BITS * QD_LEVELS)
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -318,6 +331,14 @@ def start_qdigest_ingest(stream: DataFrame, store_dir: str,
                   .filter(F.col("id").isNotNull())
                   .groupBy("id")
                   .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+        bad = leaves.filter((F.col("id") < 0) | (F.col("id") >= cap)) \
+                    .limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"start_qdigest_ingest: value {bad[0]['id']} outside "
+                f"the universe [0, {cap}) in batch {int(batch_id)} — "
+                "rescale/offset values upstream (the batch builder's "
+                "guard, enforced per micro-batch)")
         (leaves.coalesce(1).write.mode("overwrite")
          .parquet(f"{_batches_dir(store_dir)}/batch_id={int(batch_id)}"))
         if fold_every and batch_id > 0 and batch_id % fold_every == 0:
@@ -338,7 +359,13 @@ def qdigest_store_quantiles(spark: SparkSession, store_dir: str,
     state ≡ the batch leaf counts of all streamed rows, this result is
     BIT-IDENTICAL to qdigest_build + qdigest_quantiles over the same
     rows, whatever the batch split or fold timing was (the property
-    the stream_quantile_read certificate pins)."""
+    the stream_quantile_read certificate pins).
+
+    The read re-validates the universe guard over the (store-bounded)
+    leaf state before compressing — defense in depth behind the
+    per-batch ingest guard: a store written by older code or touched
+    out-of-band raises here instead of compressing out-of-domain ids
+    into silently wrong quantiles."""
     from airline_data_warehouse_spark.operators.sketches import (
         QD_BRANCH_BITS,
         QD_K,
@@ -348,12 +375,20 @@ def qdigest_store_quantiles(spark: SparkSession, store_dir: str,
     )
 
     kk = QD_K if k is None else k
+    cap = 1 << (QD_BRANCH_BITS * QD_LEVELS)
     leaves = (read_qdigest_leaves(spark, store_dir)
               .withColumn("lvl", F.lit(0).cast("int")))
-    nrow = leaves.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
-    if not nrow:
+    head = leaves.agg(F.sum("cnt").alias("n"), F.min("id").alias("lo"),
+                      F.max("id").alias("hi")).collect()[0]
+    if not head["n"]:
         return spark.createDataFrame(
             [], "pct int, rnk long, est_value long")
-    n = int(nrow)
+    if head["lo"] < 0 or head["hi"] >= cap:
+        raise ValueError(
+            f"qdigest_store_quantiles: store leaves span "
+            f"[{head['lo']}, {head['hi']}] outside the universe "
+            f"[0, {cap}) — the store was written outside the ingest "
+            "guard; rebuild it")
+    n = int(head["n"])
     dig = _qd_compress(leaves, max(1, n // kk), QD_LEVELS, QD_BRANCH_BITS)
     return qdigest_quantiles(dig, n, pcts)

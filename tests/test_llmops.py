@@ -3298,6 +3298,11 @@ def test_qdigest_weighted_equals_exploded(spark):
     bad = spark.createDataFrame([(5, 0)], "v long, w long")
     with pytest.raises(ValueError, match="non-positive weight"):
         sk.qdigest_build(bad, "v", weight_col="w")
+    # a NULL weight would be SKIPPED by min/sum — silently dropped
+    # mass, the exact bug class the guard exists for
+    nul = spark.createDataFrame([(5, 3), (6, None)], "v long, w long")
+    with pytest.raises(ValueError, match="NULL weight"):
+        sk.qdigest_build(nul, "v", weight_col="w")
 
 
 def test_qdigest_domain_guards(spark):
@@ -3536,6 +3541,13 @@ def test_bounded_shortest_paths_relaxation_and_hop_equivalence(spark):
                                 "src long, dst long, w long")
     with pytest.raises(ValueError, match="negative edge weight"):
         bounded_shortest_paths(neg, seeds, rounds=1)
+    # a NULL weight is equally dirty: the old silent filter dropped it,
+    # the bare negative guard would have admitted it and propagated
+    # dist=NULL through the min-plus fold
+    nul = spark.createDataFrame([(1, 2, None), (1, 2, 4)],
+                                "src long, dst long, w long")
+    with pytest.raises(ValueError, match="NULL edge weight"):
+        bounded_shortest_paths(nul, seeds, rounds=1)
 
 
 def test_hits_matches_integer_reference_and_bipartite_structure(spark):

@@ -369,6 +369,22 @@ def test_registry_orders_uncertified_code_first(monkeypatch):
             f"tier {t} must sort oldest-certified-first"
 
 
+def test_perturb_translation_fixed_point_free():
+    """scale_probe --perturb's per-copy substitution must change EVERY
+    letter and digit at EVERY copy index (a plain rotate-by-i is the
+    identity on digits at i ≡ 0 mod 10 and letters at i ≡ 0 mod 26,
+    silently re-admitting the cross-copy shingle artifact at factors
+    ≥ 10) and stay a bijection on the alphabet (within-copy structure
+    preserved)."""
+    import tools.scale_probe as sp
+
+    for i in range(1, 60):
+        full, rot = sp._perturb_translation(i)
+        assert len(full) == len(rot) == 62
+        assert all(a != b for a, b in zip(full, rot)), i
+        assert sorted(full) == sorted(rot), i
+
+
 def test_no_row_udfs_or_rdd_api_in_package():
     """Source-level slow-path tripwire: the engine's contract is zero
     Python row-at-a-time UDFs (Arrow mapInPandas / applyInPandasWithState

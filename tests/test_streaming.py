@@ -1057,6 +1057,52 @@ def test_stream_qdigest_store_equals_batch_build(spark, tmp_path):
     assert empty.count() == 0
 
 
+def test_stream_qdigest_universe_guards(spark, tmp_path):
+    """The streaming path enforces qdigest_build's universe guard at
+    BOTH seams: an out-of-domain value fails the streaming query
+    (never poisons the store), and a store written outside the guard
+    raises at read time instead of compressing out-of-domain ids into
+    silently wrong quantiles."""
+    import json as jsonlib
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import utils as sparkutils  # noqa: F401
+
+    from airline_data_warehouse_spark.streaming.sketch import (
+        qdigest_store_quantiles,
+        start_qdigest_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        f.write(jsonlib.dumps({"v": 5}) + "\n")
+        f.write(jsonlib.dumps({"v": 1 << 20}) + "\n")   # out of domain
+    store = str(tmp_path / "qd_bad")
+    src = spark.readStream.schema("v long").json(str(in_dir))
+    q = start_qdigest_ingest(src, store,
+                             checkpoint_dir=str(tmp_path / "ck"))
+    with pytest.raises(Exception, match="outside the universe"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # ... and the store was never written
+    import os
+    assert not os.path.exists(f"{store}/batches") or not any(
+        d.startswith("batch_id=") for d in os.listdir(f"{store}/batches"))
+
+    # a store poisoned OUT-OF-BAND (older code / manual write) raises
+    # at read time
+    poisoned = str(tmp_path / "qd_poisoned")
+    (spark.createDataFrame([(-3, 1), (5, 2)], "id long, cnt long")
+     .withColumn("batch_id", F.lit(0).cast("long"))
+     .write.partitionBy("batch_id").parquet(f"{poisoned}/batches"))
+    with pytest.raises(ValueError, match="outside the universe"):
+        qdigest_store_quantiles(spark, poisoned)
+
+
 def test_stream_index_ingest_with_tombstones(spark, tmp_path):
     """CDC/takedown stream into the persisted index (delete_col):
     tombstoned ids are removed via ivfpq_index_delete, adds append as

@@ -142,6 +142,26 @@ FIXED_TABLES = ["region", "nation", "customer", "supplier", "part"]
 _ALPHA = "abcdefghijklmnop"
 
 
+def _perturb_translation(i: int) -> tuple[str, str]:
+    """(from, to) translate maps for perturb copy i ≥ 1: lowercase and
+    uppercase rotate by 1 + (i−1) mod 25, digits by 1 + (i−1) mod 9 —
+    the rotation amount is NEVER 0 for any copy index, so every
+    letter and digit changes in every copy (a plain rotate-by-i is
+    the identity on digits at i ≡ 0 (mod 10) and on letters at
+    i ≡ 0 (mod 26), which would re-admit the cross-copy shingle
+    artifact at factors ≥ 10). Fixed-point-free by construction
+    (rotation amount ∈ [1, len−1] on each alphabet)."""
+    import string
+
+    lo, up, dg = (string.ascii_lowercase, string.ascii_uppercase,
+                  string.digits)
+    rl = 1 + (i - 1) % 25
+    rd = 1 + (i - 1) % 9
+    full = lo + up + dg
+    rot = lo[rl:] + lo[:rl] + up[rl:] + up[:rl] + dg[rd:] + dg[:rd]
+    return full, rot
+
+
 def build_scaled(spark, factor: int, out_dir: str,
                  perturb: bool = False) -> None:
     """``perturb`` (VERDICT r12 item 3 — retire the replica-clique
@@ -154,10 +174,12 @@ def build_scaled(spark, factor: int, out_dir: str,
     against). Perturb mode decorrelates every replica EVERYWHERE while
     preserving the within-copy near-dup structure exactly:
 
-    * text — full-alphabet rotation (a–z, A–Z, 0–9 each rotated by i),
-      so every letter/digit changes and no content shingle survives
-      across copies; within a copy, relative text structure (and thus
-      every planted near-dup pair) is preserved bijectively.
+    * text — full-alphabet rotation (_perturb_translation: a–z/A–Z
+      rotated by 1 + (i−1) mod 25, digits by 1 + (i−1) mod 9 —
+      fixed-point-free at EVERY copy index), so every letter/digit
+      changes and no content shingle survives across copies; within a
+      copy, relative text structure (and thus every planted near-dup
+      pair) is preserved bijectively.
     * embeddings — position rotation by i (as before) PLUS a per-copy
       deterministic sign mask (flip dims whose bit (i−1) mod 6 is
       set). Both are orthogonal transforms applied uniformly to a
@@ -166,13 +188,9 @@ def build_scaled(spark, factor: int, out_dir: str,
       cosines are decorrelated twice over.
 
     Copy 0 is always the untouched base."""
-    import string
-
     from pyspark.sql import functions as F
     from airline_data_warehouse_spark.plans.registry import load
     os.makedirs(out_dir, exist_ok=True)
-    lo, up, dg = (string.ascii_lowercase, string.ascii_uppercase,
-                  string.digits)
     for t in FIXED_TABLES:
         load(spark, BASE, t).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     for t, key in SCALED_TABLES.items():
@@ -182,9 +200,7 @@ def build_scaled(spark, factor: int, out_dir: str,
             shifted = df.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
             if t == "documents" and i > 0:
                 if perturb:
-                    full = lo + up + dg
-                    rot = (lo[i:] + lo[:i] + up[i:] + up[:i]
-                           + dg[i % 10:] + dg[:i % 10])
+                    full, rot = _perturb_translation(i)
                     shifted = shifted.withColumn(
                         "text", F.translate("text", full, rot))
                 else:
