@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _fs(spark: SparkSession, path: str):
@@ -165,6 +166,13 @@ def merge_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
     else:
         inserts = source
     if not fs.exists(hpath(dest_path)):
+        # bootstrap guard: a delete-only source against a missing table
+        # has nothing to insert — writing it anyway would create a
+        # directory holding only _SUCCESS, and every later read of the
+        # "table" would fail schema inference (a permanently poisoned
+        # path). Nothing to do is a no-op, not an empty write.
+        if inserts.limit(1).count() == 0:
+            return
         _sorted(inserts).write.partitionBy(partition_col).parquet(dest_path)
         return
     target = spark.read.parquet(dest_path)
@@ -184,8 +192,23 @@ def merge_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
     affected_vals = [r[0] for r in affected.collect()]
     if not affected_vals:
         return
+    # the swap's drop list is built from str(value), so values whose
+    # directory name Spark would ESCAPE (Hive-encoded %XX for '/', ':',
+    # '=', '#', space …) or encode specially (NULL →
+    # __HIVE_DEFAULT_PARTITION__) would produce names that match no
+    # directory — the emptied partition would silently SURVIVE with its
+    # old rows. Refuse such values loudly; the staging-side swap is
+    # immune (its names come from listing real directories).
+    _check_partition_values_droppable(partition_col, affected_vals)
+    # rebuild the affected frame from the values just collected instead
+    # of re-evaluating the two-join lineage a second time inside the
+    # staging write (cheaper, and immune to a non-deterministic source
+    # making the drop list diverge from what was staged)
+    part_field = target.schema[partition_col]
+    aff_lit = spark.createDataFrame([(v,) for v in affected_vals],
+                                    schema=T.StructType([part_field]))
     surviving = (target
-                 .join(F.broadcast(affected), partition_col, "left_semi")
+                 .join(F.broadcast(aff_lit), partition_col, "left_semi")
                  .join(keys, key, "left_anti"))
     merged = surviving.unionByName(inserts)
     staging = f"{dest_path.rstrip('/')}__upsert_staging"
@@ -196,6 +219,43 @@ def merge_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
     drop = [f"{partition_col}={v}" for v in affected_vals]
     swap_partitions(spark, staging, dest_path, partition_col,
                     drop_partitions=drop)
+
+
+# characters Spark writes VERBATIM into a partition directory name —
+# everything else is Hive-%XX-escaped (ExternalCatalogUtils), and NULL
+# becomes __HIVE_DEFAULT_PARTITION__, so str(value) would not name the
+# real directory
+_DROP_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789_-.+@")
+
+
+def _check_partition_values_droppable(partition_col: str,
+                                      vals: list) -> None:
+    """Fail fast when a partition value's str() form cannot be trusted
+    to equal its on-disk directory name (see merge_parquet). Integers
+    and plain identifier-ish strings — every value this repo's tables
+    partition by — pass; NULLs and escape-needing strings raise with
+    the reason instead of leaving ghost partitions behind."""
+    for v in vals:
+        if v is None:
+            raise ValueError(
+                f"merge_parquet: NULL {partition_col} value — its "
+                "directory is __HIVE_DEFAULT_PARTITION__, which the "
+                "drop list cannot address; filter NULL partitions "
+                "upstream")
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise ValueError(
+                f"merge_parquet: {partition_col} value {v!r} of type "
+                f"{type(v).__name__} — only int and plain-string "
+                "partition values round-trip to directory names; cast "
+                "upstream")
+        if isinstance(v, str) and (not v or set(v) - _DROP_SAFE):
+            raise ValueError(
+                f"merge_parquet: {partition_col} value {v!r} contains "
+                "characters Spark Hive-escapes in directory names — "
+                "the emptied-partition drop would silently miss; use "
+                "an escaped-safe partition key")
 
 
 def compact_partitions(spark: SparkSession, dest_path: str,
@@ -253,8 +313,8 @@ def compact_partitions(spark: SparkSession, dest_path: str,
         sub = sub.repartition(len(crowded) * target_files,
                               F.col(partition_col), salt)
     sub.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    # swap_partitions deletes the staging directory as its last step
     swap_partitions(spark, staging, dest_path, partition_col)
-    fs.delete(hpath(staging), True)
     return sorted(crowded)
 
 
@@ -350,7 +410,7 @@ def compact_directory(spark: SparkSession, dest_path: str,
 
 
 def replace_directory(spark: SparkSession, source: DataFrame,
-                      dest_path: str, target_files: int = 1) -> None:
+                      dest_path: str, target_files: int = 1) -> bool:
     """Atomically replace an UNPARTITIONED parquet directory's CONTENT
     with ``source`` — compact_directory's protocol (stage to a sibling,
     two renames, recover_directory healing) generalized from
@@ -363,7 +423,14 @@ def replace_directory(spark: SparkSession, source: DataFrame,
     ``source`` is fully materialized into the staging directory BEFORE
     the first rename, so it may (and typically does) read from
     ``dest_path`` itself. Same single-maintenance-process contract and
-    reader-race convergence as compact_directory."""
+    reader-race convergence as compact_directory.
+
+    Returns True when the new content is in place, False when the
+    reader-heal race restored the OLD content instead (the benign
+    no-op branch below). Callers whose follow-up work assumes the swap
+    happened — a fold deleting the batch partitions it just absorbed —
+    MUST check this: treating the no-op as success would destroy the
+    only copy of the unfolded state."""
     recover_directory(spark, dest_path)
     hpath, fs = _fs(spark, dest_path)
     root = hpath(dest_path)
@@ -387,7 +454,8 @@ def replace_directory(spark: SparkSession, source: DataFrame,
             # old content is fully back — drop the staged copy; the
             # idempotent maintenance retry re-derives it
             fs.delete(hpath(staging), True)
-            return
+            return False
         raise IOError(f"directory replace: rename {staging} -> "
                       f"{dest_path} failed")
     fs.delete(backup, True)
+    return True

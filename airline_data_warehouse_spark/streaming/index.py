@@ -50,7 +50,14 @@ def append_log(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
     recover_directory(spark, f"{index_dir}/append_log")
-    return spark.read.parquet(f"{index_dir}/append_log")
+    # distinct(): the log row is written with a blind append, so an
+    # at-least-once foreachBatch REPLAY appends a second row for the
+    # same batch_id — bit-identical to the first, because the drift
+    # stats are a deterministic function of the replayed batch's data.
+    # De-duplicating at read keeps the retrain scheduler's sums honest
+    # without changing the log's layout (a per-batch_id partition
+    # overwrite would conflict with compact_directory's flat rewrite).
+    return spark.read.parquet(f"{index_dir}/append_log").distinct()
 
 
 def start_index_ingest(stream: DataFrame, index_dir: str,
@@ -115,10 +122,19 @@ def start_index_ingest(stream: DataFrame, index_dir: str,
         if delete_col is not None:
             if order_col is not None:
                 from pyspark.sql import Window
+                # final tiebreaker: a hash of the whole row, so two
+                # same-id non-tombstone events with EQUAL order_col
+                # resolve to the same winner on every recomputation —
+                # without it, row_number breaks the tie by shuffle
+                # order and an at-least-once replay could upsert a
+                # DIFFERENT vector than the first attempt
+                row_hash = F.xxhash64(*[F.col(c)
+                                        for c in batch_df.columns])
                 w = (Window.partitionBy(id_col)
                      .orderBy(F.col(order_col).desc(),
                               F.coalesce(F.col(delete_col),
-                                         F.lit(False)).desc()))
+                                         F.lit(False)).desc(),
+                              row_hash.asc()))
                 batch_df = (batch_df
                             .withColumn("_rn", F.row_number().over(w))
                             .filter(F.col("_rn") == 1)

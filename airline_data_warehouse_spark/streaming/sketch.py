@@ -66,39 +66,56 @@ def _read_linear_state(spark: SparkSession, store_dir: str,
     exist — they are either post-fold garbage awaiting cleanup or a
     replayed batch's re-creation; counting them would double-add.
     ``cols``: the state schema ("k type, …, val type"); ``keys``/
-    ``val``: its key columns and the summed value column."""
+    ``val``: its key columns and the summed value column.
+
+    The result is materialized EAGERLY (localCheckpoint) inside this
+    call, with one retry: a fold racing a reader deletes the old base
+    files and the folded batch partitions AFTER its atomic swap, so a
+    lazily-returned plan could hit FileNotFound at action time — by
+    materializing here, the failure (if any) surfaces where the
+    re-listed second attempt sees the post-fold state, which holds the
+    same counts (the fold is content-preserving). The state is
+    sketch-bounded, so the snapshot is cheap."""
     from airline_data_warehouse_spark.sources.atomic import (
         _fs,
         recover_directory,
     )
 
-    base_path = _base_dir(store_dir)
-    recover_directory(spark, base_path)
-    hpath, fs = _fs(spark, store_dir)  # Hadoop FS API: non-local stores
-    watermark = -1
-    parts = []
-    if fs.exists(hpath(base_path)):
-        base = spark.read.schema(f"{cols}, folded_through long")                          .parquet(base_path)
-        head = base.select("folded_through").first()
-        if head is not None:
-            watermark = head["folded_through"]
-        parts.append(base.select(*keys, val))
-    bdir = _batches_dir(store_dir)
-    if fs.exists(hpath(bdir)):
-        # explicit schema: a post-fold batches dir is EMPTY (every
-        # partition swept), where inference would throw; batch_id is
-        # the directory-derived partition column
-        inc = (spark.read.schema(f"{cols}, batch_id long")
-               .parquet(bdir)
-               .filter(F.col("batch_id") > watermark)
-               .select(*keys, val))
-        parts.append(inc)
-    if not parts:
-        return spark.createDataFrame([], cols)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy(*keys).agg(F.sum(val).alias(val))
+    last_err = None
+    for attempt in range(2):
+        base_path = _base_dir(store_dir)
+        recover_directory(spark, base_path)
+        hpath, fs = _fs(spark, store_dir)  # Hadoop FS: non-local stores
+        watermark = -1
+        parts = []
+        try:
+            if fs.exists(hpath(base_path)):
+                base = spark.read.schema(f"{cols}, folded_through long") \
+                                 .parquet(base_path)
+                head = base.select("folded_through").first()
+                if head is not None:
+                    watermark = head["folded_through"]
+                parts.append(base.select(*keys, val))
+            bdir = _batches_dir(store_dir)
+            if fs.exists(hpath(bdir)):
+                # explicit schema: a post-fold batches dir is EMPTY
+                # (every partition swept), where inference would throw;
+                # batch_id is the directory-derived partition column
+                inc = (spark.read.schema(f"{cols}, batch_id long")
+                       .parquet(bdir)
+                       .filter(F.col("batch_id") > watermark)
+                       .select(*keys, val))
+                parts.append(inc)
+            if not parts:
+                return spark.createDataFrame([], cols)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return (out.groupBy(*keys).agg(F.sum(val).alias(val))
+                    .localCheckpoint(eager=True))
+        except Exception as e:  # noqa: BLE001 — re-raised after retry
+            last_err = e
+    raise last_err
 
 
 def _fold_linear_state(spark: SparkSession, store_dir: str,
@@ -144,7 +161,13 @@ def _fold_linear_state(spark: SparkSession, store_dir: str,
     new_mark = max(new_ids)
     merged = (_read_linear_state(spark, store_dir, cols, keys, val)
               .withColumn("folded_through", F.lit(new_mark).cast("long")))
-    replace_directory(spark, merged, base_path)
+    if not replace_directory(spark, merged, base_path):
+        # reader-heal race: the swap did NOT happen — the OLD base with
+        # the OLD watermark is in place. The batch partitions above it
+        # are still the ONLY copy of their counts; deleting them here
+        # would silently and permanently undercount every later read.
+        # Leave everything; the next fold retries.
+        return watermark
     for b in batch_ids:          # includes pre-watermark garbage
         if b <= new_mark:
             fs.delete(hpath(f"{bdir}/batch_id={b}"), True)
@@ -267,6 +290,11 @@ def start_bloom_ingest(stream: DataFrame, store_dir: str,
         (bloom_build(batch_df, hash_col, hashes=k, bits=m)
          .coalesce(1).write.mode("append").parquet(bdir))
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # return value deliberately unchecked: a reader-heal no-op
+            # restores the directory's OWN old content (every append
+            # file still present, just un-compacted) — nothing outside
+            # the directory is deleted afterward, so unlike the fold
+            # there is no state to lose; the next compaction retries
             replace_directory(spark, read_bloom_store(spark, store_dir),
                               bdir)
 
@@ -326,21 +354,32 @@ def start_qdigest_ingest(stream: DataFrame, store_dir: str,
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # persist: the guard probe and the partition write would
+        # otherwise each re-run the full batch aggregation (2× the
+        # scan+shuffle per micro-batch on the hot path); the leaf frame
+        # derives only from this batch's rows — no mutated-file plan
+        # for the CacheManager to substitute against
         leaves = (batch_df
                   .select(F.col(value_col).cast("long").alias("id"))
                   .filter(F.col("id").isNotNull())
                   .groupBy("id")
-                  .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-        bad = leaves.filter((F.col("id") < 0) | (F.col("id") >= cap)) \
-                    .limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"start_qdigest_ingest: value {bad[0]['id']} outside "
-                f"the universe [0, {cap}) in batch {int(batch_id)} — "
-                "rescale/offset values upstream (the batch builder's "
-                "guard, enforced per micro-batch)")
-        (leaves.coalesce(1).write.mode("overwrite")
-         .parquet(f"{_batches_dir(store_dir)}/batch_id={int(batch_id)}"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                  .persist())
+        try:
+            bad = leaves.filter((F.col("id") < 0)
+                                | (F.col("id") >= cap)) \
+                        .limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"start_qdigest_ingest: value {bad[0]['id']} "
+                    f"outside the universe [0, {cap}) in batch "
+                    f"{int(batch_id)} — rescale/offset values upstream "
+                    "(the batch builder's guard, per micro-batch)")
+            (leaves.coalesce(1).write.mode("overwrite")
+             .parquet(f"{_batches_dir(store_dir)}"
+                      f"/batch_id={int(batch_id)}"))
+        finally:
+            leaves.unpersist()
         if fold_every and batch_id > 0 and batch_id % fold_every == 0:
             fold_qdigest_store(spark, store_dir)
 

@@ -1057,6 +1057,76 @@ def test_stream_qdigest_store_equals_batch_build(spark, tmp_path):
     assert empty.count() == 0
 
 
+def test_fold_survives_replace_directory_noop(spark, tmp_path, monkeypatch):
+    """The fold's follow-up deletes assume the base swap HAPPENED —
+    when replace_directory reports the reader-heal no-op (old base
+    restored, new content dropped), the fold must leave the batch
+    partitions alone and return the OLD watermark: deleting them would
+    destroy the only copy of the unfolded counts (self-review r13
+    finding). Simulated by forcing the no-op return."""
+    import json as jsonlib
+    import os
+
+    from airline_data_warehouse_spark.streaming import sketch as sks
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, toks in enumerate([["a", "b"], ["b", "c"]]):
+        with open(in_dir / f"b{i}.json", "w") as f:
+            for t in toks:
+                f.write(jsonlib.dumps({"token": t}) + "\n")
+    store = str(tmp_path / "cms")
+    src = (spark.readStream.schema("token string")
+           .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = sks.start_countmin_ingest(src, store,
+                                  checkpoint_dir=str(tmp_path / "ck"),
+                                  fold_every=None)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {(r["row"], r["bucket"]): r["counter"] for r in
+              sks.read_countmin_store(spark, store).collect()}
+
+    # _fold_linear_state imports replace_directory from sources.atomic
+    # inside the function body; patch it at the source module
+    from airline_data_warehouse_spark.sources import atomic as at
+    real = at.replace_directory
+    monkeypatch.setattr(at, "replace_directory", lambda *a, **k: False)
+    assert sks.fold_countmin_store(spark, store) == -1  # old watermark
+    # batch partitions untouched, state unchanged
+    assert sorted(d for d in os.listdir(f"{store}/batches")
+                  if d.startswith("batch_id=")) \
+        == ["batch_id=0", "batch_id=1"]
+    after = {(r["row"], r["bucket"]): r["counter"] for r in
+             sks.read_countmin_store(spark, store).collect()}
+    assert after == before
+    # the real fold afterwards converges
+    monkeypatch.setattr(at, "replace_directory", real)
+    assert sks.fold_countmin_store(spark, store) == 1
+    final = {(r["row"], r["bucket"]): r["counter"] for r in
+             sks.read_countmin_store(spark, store).collect()}
+    assert final == before
+
+
+def test_append_log_deduplicates_replayed_rows(spark, tmp_path):
+    """append_log: a foreachBatch replay appends a bit-identical row
+    for the same batch_id (the drift stats are deterministic functions
+    of the replayed batch) — the read must de-duplicate so a retrain
+    scheduler summing 'appended' never double-counts."""
+    from airline_data_warehouse_spark.streaming.index import append_log
+
+    idx = str(tmp_path / "idx")
+    row = [(0, 5, 0.1, 0.1, False)]
+    schema = ("batch_id long, appended long, mean_d2 double, "
+              "baseline_mean_d2 double, retrain_recommended boolean")
+    for _ in range(2):   # original + replay
+        (spark.createDataFrame(row, schema).coalesce(1)
+         .write.mode("append").parquet(f"{idx}/append_log"))
+    got = append_log(spark, idx).collect()
+    assert len(got) == 1 and got[0]["appended"] == 5
+
+
 def test_stream_qdigest_universe_guards(spark, tmp_path):
     """The streaming path enforces qdigest_build's universe guard at
     BOTH seams: an out-of-domain value fails the streaming query

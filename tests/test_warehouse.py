@@ -325,3 +325,52 @@ def test_merge_parquet_fresh_table_filters_tombstones(spark, tmp_path):
                   delete_condition="v = 0")
     rows = {r["k"]: r["v"] for r in spark.read.parquet(dest).collect()}
     assert rows == {"K1": 1, "K3": 3}
+
+
+def test_merge_parquet_all_tombstone_bootstrap_is_noop(spark, tmp_path):
+    """A delete-only source against a MISSING table must be a no-op —
+    writing the empty insert set would create a directory holding only
+    _SUCCESS, and every later read of the 'table' would fail schema
+    inference (a permanently poisoned path). The retry path (a real
+    merge afterwards) must still work."""
+    import os
+
+    from airline_data_warehouse_spark.sources.atomic import merge_parquet
+
+    dest = str(tmp_path / "ghost")
+    tomb = spark.createDataFrame([("K1", 0, "A")], "k string, v int, p string")
+    merge_parquet(spark, tomb, dest, key="k", partition_col="p",
+                  delete_condition="v = 0")
+    assert not os.path.exists(dest)
+    # and the path is not poisoned: a later real merge bootstraps fine
+    src = spark.createDataFrame([("K2", 5, "B")], "k string, v int, p string")
+    merge_parquet(spark, src, dest, key="k", partition_col="p",
+                  delete_condition="v = 0")
+    assert {r["k"] for r in spark.read.parquet(dest).collect()} == {"K2"}
+
+
+def test_merge_parquet_rejects_undroppable_partition_values(spark, tmp_path):
+    """The emptied-partition drop list is built from str(value), which
+    only names the real directory for int / plain-string values — a
+    value Spark Hive-escapes ('2024/01' → '2024%2F01') or a NULL
+    (__HIVE_DEFAULT_PARTITION__) would leave a ghost partition holding
+    its supposedly-deleted rows. merge_parquet must refuse loudly."""
+    import pytest
+
+    from airline_data_warehouse_spark.sources.atomic import merge_parquet
+
+    dest = str(tmp_path / "esc")
+    base = spark.createDataFrame([("K1", 1, "2024/01")],
+                                 "k string, v int, p string")
+    base.write.partitionBy("p").parquet(dest)
+    src = spark.createDataFrame([("K1", 0, "2024/01")],
+                                "k string, v int, p string")
+    with pytest.raises(ValueError, match="Hive-escapes"):
+        merge_parquet(spark, src, dest, key="k", partition_col="p",
+                      delete_condition="v = 0")
+    ndest = str(tmp_path / "nul")
+    nbase = spark.createDataFrame([("K1", 1, "A")], "k string, v int, p string")
+    nbase.write.partitionBy("p").parquet(ndest)
+    nsrc = spark.createDataFrame([("K2", 2, None)], "k string, v int, p string")
+    with pytest.raises(ValueError, match="NULL p value"):
+        merge_parquet(spark, nsrc, ndest, key="k", partition_col="p")
