@@ -404,7 +404,16 @@ def qdigest_merge(a: DataFrame, b: DataFrame, k: int = QD_K,
     conserved exactly (test-pinned)."""
     both = a.unionByName(b).groupBy("id", "lvl") \
             .agg(F.sum("cnt").alias("cnt"))
-    n = int(both.agg(F.sum("cnt").alias("n")).collect()[0]["n"])
+    n_row = both.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    if n_row is None:
+        # two empty digests: sum() over zero rows is NULL — match
+        # qdigest_build's loud empty-input contract instead of
+        # crashing on int(None) (ADVICE r13-low)
+        raise ValueError(
+            "qdigest_merge: both input digests are empty — a digest "
+            "over zero values has no defined quantiles (qdigest_build "
+            "raises on empty input for the same reason)")
+    n = int(n_row)
     return _qd_compress(both, max(1, n // k), levels, branch_bits)
 
 

@@ -24,6 +24,8 @@ this module is what the same guarantee costs on raw parquet.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -244,12 +246,26 @@ def _check_partition_values_droppable(partition_col: str,
                 "directory is __HIVE_DEFAULT_PARTITION__, which the "
                 "drop list cannot address; filter NULL partitions "
                 "upstream")
-        if isinstance(v, bool) or not isinstance(v, (int, str)):
+        if isinstance(v, bool) or not isinstance(
+                v, (int, str, datetime.date)):
+            # datetime.date is safe: Spark's partition-type inference
+            # yields date values for yyyy-MM-dd directories, and
+            # str(date) is exactly that form (all _DROP_SAFE chars) —
+            # rejecting it broke merge_parquet on date-partitioned
+            # tables (ADVICE r13-low). datetime.datetime subclasses
+            # date but its str() has spaces/colons Spark escapes, so
+            # exclude it explicitly.
             raise ValueError(
                 f"merge_parquet: {partition_col} value {v!r} of type "
-                f"{type(v).__name__} — only int and plain-string "
-                "partition values round-trip to directory names; cast "
-                "upstream")
+                f"{type(v).__name__} — only int, plain-string, and "
+                "date partition values round-trip to directory names; "
+                "cast upstream")
+        if isinstance(v, datetime.datetime):
+            raise ValueError(
+                f"merge_parquet: {partition_col} value {v!r} is a "
+                "timestamp — its str() form contains characters Spark "
+                "Hive-escapes in directory names; partition by a date "
+                "or string key instead")
         if isinstance(v, str) and (not v or set(v) - _DROP_SAFE):
             raise ValueError(
                 f"merge_parquet: {partition_col} value {v!r} contains "

@@ -50,14 +50,21 @@ def append_log(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
     recover_directory(spark, f"{index_dir}/append_log")
-    # distinct(): the log row is written with a blind append, so an
-    # at-least-once foreachBatch REPLAY appends a second row for the
-    # same batch_id — bit-identical to the first, because the drift
-    # stats are a deterministic function of the replayed batch's data.
-    # De-duplicating at read keeps the retrain scheduler's sums honest
-    # without changing the log's layout (a per-batch_id partition
-    # overwrite would conflict with compact_directory's flat rewrite).
-    return spark.read.parquet(f"{index_dir}/append_log").distinct()
+    # One row per batch_id: the log row is written with a blind
+    # append, so an at-least-once foreachBatch REPLAY appends a second
+    # row for the same batch_id. Dedup by KEY, not full-row equality —
+    # mean_d2 is a 6-dp-rounded float aggregate, so a replay summing
+    # in a different partition order can flip the last digit and leave
+    # two near-identical rows for one batch (ADVICE r13-low). max()
+    # per column is deterministic regardless of row arrival order;
+    # the columns beyond the rounding jitter are identical per batch.
+    return (spark.read.parquet(f"{index_dir}/append_log")
+            .groupBy("batch_id")
+            .agg(F.max("appended").alias("appended"),
+                 F.max("mean_d2").alias("mean_d2"),
+                 F.max("baseline_mean_d2").alias("baseline_mean_d2"),
+                 F.max("retrain_recommended")
+                  .alias("retrain_recommended")))
 
 
 def start_index_ingest(stream: DataFrame, index_dir: str,

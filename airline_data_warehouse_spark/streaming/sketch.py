@@ -113,9 +113,43 @@ def _read_linear_state(spark: SparkSession, store_dir: str,
                 out = out.unionByName(p)
             return (out.groupBy(*keys).agg(F.sum(val).alias(val))
                     .localCheckpoint(eager=True))
-        except Exception as e:  # noqa: BLE001 — re-raised after retry
+        except Exception as e:  # noqa: BLE001 — classified below
+            # Retry ONLY the fold-race file-missing classes: a fold
+            # racing this reader deletes old base files / folded batch
+            # partitions after its atomic swap, so the eager action can
+            # hit FileNotFound; anything else (schema mismatch, genuine
+            # analysis bug) is deterministic and must surface on the
+            # FIRST attempt with its original diagnostics
+            # (ADVICE r13-low / VERDICT r13 item 6).
+            if not _is_fold_race_error(e):
+                raise
             last_err = e
     raise last_err
+
+
+def _is_fold_race_error(e: Exception) -> bool:
+    """True only for the file-missing error shapes a fold racing a
+    reader produces: Python FileNotFoundError, Spark's path-not-found
+    AnalysisException, or a JVM FileNotFoundException surfacing
+    through Py4J at action time."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    try:
+        from pyspark.errors import AnalysisException
+        if isinstance(e, AnalysisException):
+            cond = ""
+            get_cond = getattr(e, "getCondition",
+                               getattr(e, "getErrorClass", None))
+            if callable(get_cond):
+                try:
+                    cond = get_cond() or ""
+                except Exception:  # noqa: BLE001 — best-effort probe
+                    cond = ""
+            return ("PATH_NOT_FOUND" in cond
+                    or "PATH_NOT_FOUND" in str(e))
+    except ImportError:
+        pass
+    return "FileNotFoundException" in str(e)
 
 
 def _fold_linear_state(spark: SparkSession, store_dir: str,

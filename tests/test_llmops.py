@@ -3822,3 +3822,45 @@ def test_personalized_pagerank_matches_reference_and_localizes(spark):
     assert got[5] == 0 and got[8] == 0 and got[9] == 0
     assert min(got[v] for v in (1, 2, 3, 4)) > 0
     assert abs(sum(got.values()) - 10 ** 12) <= 5 * 3  # mass conserved
+
+
+def test_stream_work_dir_sweeps_stale_scratch(tmp_path, monkeypatch):
+    """_stream_work_dir removes same-prefix scratch dirs left by
+    PREVIOUS processes (mtime before this interpreter started) and
+    never touches this process's own dirs (their lazy readers may not
+    have collected yet) — bounded /tmp across repeated bench/sweep
+    runs (ADVICE r13-low / VERDICT r13 item 7)."""
+    import os
+    import tempfile
+
+    from airline_data_warehouse_spark.plans import llmops
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    stale = tmp_path / "adw_stream_tst_stale"
+    stale.mkdir()
+    old = llmops._PROC_START - 120
+    os.utime(stale, (old, old))
+    fresh = tmp_path / "adw_stream_tst_fresh"
+    fresh.mkdir()                      # mtime = now > _PROC_START
+    other = tmp_path / "unrelated_prefix_dir"
+    other.mkdir()
+    os.utime(other, (old, old))        # stale but different prefix
+    new = llmops._stream_work_dir("adw_stream_tst_")
+    assert not stale.exists(), "pre-process scratch must be swept"
+    assert fresh.exists(), "this process's scratch must survive"
+    assert other.exists(), "foreign prefixes are not ours to delete"
+    assert os.path.isdir(new) and new.startswith(str(tmp_path))
+
+
+def test_qdigest_merge_empty_inputs_raise(spark):
+    """qdigest_merge on two empty digests raises the same loud
+    empty-input contract as qdigest_build instead of crashing with
+    int(None) (ADVICE r13-low)."""
+    import pytest as _pytest
+
+    import airline_data_warehouse_spark.operators.sketches as sk
+
+    empty = spark.createDataFrame([], "id long, lvl int, cnt long")
+    with _pytest.raises(ValueError, match="empty"):
+        sk.qdigest_merge(empty, empty)

@@ -1117,14 +1117,21 @@ def test_append_log_deduplicates_replayed_rows(spark, tmp_path):
     from airline_data_warehouse_spark.streaming.index import append_log
 
     idx = str(tmp_path / "idx")
-    row = [(0, 5, 0.1, 0.1, False)]
     schema = ("batch_id long, appended long, mean_d2 double, "
               "baseline_mean_d2 double, retrain_recommended boolean")
-    for _ in range(2):   # original + replay
-        (spark.createDataFrame(row, schema).coalesce(1)
+    # original + bit-identical replay + a replay whose 6-dp-rounded
+    # mean_d2 flipped its last digit (different partition sum order) —
+    # the key-based dedup must still collapse all three to one row
+    # (ADVICE r13-low: full-row distinct() kept the jittered twin)
+    rows = [(0, 5, 0.1, 0.1, False),
+            (0, 5, 0.1, 0.1, False),
+            (0, 5, 0.100001, 0.1, False)]
+    for row in rows:
+        (spark.createDataFrame([row], schema).coalesce(1)
          .write.mode("append").parquet(f"{idx}/append_log"))
     got = append_log(spark, idx).collect()
     assert len(got) == 1 and got[0]["appended"] == 5
+    assert got[0]["mean_d2"] == 0.100001   # deterministic max, not any()
 
 
 def test_stream_qdigest_universe_guards(spark, tmp_path):
@@ -1479,3 +1486,56 @@ def test_stream_bloom_blocklist_accumulates_and_compacts(spark, tmp_path):
     assert len(files) == 1
     assert {r["bit"] for r in
             read_bloom_store(spark, store).collect()} == pre_bits
+
+
+def test_fold_race_error_classifier():
+    """_is_fold_race_error: only the file-missing shapes a fold racing
+    a reader produces qualify for the one-shot retry; deterministic
+    bugs (schema, analysis, arithmetic) must not."""
+    from airline_data_warehouse_spark.streaming.sketch import (
+        _is_fold_race_error,
+    )
+
+    assert _is_fold_race_error(FileNotFoundError("gone"))
+    assert _is_fold_race_error(
+        RuntimeError("java.io.FileNotFoundException: part-0000 gone"))
+    assert not _is_fold_race_error(ValueError("boom"))
+    assert not _is_fold_race_error(
+        RuntimeError("[CANNOT_READ_FILE_FOOTER] corrupt"))
+    from pyspark.errors import AnalysisException
+    path_err = AnalysisException("[PATH_NOT_FOUND] Path does not exist")
+    assert _is_fold_race_error(path_err)
+    assert not _is_fold_race_error(
+        AnalysisException("[UNRESOLVED_COLUMN] no such column"))
+
+
+def test_read_linear_state_deterministic_error_raises_first_attempt(
+        spark, tmp_path, monkeypatch):
+    """A genuine (non-file-missing) failure inside the linear-store
+    read surfaces on the FIRST attempt with its original diagnostics —
+    the retry exists only for the fold-race FileNotFound classes
+    (ADVICE r13-low / VERDICT r13 item 6)."""
+    import os
+
+    from airline_data_warehouse_spark.sources import atomic as at
+    from airline_data_warehouse_spark.streaming import sketch as sks
+
+    store = str(tmp_path / "store")
+    base = sks._base_dir(store)
+    os.makedirs(base)
+    # a garbage file where a parquet part is expected: deterministic
+    # CANNOT_READ/corrupt-footer failure, NOT a missing path
+    with open(f"{base}/part-00000.parquet", "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    attempts = {"n": 0}
+    real = at.recover_directory
+
+    def counting(spark_, path):
+        attempts["n"] += 1
+        return real(spark_, path)
+
+    monkeypatch.setattr(at, "recover_directory", counting)
+    with pytest.raises(Exception) as ei:
+        sks.read_countmin_store(spark, store)
+    assert "FileNotFoundException" not in str(ei.value)
+    assert attempts["n"] == 1, "deterministic error must not retry"

@@ -374,3 +374,42 @@ def test_merge_parquet_rejects_undroppable_partition_values(spark, tmp_path):
     nsrc = spark.createDataFrame([("K2", 2, None)], "k string, v int, p string")
     with pytest.raises(ValueError, match="NULL p value"):
         merge_parquet(spark, nsrc, ndest, key="k", partition_col="p")
+
+
+def test_merge_parquet_date_partition_values(spark, tmp_path):
+    """Date-typed partition values (what Spark's partition inference
+    yields for yyyy-MM-dd directories) round-trip through merge_parquet
+    — str(date) IS the directory name; timestamps still raise
+    (ADVICE r13-low)."""
+    import datetime
+    import os
+
+    import pytest as _pytest
+
+    from airline_data_warehouse_spark.sources.atomic import (
+        _check_partition_values_droppable,
+        merge_parquet,
+    )
+
+    _check_partition_values_droppable(
+        "d", [datetime.date(2024, 1, 3), 7, "A"])
+    with _pytest.raises(ValueError, match="timestamp"):
+        _check_partition_values_droppable(
+            "d", [datetime.datetime(2024, 1, 3, 4, 5)])
+
+    dest = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("K1", 10, datetime.date(2024, 1, 3)),
+         ("K2", 20, datetime.date(2024, 1, 4))],
+        "k string, v int, d date")
+    base.write.partitionBy("d").parquet(dest)
+    src = spark.createDataFrame(
+        [("K1", 11, datetime.date(2024, 1, 3)),
+         ("K3", 30, datetime.date(2024, 1, 5))],
+        "k string, v int, d date")
+    merge_parquet(spark, src, dest, key="k", partition_col="d")
+    rows = {r["k"]: (r["v"], str(r["d"]))
+            for r in spark.read.parquet(dest).collect()}
+    assert rows == {"K1": (11, "2024-01-03"), "K2": (20, "2024-01-04"),
+                    "K3": (30, "2024-01-05")}
+    assert os.path.isdir(os.path.join(dest, "d=2024-01-05"))
