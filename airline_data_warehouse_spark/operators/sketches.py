@@ -262,7 +262,8 @@ QD_K = 256           # compression factor: thr = max(1, n // k)
 def qdigest_build(items: DataFrame, value_col: str = "v",
                   k: int = QD_K, levels: int = QD_LEVELS,
                   branch_bits: int = QD_BRANCH_BITS,
-                  weight_col: str | None = None) -> DataFrame:
+                  weight_col: str | None = None,
+                  offset: int = 0) -> DataFrame:
     """q-digest quantile sketch (Shrivastava, Buragohain, Agrawal &
     Suri, "Medians and beyond", SenSys 2004), generalized to a
     degree-2^branch_bits tree and built with LEVEL-SYNCHRONOUS
@@ -311,8 +312,72 @@ def qdigest_build(items: DataFrame, value_col: str = "v",
     equivalent to repeating each row weight times (test-pinned); a
     non-positive weight raises (weighted rank semantics are undefined
     for them, and silently dropping mass is the bug class the
-    negative-weight graph guard exists for)."""
-    cap = 1 << (branch_bits * levels)
+    negative-weight graph guard exists for).
+
+    ``offset``: subtracted from every value before it becomes a leaf
+    id, so the tree only has to cover the value SPAN, not the raw
+    magnitude — date_key ints (yyyyMMdd ≈ 2·10⁷) span ~6·10⁴ once
+    shifted by their minimum (VERDICT r13 item 1). Reads must shift
+    estimates back up by the same offset (the ``offset`` parameter of
+    qdigest_rank_values / qdigest_quantiles); `qdigest_build_auto`
+    derives offset AND levels from the min/max scalar this build
+    already computes, in the same single pass."""
+    dig, _, _ = _qd_build(items, value_col, k, levels, branch_bits,
+                          weight_col, offset)
+    return dig
+
+
+def qdigest_plan(lo: int, hi: int, branch_bits: int = QD_BRANCH_BITS,
+                 max_levels: int = 15) -> tuple[int, int]:
+    """(offset, levels) covering an integer value domain [lo, hi]:
+    offset = lo (shift the span down to start at 0) and levels = the
+    smallest tree height whose universe 2^(branch_bits·levels) holds
+    the span — pure driver math on two scalars. ``max_levels``
+    defaults to 15 (branch_bits=4 → universe 2^60, the widest a
+    BIGINT node upper-bound computation supports); a span beyond it
+    raises rather than silently overflowing shiftleft."""
+    lo, hi = int(lo), int(hi)
+    if hi < lo:
+        raise ValueError(f"qdigest_plan: empty domain [{lo}, {hi}]")
+    span = hi - lo + 1
+    levels = 1
+    while (1 << (branch_bits * levels)) < span:
+        levels += 1
+    if levels > max_levels or branch_bits * levels > 60:
+        raise ValueError(
+            f"qdigest_plan: span {span} needs {levels} levels of "
+            f"{branch_bits} bits — beyond max_levels={max_levels} / "
+            "the BIGINT upper-bound limit; bucket or rescale the "
+            "values upstream")
+    return lo, levels
+
+
+def qdigest_build_auto(items: DataFrame, value_col: str = "v",
+                       k: int = QD_K,
+                       branch_bits: int = QD_BRANCH_BITS,
+                       weight_col: str | None = None,
+                       max_levels: int = 15
+                       ) -> tuple[DataFrame, int, int]:
+    """qdigest_build with (offset, levels) auto-planned from the
+    min/max the build's guard scalar already computes — ONE pass over
+    the data, any integer domain whose SPAN fits 2^60 (date_key,
+    order keys, epoch seconds — everything the fixed [0, 2^20)
+    universe used to reject; VERDICT r13 item 1). Returns
+    (digest, offset, levels); pass the offset to
+    qdigest_rank_values/qdigest_quantiles so estimates shift back to
+    the raw domain, and reuse (offset, levels) when building shard
+    digests that must merge (qdigest_merge requires equal plans)."""
+    return _qd_build(items, value_col, k, None, branch_bits,
+                     weight_col, None, max_levels)
+
+
+def _qd_build(items: DataFrame, value_col: str, k: int,
+              levels: int | None, branch_bits: int,
+              weight_col: str | None, offset: int | None,
+              max_levels: int = 15) -> tuple[DataFrame, int, int]:
+    """Shared build core: guards, optional auto (offset, levels) from
+    the single min/max/n scalar, value shift, leaf aggregation,
+    compression. offset=None / levels=None mean auto-plan."""
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
     vals = (items.select(F.col(value_col).cast("long").alias("id"),
                          w.alias("_w"))
@@ -336,16 +401,28 @@ def qdigest_build(items: DataFrame, value_col: str = "v",
             f"qdigest_build: non-positive weight {mm['wlo']} in "
             f"{weight_col!r} — weighted ranks are undefined; clean or "
             "clamp weights upstream")
-    if mm["lo"] < 0 or mm["hi"] >= cap:
+    if offset is None:
+        offset = int(mm["lo"])
+    if levels is None:
+        _, levels = qdigest_plan(int(mm["lo"]) - offset,
+                                 int(mm["hi"]) - offset,
+                                 branch_bits, max_levels)
+    cap = 1 << (branch_bits * levels)
+    slo, shi = int(mm["lo"]) - offset, int(mm["hi"]) - offset
+    if slo < 0 or shi >= cap:
         raise ValueError(
             f"qdigest_build: values span [{mm['lo']}, {mm['hi']}] "
-            f"outside the universe [0, {cap}) — rescale/offset the "
-            f"values or raise levels/branch_bits")
+            f"(offset {offset} → [{slo}, {shi}]) outside the universe "
+            f"[0, {cap}) — rescale/offset the values, raise "
+            "levels/branch_bits, or use qdigest_build_auto")
+    if offset:
+        vals = vals.select((F.col("id") - F.lit(int(offset)))
+                           .cast("long").alias("id"), "_w")
     thr = max(1, mm["n"] // k)
     leaves = (vals.groupBy("id")
               .agg(F.sum("_w").cast("long").alias("cnt"))
               .withColumn("lvl", F.lit(0).cast("int")))
-    return _qd_compress(leaves, thr, levels, branch_bits)
+    return _qd_compress(leaves, thr, levels, branch_bits), offset, levels
 
 
 def _qd_compress(state: DataFrame, thr: int, levels: int,
@@ -401,7 +478,13 @@ def qdigest_merge(a: DataFrame, b: DataFrame, k: int = QD_K,
     add across merges in the standard q-digest way: each input's
     internal nodes carry < its own thr, so the merged read is within
     (levels·thr_a + levels·thr_b + levels·thr) ranks; mass is
-    conserved exactly (test-pinned)."""
+    conserved exactly (test-pinned). "Same tree parameters" includes
+    the OFFSET when the inputs came from qdigest_build_auto — shard
+    builds over one logical corpus must share one (offset, levels)
+    plan (plan once from global or conservative min/max, pass both
+    explicitly to each shard's qdigest_build); node ids from different
+    offsets are incommensurable and there is no frame metadata to
+    detect the mismatch."""
     both = a.unionByName(b).groupBy("id", "lvl") \
             .agg(F.sum("cnt").alias("cnt"))
     n_row = both.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
@@ -419,7 +502,8 @@ def qdigest_merge(a: DataFrame, b: DataFrame, k: int = QD_K,
 
 def qdigest_quantiles(digest: DataFrame, n: int,
                       pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
-                      branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
+                      branch_bits: int = QD_BRANCH_BITS,
+                      offset: int = 0) -> DataFrame:
     """Read percentile estimates off a built digest: for each pct, the
     smallest node upper bound whose cumulative count (nodes ordered by
     upper bound asc, level asc — narrower node first on a tie) reaches
@@ -436,13 +520,14 @@ def qdigest_quantiles(digest: DataFrame, n: int,
     broadcast by construction."""
     out = qdigest_rank_values(
         digest, [(int(p), (int(n) * int(p) + 99) // 100) for p in pcts],
-        branch_bits)
+        branch_bits, offset)
     return out.withColumnRenamed("key", "pct")
 
 
 def qdigest_rank_values(digest: DataFrame,
                         ranks: list[tuple[int, int]] | DataFrame,
-                        branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
+                        branch_bits: int = QD_BRANCH_BITS,
+                        offset: int = 0) -> DataFrame:
     """(key int, rnk long, est_value long): the digest's value estimate
     at arbitrary target ranks — the shared read primitive under
     qdigest_quantiles (key = pct) and layout.qdigest_boundaries
@@ -464,7 +549,10 @@ def qdigest_rank_values(digest: DataFrame,
     else:
         rdf = digest.sparkSession.createDataFrame(
             [(int(kk), int(r)) for kk, r in ranks], "key int, rnk long")
+    # offset: shift the estimate back to the raw value domain when the
+    # digest was built over offset-shifted ids (qdigest_build_auto)
     return (rdf.join(F.broadcast(nodes),
                      F.col("cum") >= F.col("rnk"))
             .groupBy("key", "rnk")
-            .agg(F.min("ub").alias("est_value")))
+            .agg((F.min("ub") + F.lit(int(offset))).cast("long")
+                 .alias("est_value")))

@@ -82,22 +82,26 @@ def qdigest_boundaries(df: DataFrame, col: str,
     boundaries can differ run to run and engine to engine; the
     q-digest (operators/sketches.py) is a pure function of the value
     multiset, so these boundaries are REPRODUCIBLE while keeping the
-    one-pass-plus-bounded-rounds cost shape (no global sort, rank
-    error ≤ levels·thr — at the defaults, n/51 ranks). Values must
-    lie in [0, 2^20); rescale/offset upstream otherwise (the build
-    raises loudly). Returns n_buckets − 1 interior boundaries,
-    ascending."""
+    one-pass-plus-bounded-rounds cost shape (no global sort). ANY
+    integer domain whose span fits 2^60: (offset, levels) are
+    auto-planned from the build's own min/max scalar
+    (qdigest_build_auto — date_key yyyyMMdd ints, order keys, epoch
+    seconds all work; the old fixed [0, 2^20) universe raised on
+    them, VERDICT r13 item 1). Rank error ≤ levels·thr where
+    levels = ⌈log₁₆(span)⌉ and thr = max(1, n // 256) — e.g. n/64
+    ranks for a span needing 4 levels, n/51 for the old 5-level
+    universe. Returns n_buckets − 1 interior boundaries, ascending."""
     from airline_data_warehouse_spark.operators.sketches import (
-        qdigest_build,
+        qdigest_build_auto,
         qdigest_rank_values,
     )
 
     vals = df.select(F.col(col).cast("long").alias("v"))
-    dig = qdigest_build(vals, "v")
+    dig, off, _levels = qdigest_build_auto(vals, "v")
     n = int(dig.agg(F.sum("cnt").alias("n")).collect()[0]["n"])
     ranks = [(i, (n * i + n_buckets - 1) // n_buckets)
              for i in range(1, n_buckets)]
-    rows = qdigest_rank_values(dig, ranks).collect()
+    rows = qdigest_rank_values(dig, ranks, offset=off).collect()
     return [int(r["est_value"])
             for r in sorted(rows, key=lambda r: r["key"])]
 

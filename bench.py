@@ -186,6 +186,7 @@ HEADLINE = [
     "graph_shortest_paths",
     "minhash_jaccard_calibration",
     "quantile_sketch_order_totals",
+    "quantile_sketch_date_keys",
     "stream_countmin_read",
     "stream_bloom_read",
     "stream_quantile_read",

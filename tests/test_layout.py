@@ -170,3 +170,31 @@ def test_morton_key_interleaves_bits(spark):
 
     for r in z:
         assert r["z"] == expect(r["a"], r["b"]), (r["a"], r["b"], r["z"])
+
+
+def test_qdigest_boundaries_general_integer_domain(spark):
+    """qdigest_boundaries is un-gated for arbitrary integer domains
+    (auto offset + levels): date_key-magnitude values (> 2^20, which
+    the fixed universe used to reject) produce reproducible, ordered,
+    in-domain boundaries within the auto-planned rank-error bound."""
+    from airline_data_warehouse_spark.sources.layout import (
+        qdigest_boundaries,
+    )
+
+    n = 4000
+    # deterministic, non-uniform, >2^20 domain (yyyyMMdd-ish)
+    df = spark.createDataFrame(
+        [(19_920_101 + (i * i) % 60_000,) for i in range(n)], "v long")
+    b1 = qdigest_boundaries(df, "v", 8)
+    b2 = qdigest_boundaries(df, "v", 8)
+    assert b1 == b2, "pure function of the multiset"
+    assert b1 == sorted(b1) and len(b1) == 7
+    assert all(19_920_101 <= v < 19_920_101 + 60_000 for v in b1)
+    # rank-error bound: each boundary's TRUE rank is within
+    # levels*thr of its target (levels=4 for this span, thr=n//256)
+    sv = sorted(r["v"] for r in df.collect())
+    thr = max(1, n // 256)
+    for i, bv in enumerate(b1, start=1):
+        target = (n * i + 7) // 8
+        true_rank = sum(1 for x in sv if x <= bv)
+        assert target <= true_rank <= target + 4 * thr

@@ -3864,3 +3864,64 @@ def test_qdigest_merge_empty_inputs_raise(spark):
     empty = spark.createDataFrame([], "id long, lvl int, cnt long")
     with _pytest.raises(ValueError, match="empty"):
         sk.qdigest_merge(empty, empty)
+
+
+def test_qdigest_plan_math():
+    """qdigest_plan: minimal levels covering the span, offset = lo,
+    loud guard beyond the BIGINT upper-bound limit."""
+    import pytest as _pytest
+
+    import airline_data_warehouse_spark.operators.sketches as sk
+
+    assert sk.qdigest_plan(0, 15) == (0, 1)
+    assert sk.qdigest_plan(0, 16) == (0, 2)          # span 17 > 16^1
+    assert sk.qdigest_plan(100, 100) == (100, 1)     # single value
+    assert sk.qdigest_plan(19920101, 19980802) == (19920101, 4)
+    assert sk.qdigest_plan(-50, 49) == (-50, 2)      # negatives shift up
+    with _pytest.raises(ValueError, match="empty domain"):
+        sk.qdigest_plan(5, 4)
+    with _pytest.raises(ValueError, match="max_levels"):
+        sk.qdigest_plan(0, 1 << 61)
+    with _pytest.raises(ValueError, match="max_levels"):
+        sk.qdigest_plan(0, 300, max_levels=2, branch_bits=4)
+
+
+def test_qdigest_build_auto_general_domain(spark):
+    """qdigest_build_auto on a >2^20 domain: the auto-planned digest
+    is node-for-node identical to an explicit build over
+    offset-shifted values (same plan → same pure function of the
+    multiset), and offset-aware reads honor the est/exact rank bounds
+    in the RAW domain (VERDICT r13 item 1)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import airline_data_warehouse_spark.operators.sketches as sk
+
+    rnd = random.Random(7)
+    vals = [20_000_000 + rnd.randrange(0, 60_000) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    dig, off, lv = sk.qdigest_build_auto(df, "v")
+    assert off == min(vals)
+    assert lv == sk.qdigest_plan(min(vals), max(vals))[1]
+    explicit = sk.qdigest_build(
+        df.select((F.col("v") - off).alias("v")), "v", levels=lv)
+    assert (sorted(map(tuple, dig.collect()))
+            == sorted(map(tuple, explicit.collect())))
+
+    n, sv = len(vals), sorted(vals)
+    thr = max(1, n // 256)
+    for r in sk.qdigest_quantiles(dig, n, offset=off).collect():
+        exact = sv[r["rnk"] - 1]
+        cap = sv[min(n, r["rnk"] + lv * thr) - 1]
+        assert exact <= r["est_value"] <= cap
+
+    # the explicit-offset path of qdigest_build is the shard-build
+    # primitive: same (offset, levels) plan → merge-compatible digests
+    da = sk.qdigest_build(df.filter(F.col("v") % 2 == 0), "v",
+                          levels=lv, offset=off)
+    db = sk.qdigest_build(df.filter(F.col("v") % 2 != 0), "v",
+                          levels=lv, offset=off)
+    merged = sk.qdigest_merge(da, db, levels=lv)
+    mass = merged.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    assert mass == n

@@ -92,6 +92,12 @@ WINDOW_ALLOWLIST = {
         "sketch-sized digest frame + ≤4096-row bucket-offset frame",
     "stream_quantile_read":
         "sketch-sized digest frame + ≤4096-row bucket-offset frame",
+    # same two q-digest read windows; the exact-side values are
+    # offset-SHIFTED before bucketing, so v >> 8 spans ≤ span/256
+    # buckets (~240 for the ~6·10⁴ date-key span) — smaller than the
+    # 2^20-domain case
+    "quantile_sketch_date_keys":
+        "sketch-sized digest frame + ≤span/256-row bucket-offset frame",
 }
 
 
