@@ -944,3 +944,172 @@ def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
             .withColumn("jaccard",
                         F.round(inter.cast("double") / union, 6))
             .select("id1", "id2", "est_jaccard", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr method).
+# The reference method builds a corpus-global suffix array; at 100 TB
+# that is a global sort no cluster wants. The Spark-first shape instead:
+# k-token window-hash inverted index -> same-hash CROSS-DOC hits
+# (bucket-bounded, never corpus x corpus) -> per-(pair, diagonal)
+# consecutive-run merge into MAXIMAL shared spans (a partitioned
+# gaps-and-islands window) -> exact verify-join of the merged span text
+# (the dedup family's verify-join discipline, closing the ~2^-60
+# window-hash collision tail). Deterministic end to end, so fully
+# oracle-able.
+# ---------------------------------------------------------------------------
+
+def _token_window_hashes(df: DataFrame, text_col: str, id_col: str,
+                         k: int) -> DataFrame:
+    """(id, pos, wh): the 60-bit md5 hash of every k-token window,
+    pos 1-based on the whitespace token sequence. The window STRING
+    never leaves the executor — only the fixed-width hash is shuffled
+    (a k-token window is ~10k bytes of shuffle per corpus token at
+    k-gram granularity otherwise)."""
+    from airline_data_warehouse_spark.operators.text import WS
+
+    toks = (df.select(F.col(id_col),
+                      F.split(F.trim(F.col(text_col)), WS).alias("_w"))
+            .filter(F.size("_w") >= k))
+    win = F.expr(
+        f"transform(sequence(1, size(_w) - {k - 1}), "
+        f"i -> array_join(slice(_w, i, {k}), ' '))")
+    return (toks.select(F.col(id_col), F.posexplode(win)
+                        .alias("_p0", "_s"))
+            .select(F.col(id_col),
+                    (F.col("_p0") + 1).cast("long").alias("pos"),
+                    F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10)
+                     .cast("long").alias("wh")))
+
+
+def exact_substring_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          min_tokens: int = 25, max_df: int = 16,
+                          max_occ: int = 256) -> DataFrame:
+    """Maximal >= min_tokens-token spans shared VERBATIM between two
+    otherwise-distinct documents — the dominant contamination shape in
+    web-scale corpora (quoted boilerplate, syndicated paragraphs,
+    licence blocks) that document-level exact/MinHash/SimHash dedup
+    cannot see (reference semantics: Lee et al. 2022 ExactSubstr;
+    VERDICT r13 item 2). Output: (doc_a, doc_b, start_a, start_b,
+    span_tokens) with doc_a < doc_b, starts 1-based in token units,
+    one row per maximal run per (pair, diagonal).
+
+    How a span is found: a shared L-token span appears as L - k + 1
+    consecutive window-hash hits on ONE diagonal (pa - pb constant),
+    so hits group by (pair, diagonal) and merge by the classic
+    gaps-and-islands pos - row_number() key; the merged span is then
+    re-extracted from BOTH documents and kept only if the texts are
+    byte-equal (verify-join: a window-hash collision can at worst
+    DROP a span, never invent one).
+
+    Scale guards, both loud:
+    * ``max_df``: window hashes in more than max_df distinct docs are
+      boilerplate and are EXCLUDED before pair expansion (the
+      boilerplate_ngrams rationale) — candidate volume per hash stays
+      <= max_df^2, never corpus^2. A span containing an excluded
+      window splits; report what you drop, don't silently quadratic.
+    * ``max_occ``: if any surviving hash still occurs more than
+      max_occ times (intra-document repetition — max_df bounds DOCS,
+      not occurrences), raise and point at the repetition filter:
+      run remove_repeated_spans/text_repetition_filter first
+      (the mutual_knn_pairs bounded-contract precedent)."""
+    wins = _persist(_token_window_hashes(df, text_col, id_col, k))
+    freq = wins.groupBy("wh").agg(
+        F.count_distinct(F.col(id_col)).alias("_df"),
+        F.count(F.lit(1)).alias("_occ"))
+    good = _persist(freq.filter(F.col("_df") <= max_df).select("wh", "_occ"))
+    worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
+    if worst is not None and worst > max_occ:
+        raise ValueError(
+            f"exact_substring_spans: a window hash occurs {worst} "
+            f"times (> max_occ={max_occ}) after the max_df filter — "
+            "intra-document repetition would blow up the pair join "
+            "quadratically; run the repetition filter "
+            "(text_repetition_filter / remove_repeated_spans) first "
+            "or raise max_occ deliberately")
+    w2 = wins.join(good.select("wh"), "wh", "left_semi")
+    a = w2.select(F.col("wh"), F.col(id_col).alias("doc_a"),
+                  F.col("pos").alias("pa"))
+    b = w2.select(F.col("wh"), F.col(id_col).alias("doc_b"),
+                  F.col("pos").alias("pb"))
+    hits = (a.join(b, "wh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "pa", "pb",
+                    (F.col("pa") - F.col("pb")).alias("_diag")))
+    run_w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pa")
+    runs = hits.withColumn(
+        "_grp", F.col("pa") - F.row_number().over(run_w))
+    spans = (runs.groupBy("doc_a", "doc_b", "_diag", "_grp")
+             .agg(F.min("pa").cast("long").alias("start_a"),
+                  F.min("pb").cast("long").alias("start_b"),
+                  (F.count(F.lit(1)) + F.lit(k - 1)).cast("long")
+                  .alias("span_tokens"))
+             .filter(F.col("span_tokens") >= min_tokens)
+             .select("doc_a", "doc_b", "start_a", "start_b",
+                     "span_tokens"))
+    from airline_data_warehouse_spark.operators.text import WS
+
+    arrs = df.select(F.col(id_col),
+                     F.split(F.trim(F.col(text_col)), WS).alias("_w"))
+    wa = arrs.select(F.col(id_col).alias("doc_a"), F.col("_w").alias("_wa"))
+    wb = arrs.select(F.col(id_col).alias("doc_b"), F.col("_w").alias("_wb"))
+    return (spans.join(wa, "doc_a").join(wb, "doc_b")
+            .filter(F.expr("array_join(slice(_wa, int(start_a), "
+                           "int(span_tokens)), ' ') = "
+                           "array_join(slice(_wb, int(start_b), "
+                           "int(span_tokens)), ' ')"))
+            .select("doc_a", "doc_b", "start_a", "start_b",
+                    "span_tokens"))
+
+
+def remove_cross_doc_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           min_tokens: int = 25, max_df: int = 16,
+                           max_occ: int = 256,
+                           spans: DataFrame | None = None) -> DataFrame:
+    """The ExactSubstr REMOVAL twin, keep-first across documents: every
+    token range of a LATER document (larger id) that exact_substring_
+    spans found verbatim in an earlier one is cut, and the survivor
+    text re-assembled in token order. Output: (doc_id, n_removed,
+    kept_text) for each document that lost at least one token —
+    kept_text is '' when a document was covered entirely (a full
+    duplicate seen through the span lens). Overlapping spans union
+    cleanly (positions are deduplicated before removal); a document
+    losing spans to several earlier documents loses the union.
+
+    Scale shape: spans explode into covered POSITIONS (sequence +
+    explode — linear in tokens actually removed), the removal set
+    anti-marks the affected documents' token positions with one keyed
+    left join, and reassembly is a per-document sort of that
+    document's own tokens (array_sort over a collect_list bounded by
+    single-document length — the same per-doc bound every text
+    operator carries)."""
+    if spans is None:
+        spans = exact_substring_spans(df, text_col, id_col, k,
+                                      min_tokens, max_df, max_occ)
+    from airline_data_warehouse_spark.operators.text import WS
+
+    rem = (spans.select(F.col("doc_b").alias(id_col),
+                        F.explode(F.sequence(
+                            F.col("start_b"),
+                            F.col("start_b") + F.col("span_tokens") - 1))
+                        .alias("pos"))
+           .distinct()
+           .withColumn("_rm", F.lit(1)))
+    toks = (df.select(F.col(id_col),
+                      F.posexplode(F.split(F.trim(F.col(text_col)), WS))
+                      .alias("_p0", "tok"))
+            .select(F.col(id_col),
+                    (F.col("_p0") + 1).cast("long").alias("pos"), "tok"))
+    affected = toks.join(rem.select(id_col).distinct(), id_col,
+                         "left_semi")
+    marked = affected.join(rem, [id_col, "pos"], "left")
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "tok", "_rm"))),
+        lambda x: x["_rm"].isNull())
+    return (marked.groupBy(id_col)
+            .agg(F.count("_rm").cast("long").alias("n_removed"),
+                 F.array_join(F.transform(kept, lambda x: x["tok"]), " ")
+                 .alias("kept_text")))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -505,35 +505,44 @@ def average_hash(df: DataFrame) -> DataFrame:
     (floor), same rule."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
         for pdf in it:
-            out = []
-            for row in pdf.itertuples(index=False):
-                arr = (np.frombuffer(row.pixels, dtype=np.uint8)
-                         .reshape(row.height, row.width, row.channels)
-                         .astype(np.int64))
-                ys = (np.arange(8) * row.height) // 8
-                xs = (np.arange(8) * row.width) // 8
-                small = arr[ys][:, xs]
-                if row.channels == 3:
-                    luma = small @ np.array([299, 587, 114], dtype=np.int64)
-                else:
-                    luma = (1000 * small.sum(axis=2)) // row.channels
-                total = int(luma.sum())
-                bits = (luma * 64 > total).reshape(-1)
-                val = 0
-                for bit in bits:
-                    val = (val << 1) | int(bit)
-                if val >= 1 << 63:           # wrap to signed int64
-                    val -= 1 << 64
-                out.append((row.media_id, val))
+            out = [(row.media_id,
+                    _ahash_int(row.height, row.width, row.channels,
+                               row.pixels))
+                   for row in pdf.itertuples(index=False)]
             yield pd.DataFrame(out, columns=["media_id", "ahash"])
 
     return df.mapInPandas(
         batches,
         StructType([StructField("media_id", LongType(), False),
                     StructField("ahash", LongType(), True)]))
+
+
+def _ahash_int(height: int, width: int, channels: int,
+               pixels: bytes) -> int:
+    """The integer aHash kernel shared by average_hash (images) and
+    frame_average_hash (video frames) — see average_hash's docstring
+    for the bit-reproducibility argument."""
+    import numpy as np
+    arr = (np.frombuffer(pixels, dtype=np.uint8)
+             .reshape(height, width, channels)
+             .astype(np.int64))
+    ys = (np.arange(8) * height) // 8
+    xs = (np.arange(8) * width) // 8
+    small = arr[ys][:, xs]
+    if channels == 3:
+        luma = small @ np.array([299, 587, 114], dtype=np.int64)
+    else:
+        luma = (1000 * small.sum(axis=2)) // channels
+    total = int(luma.sum())
+    bits = (luma * 64 > total).reshape(-1)
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    if val >= 1 << 63:           # wrap to signed int64
+        val -= 1 << 64
+    return val
 
 
 def image_near_dup_pairs(pixels: DataFrame,
@@ -635,3 +644,209 @@ def audio_near_dup_pairs(df: DataFrame, max_hamming: int = 4) -> DataFrame:
 
     fps = audio_fingerprint(df).filter(F.col("afp").isNotNull())
     return hamming_near_pairs(fps, "afp", "media_id", 64, max_hamming)
+
+
+# -- video: frame decode → per-frame aHash → temporal near-dup -------------
+#
+# Video joins the multimodal near-dup family (VERDICT r13 item 5; image
+# aHash and the audio energy fingerprint are the other two members):
+# per-frame average-hash, sequence fingerprint = ordered frame-hash
+# array, and near-duplicate SEGMENTS found by pigeonhole hamming over
+# frame hashes merged along temporal diagonals — the exact-substring
+# machinery transplanted from tokens to frames (a shared clip of
+# consecutive frames is a run of near-equal frame hashes on one
+# (pair, frame-offset) diagonal).
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("height", IntegerType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("pixels", BinaryType(), True),   # uint8, H*W*C row-major
+])
+
+
+def decode_video_frames(df: DataFrame, deterministic_fake: bool = False,
+                        frame_bytes: int = 32,
+                        every_ms: int = 1000) -> DataFrame:
+    """Decode video payloads to per-frame pixel buffers (MEDIA_SCHEMA →
+    FRAME_SCHEMA). Same seam contract as decode_pixels:
+
+    * ``deterministic_fake=True`` — the payload is read as consecutive
+      ``frame_bytes``-byte blocks, one frame per block; frame f's
+      buffer is the md5 digest of ITS block tiled over H×W×3 with dims
+      from the digest bytes (decode_pixels' exact convention, applied
+      per frame). Temporal clipping of a fake video is therefore
+      byte-prefix clipping of its payload — which is what lets a
+      registry fixture plant clipped near-duplicate twins THROUGH the
+      seam instead of around it.
+    * real path — PyAV behind the import guard (absent in this
+      container: raises NotImplementedError naming the dependency,
+      never a silent fake), sampling one frame every ``every_ms``
+      of stream time.
+
+    Arrow-batched mapInPandas, partition-preserving: a 100 TB video
+    table decodes at scan parallelism, each task bounded by its own
+    payloads' frame count."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import io
+
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.media_type != "video":
+                    continue
+                payload = bytes(row.payload) if row.payload is not None else b""
+                if deterministic_fake:
+                    for f in range(len(payload) // frame_bytes):
+                        block = payload[f * frame_bytes:(f + 1) * frame_bytes]
+                        d = hashlib.md5(block).digest()
+                        h, w = 16 + d[1] % 64, 16 + d[0] % 64
+                        arr = np.frombuffer(
+                            (d * (h * w * 3 // 16 + 1))[:h * w * 3],
+                            dtype=np.uint8)
+                        out.append((row.media_id, f, h, w, 3,
+                                    arr.tobytes()))
+                else:
+                    try:
+                        import av
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "video frame decode requires PyAV "
+                            "(pip install av)") from e
+                    with av.open(io.BytesIO(payload)) as container:
+                        stream = container.streams.video[0]
+                        next_ts = 0.0
+                        f = 0
+                        for frame in container.decode(stream):
+                            t_ms = (frame.time or 0.0) * 1000.0
+                            if t_ms + 1e-6 < next_ts:
+                                continue
+                            rgb = frame.to_ndarray(format="rgb24")
+                            out.append((row.media_id, f, rgb.shape[0],
+                                        rgb.shape[1], 3, rgb.tobytes()))
+                            f += 1
+                            next_ts += every_ms
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def frame_average_hash(frames: DataFrame) -> DataFrame:
+    """Per-frame 64-bit integer aHash (FRAME_SCHEMA → (media_id,
+    frame_idx, fhash)) — the same bit-reproducible kernel as the image
+    average_hash (`_ahash_int`), keyed by (video, frame)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in it:
+            out = [(row.media_id, row.frame_idx,
+                    _ahash_int(row.height, row.width, row.channels,
+                               row.pixels))
+                   for row in pdf.itertuples(index=False)]
+            yield pd.DataFrame(out,
+                               columns=["media_id", "frame_idx", "fhash"])
+
+    return frames.mapInPandas(
+        batches,
+        StructType([StructField("media_id", LongType(), False),
+                    StructField("frame_idx", IntegerType(), False),
+                    StructField("fhash", LongType(), True)]))
+
+
+def video_fingerprint(frames: DataFrame) -> DataFrame:
+    """(media_id, vfp): the sequence fingerprint — frame aHashes in
+    frame order as one array<long> per video. Bounded by a single
+    video's frame count (the per-doc bound every text operator
+    carries); two fingerprints compare by elementwise hamming."""
+    fh = frame_average_hash(frames)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("frame_idx", "fhash"))),
+        lambda x: x["fhash"])
+    return fh.groupBy("media_id").agg(ordered.alias("vfp"))
+
+
+_FRAME_PACK = 1 << 16   # (media_id, frame_idx) packed for the chunk join
+
+
+def video_near_dup_segments(frames: DataFrame, max_hamming: int = 8,
+                            min_run: int = 3) -> DataFrame:
+    """Near-duplicate temporal SEGMENTS between videos: maximal runs of
+    >= min_run consecutive frames whose per-frame aHashes sit within
+    ``max_hamming`` bits — the video member of the multimodal near-dup
+    family, and the frame-domain twin of dedup.exact_substring_spans
+    (same diagonal gaps-and-islands merge; 'verbatim tokens' becomes
+    'perceptually-equal frames'). Output: (id1, id2, start_a, start_b,
+    run_frames) with id1 < id2, starts 0-based frame indices.
+
+    Scale shape: frame-hash candidates come from the SAME pigeonhole
+    chunk join as image/audio/SimHash (dedup.hamming_near_pairs — per-
+    chunk equi-joins, bit_count verify, never all-pairs) over ids
+    packed as media_id * 2^16 + frame_idx (videos beyond 65,536
+    sampled frames — 18 h at 1 fps — raise loudly rather than alias);
+    the diagonal merge window is PARTITIONED by (pair, diagonal)."""
+    from airline_data_warehouse_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    fh = frame_average_hash(frames)
+    over = fh.filter(F.col("frame_idx") >= _FRAME_PACK).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"video_near_dup_segments: frame_idx {over[0]['frame_idx']} "
+            f"exceeds the {_FRAME_PACK} pack width (media_id "
+            f"{over[0]['media_id']}) — sample fewer frames or widen "
+            "_FRAME_PACK")
+    packed = fh.select(
+        (F.col("media_id") * _FRAME_PACK + F.col("frame_idx"))
+        .alias("pid"), "fhash")
+    pairs = hamming_near_pairs(packed, "fhash", "pid", 64, max_hamming)
+    hits = (pairs.select(
+        (F.col("id1") / _FRAME_PACK).cast("long").alias("id1"),
+        (F.col("id1") % _FRAME_PACK).cast("long").alias("fa"),
+        (F.col("id2") / _FRAME_PACK).cast("long").alias("id2"),
+        (F.col("id2") % _FRAME_PACK).cast("long").alias("fb"))
+        .filter(F.col("id1") < F.col("id2")))
+    run_w = Window.partitionBy(
+        "id1", "id2", F.col("fa") - F.col("fb")).orderBy("fa")
+    runs = hits.withColumn(
+        "_grp", F.col("fa") - F.row_number().over(run_w))
+    return (runs.groupBy("id1", "id2",
+                         (F.col("fa") - F.col("fb")).alias("_diag"),
+                         "_grp")
+            .agg(F.min("fa").cast("long").alias("start_a"),
+                 F.min("fb").cast("long").alias("start_b"),
+                 F.count(F.lit(1)).cast("long").alias("run_frames"))
+            .filter(F.col("run_frames") >= min_run)
+            .select("id1", "id2", "start_a", "start_b", "run_frames"))
+
+
+def adjust_frame_brightness(frames: DataFrame, delta: int) -> DataFrame:
+    """adjust_brightness for FRAME_SCHEMA (carries frame_idx through):
+    add ``delta`` to every channel value, clipped to [0, 255] — the
+    per-frame photometric perturbation the video near-dup key uses to
+    plant twins a few hamming bits away (see adjust_brightness)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = (np.frombuffer(row.pixels, dtype=np.uint8)
+                       .astype(np.int64) + delta)
+                out.append((row.media_id, row.frame_idx, row.height,
+                            row.width, row.channels,
+                            np.clip(arr, 0, 255).astype(np.uint8)
+                            .tobytes()))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in
+                                        FRAME_SCHEMA.fields])
+
+    return frames.mapInPandas(batches, FRAME_SCHEMA)

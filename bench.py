@@ -14,7 +14,12 @@ multi-second spikes, so 5 samples are needed for the median to reliably
 dodge one). A fixed calibration probe (code that never changes) is
 timed the same way and reported as `calibration_sec`: divide per-key
 readings by the round-over-round calibration ratio before reading any
-drift as a regression.
+drift as a regression. The record now carries that division done:
+`queries_norm` / `value_norm` are the raw medians divided by
+calibration_sec — THE numbers to compare across rounds (r13 measured
+±20-40% raw-total drift between identical-code runs under host
+contention, with the calibration probe drifting in lockstep); the raw
+seconds remain authoritative for absolute budgets.
 """
 
 from __future__ import annotations
@@ -187,6 +192,9 @@ HEADLINE = [
     "minhash_jaccard_calibration",
     "quantile_sketch_order_totals",
     "quantile_sketch_date_keys",
+    "dedup_exact_substring",
+    "dedup_exact_substring_removal",
+    "multimodal_video_near_dup",
     "stream_countmin_read",
     "stream_bloom_read",
     "stream_quantile_read",
@@ -271,7 +279,15 @@ def main() -> None:
     # plan-audit signal — go LAST, inside the kept tail. The untruncated
     # record is always in BENCH_LOCAL.json regardless.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    record = {"queries": timings}
+    # Calibration-NORMALIZED twins (VERDICT r13 item 3): r13 proved raw
+    # totals drift ±20–40% between identical-code runs when the host is
+    # contended (280.8/304.4/332.4 s on one build), while the fixed
+    # probe drifts in lockstep. queries_norm[k] = median_k /
+    # calibration_sec is the unit-free number to compare across rounds;
+    # the raw seconds stay authoritative for absolute budgets.
+    norm = ({k: round(v / calibration, 2) for k, v in timings.items()}
+            if calibration > 0 else {})
+    record = {"queries": timings, "queries_norm": norm}
     if errors:
         # errors also belong in the kept tail, but before the summary —
         # a long error map must not push the total/calibration out
@@ -284,6 +300,13 @@ def main() -> None:
         "n_queries": len(timings),
         "slowest20": slowest,
         "calibration_sec": calibration,
+        "comparison_rule": "cross-round: compare value_norm and "
+                           "queries_norm (raw medians divided by "
+                           "calibration_sec, a fixed never-changing "
+                           "probe) — raw seconds drift ±20-40% with "
+                           "host contention on identical code (r13)",
+        "value_norm": (round(sum(timings.values()) / calibration, 2)
+                       if calibration > 0 else None),
         "value": round(sum(timings.values()), 3),
     })
     line = json.dumps(record)

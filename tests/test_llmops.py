@@ -3925,3 +3925,111 @@ def test_qdigest_build_auto_general_domain(spark):
     merged = sk.qdigest_merge(da, db, levels=lv)
     mass = merged.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
     assert mass == n
+
+
+def test_exact_substring_spans_and_removal(spark):
+    """ExactSubstr (Lee et al. 2022): maximal cross-doc verbatim spans
+    — hand-checkable fixture: doc2 embeds doc1's first 20 tokens at
+    offset 3, doc4 is a full copy of doc1, doc3 shares nothing."""
+    import pytest as _pytest
+
+    import airline_data_warehouse_spark.operators.dedup as dd
+
+    base = " ".join(chr(ord("a") + i) * 2 for i in range(26))
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, "zz yy " + " ".join(base.split()[:20]) + " xx ww vv"),
+         (3, " ".join(f"w{i}" for i in range(30))),
+         (4, base)],
+        "doc_id long, text string")
+    spans = {(r["doc_a"], r["doc_b"]):
+             (r["start_a"], r["start_b"], r["span_tokens"])
+             for r in dd.exact_substring_spans(
+                 docs, k=4, min_tokens=10).collect()}
+    assert spans == {(1, 2): (1, 3, 20),
+                     (1, 4): (1, 1, 26),
+                     (2, 4): (3, 1, 20)}
+
+    rem = {r["doc_id"]: (r["n_removed"], r["kept_text"])
+           for r in dd.remove_cross_doc_spans(
+               docs, k=4, min_tokens=10).collect()}
+    # keep-first: doc1 untouched; doc2 loses the 20 embedded tokens;
+    # doc4 (full duplicate) is covered entirely -> empty survivor
+    assert set(rem) == {2, 4}
+    assert rem[2] == (20, "zz yy xx ww vv")
+    assert rem[4] == (26, "")
+
+    # a sub-min_tokens shared run is NOT reported
+    assert dd.exact_substring_spans(
+        docs, k=4, min_tokens=30).filter("doc_b = 2").count() == 0
+
+    # intra-doc repetition guard: one doc repeating a window > max_occ
+    # times raises loudly instead of running the quadratic pair join
+    rep = spark.createDataFrame(
+        [(1, " ".join(["p q r s"] * 40)), (2, "p q r s t u v w x y")],
+        "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_occ"):
+        dd.exact_substring_spans(rep, k=4, min_tokens=4, max_occ=8)
+
+    # boilerplate df-filter: a window in > max_df docs is excluded, so
+    # docs sharing ONLY that window produce no spans (and no pair blowup)
+    boiler = spark.createDataFrame(
+        [(i, f"u{i} v{i} common1 common2 common3 common4 common5 "
+             f"common6 common7 common8 common9 common10 z{i}")
+         for i in range(12)],
+        "doc_id long, text string")
+    assert dd.exact_substring_spans(
+        boiler, k=4, min_tokens=8, max_df=4).count() == 0
+
+
+def test_planned_band_params_pins_certified_constants_and_scales():
+    """lsh_band_plan wired into the banded operators (VERDICT r13
+    item 4): the plan-derived defaults reproduce TODAY'S literal
+    constants at the certified sf0.1 corpus count (4,000 vectors) —
+    zero certified-key rotation — and at 8× the planned rows_per_band
+    holds per-item candidate volume inside budget (budget_met True)
+    where the fixed constants would drift to ~8× the volume."""
+    import pytest as _pytest
+
+    import airline_data_warehouse_spark.operators.similarity as sim
+
+    assert sim.planned_band_params(4_000) == (4, 8)
+
+    plan8 = sim.lsh_band_plan(32_000, 64.0, 0.96, 0.9, bands_hint=4)
+    assert plan8["budget_met"]
+    assert plan8["rows_per_band"] > 8          # widened with the corpus
+    assert plan8["expected_random_candidates_per_item"] <= 128.0
+    assert plan8["expected_recall"] >= 0.9
+    # fixed constants at 8x: bands*n/2^R = 4*32000/256 = 500/item —
+    # the planner's whole point is staying ~an order below that
+    fixed_8x = 4 * 32_000 / (1 << 8)
+    assert plan8["expected_random_candidates_per_item"] < fixed_8x / 4
+
+    with _pytest.raises(ValueError, match="IVF"):
+        sim.planned_band_params(10_000_000_000)
+
+
+def test_banded_operators_auto_plan_path(spark):
+    """bands=None derives (bands, rows_per_band) from the corpus count
+    and produces exactly the result of passing the planned literals —
+    the auto path is the same operator, not a different one."""
+    import random
+
+    import airline_data_warehouse_spark.operators.similarity as sim
+
+    rnd = random.Random(11)
+    base = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        rows.append((i + 100, [x + rnd.gauss(0, 0.001) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planned = sim.planned_band_params(corpus.count())
+    auto = sim.embedding_near_dup_pairs(corpus, threshold=0.98,
+                                        bands=None, rows_per_band=None)
+    explicit = sim.embedding_near_dup_pairs(
+        corpus, threshold=0.98, bands=planned[0],
+        rows_per_band=planned[1])
+    got = sorted(map(tuple, auto.collect()))
+    assert got == sorted(map(tuple, explicit.collect()))
+    assert got, "near-dup twins must collide under the planned bands"

@@ -226,3 +226,52 @@ def test_audio_fingerprint_gain_invariant_near_dup(spark):
     release_caches()
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 3 and pairs[(2, 3)] == 3
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_video_frame_decode_fingerprint_and_segments(spark):
+    """Video near-dup family (fake-decode seam, no PyAV needed): a
+    clipped copy's fingerprint is the original's shifted by the clip,
+    and video_near_dup_segments finds the shared temporal run on the
+    clip diagonal; periodic content yields its self-similarity
+    diagonals too (correct, not a bug)."""
+    from airline_data_warehouse_spark.operators import multimodal as mm
+
+    payload = bytes(range(256)) * 2          # 16 fake frames of 32 B
+    clip = payload[64:]                      # drop the first 2 frames
+    media = spark.createDataFrame(
+        [(1, payload, "video", None), (2, clip, "video", None)],
+        mm.MEDIA_SCHEMA)
+    frames = mm.decode_video_frames(media, deterministic_fake=True)
+    counts = {r["media_id"]: r["count"]
+              for r in frames.groupBy("media_id").count().collect()}
+    assert counts == {1: 16, 2: 14}
+    fp = {r["media_id"]: r["vfp"]
+          for r in mm.video_fingerprint(frames).collect()}
+    assert fp[2] == fp[1][2:], "clip fingerprint = shifted original"
+
+    segs = {(r["id1"], r["id2"], r["start_a"], r["start_b"]):
+            r["run_frames"]
+            for r in mm.video_near_dup_segments(
+                frames, max_hamming=8, min_run=3).collect()}
+    # the clip diagonal: original frame 2.. == clip frame 0.., 14 long
+    assert segs[(1, 2, 2, 0)] == 14
+    # payload repeats after 8 frames -> period-8 self-similarity diags
+    assert segs[(1, 2, 0, 6)] == 8 and segs[(1, 2, 10, 0)] == 6
+
+    # brightness-shifted twin frames stay within a few hamming bits
+    bright = mm.adjust_frame_brightness(frames, 30)
+    fh0 = {(r["media_id"], r["frame_idx"]): r["fhash"]
+           for r in mm.frame_average_hash(frames).collect()}
+    fh1 = {(r["media_id"], r["frame_idx"]): r["fhash"]
+           for r in mm.frame_average_hash(bright).collect()}
+    for key, h0 in fh0.items():
+        d = bin((h0 ^ fh1[key]) & ((1 << 64) - 1)).count("1")
+        assert d <= 16, f"brightness shift moved {d} bits at {key}"
+
+    # frame_idx beyond the pack width raises instead of aliasing
+    import pytest as _pytest
+    wide = spark.createDataFrame(
+        [(9, 70000, 16, 16, 3, bytes(16 * 16 * 3))],
+        mm.FRAME_SCHEMA)
+    with _pytest.raises(ValueError, match="pack width"):
+        mm.video_near_dup_segments(frames.unionByName(wide))
