@@ -1113,3 +1113,72 @@ def remove_cross_doc_spans(df: DataFrame, text_col: str = "text",
             .agg(F.count("_rm").cast("long").alias("n_removed"),
                  F.array_join(F.transform(kept, lambda x: x["tok"]), " ")
                  .alias("kept_text")))
+
+
+def exact_substring_spans_incremental(corpus: DataFrame,
+                                      increment: DataFrame,
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id", k: int = 8,
+                                      min_tokens: int = 25,
+                                      max_df: int = 16,
+                                      max_occ: int = 256) -> DataFrame:
+    """Incremental ExactSubstr: spans between the NEW batch and the
+    corpus only — increment windows join the corpus window index, the
+    corpus is never re-paired against itself (the
+    incremental_minhash_pairs / dedup_cascade discipline; at 100 TB
+    the index is the persisted table and the increment is a
+    micro-batch). Output: (corpus_id, inc_id, start_corpus, start_inc,
+    span_tokens).
+
+    Equivalent BY CONSTRUCTION to the batch exact_substring_spans over
+    corpus ∪ increment restricted to cross pairs (test-pinned): the
+    boilerplate df-filter counts distinct docs across BOTH sides —
+    production maintains that as a per-hash doc-count column on the
+    persisted index, incremented per batch — so a window that becomes
+    boilerplate only once the increment lands is excluded exactly as
+    the batch run would exclude it."""
+    cw = _persist(_token_window_hashes(corpus, text_col, id_col, k))
+    iw = _persist(_token_window_hashes(increment, text_col, id_col, k))
+    both = cw.unionByName(iw)
+    freq = both.groupBy("wh").agg(
+        F.count_distinct(F.col(id_col)).alias("_df"),
+        F.count(F.lit(1)).alias("_occ"))
+    good = _persist(freq.filter(F.col("_df") <= max_df).select("wh", "_occ"))
+    worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
+    if worst is not None and worst > max_occ:
+        raise ValueError(
+            f"exact_substring_spans_incremental: a window hash occurs "
+            f"{worst} times (> max_occ={max_occ}) after the max_df "
+            "filter — run the repetition filter first or raise "
+            "max_occ deliberately")
+    a = (cw.join(good.select("wh"), "wh", "left_semi")
+         .select("wh", F.col(id_col).alias("corpus_id"),
+                 F.col("pos").alias("pa")))
+    b = (iw.join(good.select("wh"), "wh", "left_semi")
+         .select("wh", F.col(id_col).alias("inc_id"),
+                 F.col("pos").alias("pb")))
+    hits = (a.join(b, "wh")
+            .select("corpus_id", "inc_id", "pa", "pb",
+                    (F.col("pa") - F.col("pb")).alias("_diag")))
+    run_w = Window.partitionBy("corpus_id", "inc_id", "_diag").orderBy("pa")
+    runs = hits.withColumn(
+        "_grp", F.col("pa") - F.row_number().over(run_w))
+    spans = (runs.groupBy("corpus_id", "inc_id", "_diag", "_grp")
+             .agg(F.min("pa").cast("long").alias("start_corpus"),
+                  F.min("pb").cast("long").alias("start_inc"),
+                  (F.count(F.lit(1)) + F.lit(k - 1)).cast("long")
+                  .alias("span_tokens"))
+             .filter(F.col("span_tokens") >= min_tokens))
+    from airline_data_warehouse_spark.operators.text import WS
+
+    wa = corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.split(F.trim(F.col(text_col)), WS).alias("_wa"))
+    wb = increment.select(F.col(id_col).alias("inc_id"),
+                          F.split(F.trim(F.col(text_col)), WS).alias("_wb"))
+    return (spans.join(wa, "corpus_id").join(wb, "inc_id")
+            .filter(F.expr("array_join(slice(_wa, int(start_corpus), "
+                           "int(span_tokens)), ' ') = "
+                           "array_join(slice(_wb, int(start_inc), "
+                           "int(span_tokens)), ' ')"))
+            .select("corpus_id", "inc_id", "start_corpus", "start_inc",
+                    "span_tokens"))

@@ -556,3 +556,72 @@ def qdigest_rank_values(digest: DataFrame,
             .groupBy("key", "rnk")
             .agg((F.min("ub") + F.lit(int(offset))).cast("long")
                  .alias("est_value")))
+
+
+def countmin_inner_product(a_cells: DataFrame,
+                           b_cells: DataFrame,
+                           depth: int = CMS_DEPTH) -> DataFrame:
+    """Join-size (inner-product) estimate from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005, §4.2): for sketches of relations A
+    and B keyed the same way, est = MIN over the d rows of
+    Σ_buckets cellA·cellB. Always ≥ the true inner product
+    Σ_k cntA(k)·cntB(k) (collisions only add cross terms), and
+    ≤ true + (e/width)·|A|·|B| with the standard CMS probability —
+    the classic pre-join cardinality probe: two constant-size sketches
+    answer "how big would this equi-join be" without touching either
+    relation again (the AMS F₂ key is the self-join twin).
+
+    Inputs are countmin_build cell frames (row, bucket, counter) built
+    with the SAME depth/width. Rows with no shared buckets contribute
+    an inner product of 0 (a missing row after the cell join must not
+    silently drop out of the MIN — that would overestimate), hence the
+    left join from a literal depth frame. Output: 1 row
+    (est_join_size long). Constant exchange: both sides are ≤ d·w
+    cells."""
+    spark = a_cells.sparkSession
+    prod = (a_cells.alias("a")
+            .join(b_cells.alias("b"), ["row", "bucket"])
+            .groupBy("row")
+            .agg(F.sum(F.col("a.counter") * F.col("b.counter"))
+                 .alias("ip")))
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    return (rows.join(prod, "row", "left")
+            .agg(F.min(F.coalesce(F.col("ip"), F.lit(0)))
+                 .cast("long").alias("est_join_size")))
+
+
+def lc_set_algebra(a: DataFrame, b: DataFrame, hash_col: str = "sh",
+                   bits: int = LC_BITS) -> DataFrame:
+    """Cardinality SET ALGEBRA over Linear Counting bitmaps: LC bitmaps
+    are mergeable by bit-union (OR of the position sets IS the bitmap
+    of the set union), so |A∪B| estimates from the unioned bitmap and
+    |A∩B| follows by inclusion-exclusion — the deterministic,
+    oracle-able counterpart of a theta-sketch intersection. Output:
+    1 row (est_a, est_b, est_union, est_intersect doubles, 6 dp).
+    est_intersect inherits the summed error of its three terms (and
+    can go slightly negative for near-disjoint sets — reported
+    honestly, not clamped); any overloaded bitmap (all bits set) makes
+    its estimates NULL, the linear_counting convention. Exchange:
+    three ≤ bits-row bitmaps + a 1-row aggregate, constant at any
+    corpus size."""
+    ba = bloom_build(a, hash_col, hashes=1, bits=bits)
+    bb = bloom_build(b, hash_col, hashes=1, bits=bits)
+    m = float(bits)
+
+    def est(k):
+        return (F.when(k < bits,
+                       F.round(F.lit(m) * F.log(F.lit(m)
+                                                / (F.lit(m) - k)), 6))
+                .otherwise(F.lit(None).cast("double")))
+
+    ka = ba.agg(F.count(F.lit(1)).cast("double").alias("ka"))
+    kb = bb.agg(F.count(F.lit(1)).cast("double").alias("kb"))
+    ku = (ba.unionByName(bb).distinct()
+          .agg(F.count(F.lit(1)).cast("double").alias("ku")))
+    out = ka.crossJoin(F.broadcast(kb)).crossJoin(F.broadcast(ku))
+    return out.select(
+        est(F.col("ka")).alias("est_a"),
+        est(F.col("kb")).alias("est_b"),
+        est(F.col("ku")).alias("est_union"),
+        F.round(est(F.col("ka")) + est(F.col("kb"))
+                - est(F.col("ku")), 6).alias("est_intersect"))

