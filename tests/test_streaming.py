@@ -1539,3 +1539,66 @@ def test_read_linear_state_deterministic_error_raises_first_attempt(
         sks.read_countmin_store(spark, store)
     assert "FileNotFoundException" not in str(ei.value)
     assert attempts["n"] == 1, "deterministic error must not retry"
+
+
+def test_stream_qdigest_general_universe(spark, tmp_path):
+    """The streaming q-digest store carries the general-universe plan
+    (offset/levels fixed at stream start): date_key-magnitude values
+    ingest, and the store read over the SAME plan is bit-identical to
+    the batch build over the same rows — the shared-oracle property,
+    now on a >2^20 domain."""
+    import json as jsonlib
+
+    import airline_data_warehouse_spark.operators.sketches as sk
+    from airline_data_warehouse_spark.streaming.sketch import (
+        qdigest_store_quantiles,
+        start_qdigest_ingest,
+    )
+
+    vals = [19_920_101 + (i * i) % 60_000 for i in range(3000)]
+    off, lv = sk.qdigest_plan(min(vals), max(vals))
+    work = tmp_path / "work"
+    for b in range(3):
+        d = work / "in" / f"b{b}"
+        d.mkdir(parents=True)
+        with open(d / "data.json", "w") as fh:
+            for v in vals[b::3]:
+                fh.write(jsonlib.dumps({"v": v}) + "\n")
+    src = (spark.readStream.schema("v long")
+           .option("maxFilesPerTrigger", 1).json(f"{work}/in/*"))
+    q = start_qdigest_ingest(src, f"{work}/store",
+                             checkpoint_dir=f"{work}/ck",
+                             fold_every=2, offset=off, levels=lv)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["pct"]: (r["rnk"], r["est_value"])
+           for r in qdigest_store_quantiles(
+               spark, f"{work}/store", offset=off, levels=lv).collect()}
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    dig, boff, blv = sk.qdigest_build_auto(df, "v")
+    assert (boff, blv) == (off, lv)
+    want = {r["pct"]: (r["rnk"], r["est_value"])
+            for r in sk.qdigest_quantiles(dig, len(vals),
+                                          offset=off).collect()}
+    assert got == want, "store read ≡ batch build on the raw domain"
+
+    # a raw (unshifted) value outside the planned universe fails the
+    # streaming query loudly instead of poisoning the store
+    bad = work / "bad" / "b0"
+    bad.mkdir(parents=True)
+    with open(bad / "data.json", "w") as fh:
+        fh.write(jsonlib.dumps({"v": 5}) + "\n")   # << offset
+    src2 = (spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", 1).json(f"{work}/bad/*"))
+    q2 = start_qdigest_ingest(src2, f"{work}/store2",
+                              checkpoint_dir=f"{work}/ck2",
+                              offset=off, levels=lv)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="universe"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
