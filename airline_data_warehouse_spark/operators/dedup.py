@@ -1016,52 +1016,81 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
       run remove_repeated_spans/text_repetition_filter first
       (the mutual_knn_pairs bounded-contract precedent)."""
     wins = _persist(_token_window_hashes(df, text_col, id_col, k))
-    freq = wins.groupBy("wh").agg(
-        F.count_distinct(F.col(id_col)).alias("_df"),
-        F.count(F.lit(1)).alias("_occ"))
-    good = _persist(freq.filter(F.col("_df") <= max_df).select("wh", "_occ"))
-    worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
-    if worst is not None and worst > max_occ:
-        raise ValueError(
-            f"exact_substring_spans: a window hash occurs {worst} "
-            f"times (> max_occ={max_occ}) after the max_df filter — "
-            "intra-document repetition would blow up the pair join "
-            "quadratically; run the repetition filter "
-            "(text_repetition_filter / remove_repeated_spans) first "
-            "or raise max_occ deliberately")
-    w2 = wins.join(good.select("wh"), "wh", "left_semi")
+    good = _good_window_hashes(wins, id_col, max_df, max_occ,
+                               "exact_substring_spans")
+    w2 = wins.join(good, "wh", "left_semi")
     a = w2.select(F.col("wh"), F.col(id_col).alias("doc_a"),
                   F.col("pos").alias("pa"))
     b = w2.select(F.col("wh"), F.col(id_col).alias("doc_b"),
                   F.col("pos").alias("pb"))
-    hits = (a.join(b, "wh")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "pa", "pb",
-                    (F.col("pa") - F.col("pb")).alias("_diag")))
-    run_w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pa")
-    runs = hits.withColumn(
-        "_grp", F.col("pa") - F.row_number().over(run_w))
-    spans = (runs.groupBy("doc_a", "doc_b", "_diag", "_grp")
-             .agg(F.min("pa").cast("long").alias("start_a"),
-                  F.min("pb").cast("long").alias("start_b"),
+    hits = a.join(b, "wh").filter(F.col("doc_a") < F.col("doc_b"))
+    return _merged_verified_spans(
+        hits, k, min_tokens, "doc_a", "doc_b", "start_a", "start_b",
+        _token_arrays(df, text_col, id_col, "doc_a", "_wa"),
+        _token_arrays(df, text_col, id_col, "doc_b", "_wb"))
+
+
+def _good_window_hashes(wins_union: DataFrame, id_col: str, max_df: int,
+                        max_occ: int, who: str) -> DataFrame:
+    """The boilerplate df-filter + intra-document repetition guard
+    shared by the batch and incremental span operators: (wh) hashes in
+    ≤ max_df distinct docs, raising loudly when a surviving hash still
+    occurs > max_occ times."""
+    freq = wins_union.groupBy("wh").agg(
+        F.count_distinct(F.col(id_col)).alias("_df"),
+        F.count(F.lit(1)).alias("_occ"))
+    good = _persist(freq.filter(F.col("_df") <= max_df)
+                    .select("wh", "_occ"))
+    worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
+    if worst is not None and worst > max_occ:
+        raise ValueError(
+            f"{who}: a window hash occurs {worst} times "
+            f"(> max_occ={max_occ}) after the max_df filter — "
+            "intra-document repetition would blow up the pair join "
+            "quadratically; run the repetition filter "
+            "(text_repetition_filter / remove_repeated_spans) first "
+            "or raise max_occ deliberately")
+    return good.select("wh")
+
+
+def _token_arrays(df: DataFrame, text_col: str, id_col: str,
+                  out_id: str, out_arr: str) -> DataFrame:
+    """(out_id, out_arr): each document's whitespace token array — the
+    verify-join side frames."""
+    from airline_data_warehouse_spark.operators.text import WS
+
+    return df.select(F.col(id_col).alias(out_id),
+                     F.split(F.trim(F.col(text_col)), WS).alias(out_arr))
+
+
+def _merged_verified_spans(hits: DataFrame, k: int, min_tokens: int,
+                           id_a: str, id_b: str, start_a: str,
+                           start_b: str, arr_a: DataFrame,
+                           arr_b: DataFrame) -> DataFrame:
+    """The diagonal run merge + exact verify shared by the batch and
+    incremental span operators. ``hits``: (id_a, id_b, pa, pb) window
+    matches; ``arr_a``/``arr_b``: (id_x, _wa/_wb) token arrays. One
+    maximal run per (pair, diagonal); a merged span survives only if
+    its re-extracted text is byte-equal on both sides (a window-hash
+    collision can drop a span, never invent one)."""
+    run_w = Window.partitionBy(id_a, id_b, "_diag").orderBy("pa")
+    runs = (hits.select(id_a, id_b, "pa", "pb",
+                        (F.col("pa") - F.col("pb")).alias("_diag"))
+            .withColumn("_grp",
+                        F.col("pa") - F.row_number().over(run_w)))
+    spans = (runs.groupBy(id_a, id_b, "_diag", "_grp")
+             .agg(F.min("pa").cast("long").alias(start_a),
+                  F.min("pb").cast("long").alias(start_b),
                   (F.count(F.lit(1)) + F.lit(k - 1)).cast("long")
                   .alias("span_tokens"))
              .filter(F.col("span_tokens") >= min_tokens)
-             .select("doc_a", "doc_b", "start_a", "start_b",
-                     "span_tokens"))
-    from airline_data_warehouse_spark.operators.text import WS
-
-    arrs = df.select(F.col(id_col),
-                     F.split(F.trim(F.col(text_col)), WS).alias("_w"))
-    wa = arrs.select(F.col(id_col).alias("doc_a"), F.col("_w").alias("_wa"))
-    wb = arrs.select(F.col(id_col).alias("doc_b"), F.col("_w").alias("_wb"))
-    return (spans.join(wa, "doc_a").join(wb, "doc_b")
-            .filter(F.expr("array_join(slice(_wa, int(start_a), "
+             .select(id_a, id_b, start_a, start_b, "span_tokens"))
+    return (spans.join(arr_a, id_a).join(arr_b, id_b)
+            .filter(F.expr(f"array_join(slice(_wa, int({start_a}), "
                            "int(span_tokens)), ' ') = "
-                           "array_join(slice(_wb, int(start_b), "
+                           f"array_join(slice(_wb, int({start_b}), "
                            "int(span_tokens)), ' ')"))
-            .select("doc_a", "doc_b", "start_a", "start_b",
-                    "span_tokens"))
+            .select(id_a, id_b, start_a, start_b, "span_tokens"))
 
 
 def remove_cross_doc_spans(df: DataFrame, text_col: str = "text",
@@ -1139,46 +1168,17 @@ def exact_substring_spans_incremental(corpus: DataFrame,
     the batch run would exclude it."""
     cw = _persist(_token_window_hashes(corpus, text_col, id_col, k))
     iw = _persist(_token_window_hashes(increment, text_col, id_col, k))
-    both = cw.unionByName(iw)
-    freq = both.groupBy("wh").agg(
-        F.count_distinct(F.col(id_col)).alias("_df"),
-        F.count(F.lit(1)).alias("_occ"))
-    good = _persist(freq.filter(F.col("_df") <= max_df).select("wh", "_occ"))
-    worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
-    if worst is not None and worst > max_occ:
-        raise ValueError(
-            f"exact_substring_spans_incremental: a window hash occurs "
-            f"{worst} times (> max_occ={max_occ}) after the max_df "
-            "filter — run the repetition filter first or raise "
-            "max_occ deliberately")
-    a = (cw.join(good.select("wh"), "wh", "left_semi")
+    good = _good_window_hashes(cw.unionByName(iw), id_col, max_df,
+                               max_occ,
+                               "exact_substring_spans_incremental")
+    a = (cw.join(good, "wh", "left_semi")
          .select("wh", F.col(id_col).alias("corpus_id"),
                  F.col("pos").alias("pa")))
-    b = (iw.join(good.select("wh"), "wh", "left_semi")
+    b = (iw.join(good, "wh", "left_semi")
          .select("wh", F.col(id_col).alias("inc_id"),
                  F.col("pos").alias("pb")))
-    hits = (a.join(b, "wh")
-            .select("corpus_id", "inc_id", "pa", "pb",
-                    (F.col("pa") - F.col("pb")).alias("_diag")))
-    run_w = Window.partitionBy("corpus_id", "inc_id", "_diag").orderBy("pa")
-    runs = hits.withColumn(
-        "_grp", F.col("pa") - F.row_number().over(run_w))
-    spans = (runs.groupBy("corpus_id", "inc_id", "_diag", "_grp")
-             .agg(F.min("pa").cast("long").alias("start_corpus"),
-                  F.min("pb").cast("long").alias("start_inc"),
-                  (F.count(F.lit(1)) + F.lit(k - 1)).cast("long")
-                  .alias("span_tokens"))
-             .filter(F.col("span_tokens") >= min_tokens))
-    from airline_data_warehouse_spark.operators.text import WS
-
-    wa = corpus.select(F.col(id_col).alias("corpus_id"),
-                       F.split(F.trim(F.col(text_col)), WS).alias("_wa"))
-    wb = increment.select(F.col(id_col).alias("inc_id"),
-                          F.split(F.trim(F.col(text_col)), WS).alias("_wb"))
-    return (spans.join(wa, "corpus_id").join(wb, "inc_id")
-            .filter(F.expr("array_join(slice(_wa, int(start_corpus), "
-                           "int(span_tokens)), ' ') = "
-                           "array_join(slice(_wb, int(start_inc), "
-                           "int(span_tokens)), ' ')"))
-            .select("corpus_id", "inc_id", "start_corpus", "start_inc",
-                    "span_tokens"))
+    return _merged_verified_spans(
+        a.join(b, "wh"), k, min_tokens,
+        "corpus_id", "inc_id", "start_corpus", "start_inc",
+        _token_arrays(corpus, text_col, id_col, "corpus_id", "_wa"),
+        _token_arrays(increment, text_col, id_col, "inc_id", "_wb"))

@@ -721,17 +721,24 @@ def decode_video_frames(df: DataFrame, deterministic_fake: bool = False,
                             "(pip install av)") from e
                     with av.open(io.BytesIO(payload)) as container:
                         stream = container.streams.video[0]
-                        next_ts = 0.0
+                        next_ts = None
                         f = 0
                         for frame in container.decode(stream):
                             t_ms = (frame.time or 0.0) * 1000.0
-                            if t_ms + 1e-6 < next_ts:
+                            if next_ts is not None \
+                                    and t_ms + 1e-6 < next_ts:
                                 continue
                             rgb = frame.to_ndarray(format="rgb24")
                             out.append((row.media_id, f, rgb.shape[0],
                                         rgb.shape[1], 3, rgb.tobytes()))
                             f += 1
-                            next_ts += every_ms
+                            # advance from the EMITTED frame's own
+                            # timestamp, not a fixed 0-based grid: a
+                            # stream starting at t=5s (trimmed/live
+                            # capture) or with a mid-stream gap must
+                            # not emit a burst of back-to-back frames
+                            # while the grid catches up (review r14)
+                            next_ts = t_ms + every_ms
             yield pd.DataFrame(out, columns=[f.name for f in
                                              FRAME_SCHEMA.fields])
 
@@ -773,6 +780,11 @@ def video_fingerprint(frames: DataFrame) -> DataFrame:
 
 
 _FRAME_PACK = 1 << 16   # (media_id, frame_idx) packed for the chunk join
+# media ids must keep media_id * 2^16 + frame_idx an EXACT long:
+# 2^46 leaves headroom below both the 2^63 long limit and the 2^53
+# double-exact window (the unpack is integer shiftright, but staying
+# under 2^53 keeps any accidental double round-trip lossless too)
+_MEDIA_PACK_MAX = 1 << 46
 
 
 def video_near_dup_segments(frames: DataFrame, max_hamming: int = 8,
@@ -795,22 +807,34 @@ def video_near_dup_segments(frames: DataFrame, max_hamming: int = 8,
         hamming_near_pairs,
     )
 
-    fh = frame_average_hash(frames)
-    over = fh.filter(F.col("frame_idx") >= _FRAME_PACK).limit(1).collect()
+    from airline_data_warehouse_spark.operators.dedup import _persist
+
+    # persist: the pack-width guard's probe and the chunk join would
+    # otherwise each re-run the decode+hash mapInPandas kernel — the
+    # dominant per-frame cost — over the whole corpus
+    fh = _persist(frame_average_hash(frames))
+    over = (fh.filter((F.col("frame_idx") >= _FRAME_PACK)
+                      | (F.col("media_id") >= _MEDIA_PACK_MAX)
+                      | (F.col("media_id") < 0))
+            .limit(1).collect())
     if over:
         raise ValueError(
-            f"video_near_dup_segments: frame_idx {over[0]['frame_idx']} "
-            f"exceeds the {_FRAME_PACK} pack width (media_id "
-            f"{over[0]['media_id']}) — sample fewer frames or widen "
-            "_FRAME_PACK")
+            f"video_near_dup_segments: (media_id, frame_idx) = "
+            f"({over[0]['media_id']}, {over[0]['frame_idx']}) outside "
+            f"the pack domain [0, {_MEDIA_PACK_MAX}) x "
+            f"[0, {_FRAME_PACK}) — the packed id must stay an exact "
+            "long; re-key media ids or widen _FRAME_PACK")
     packed = fh.select(
         (F.col("media_id") * _FRAME_PACK + F.col("frame_idx"))
         .alias("pid"), "fhash")
     pairs = hamming_near_pairs(packed, "fhash", "pid", 64, max_hamming)
+    # integer unpack: `/` is DOUBLE division in Spark and rounds the
+    # media id for pids beyond 2^53 — shiftright is exact at any
+    # in-domain pid (review r14)
     hits = (pairs.select(
-        (F.col("id1") / _FRAME_PACK).cast("long").alias("id1"),
+        F.shiftright(F.col("id1"), 16).alias("id1"),
         (F.col("id1") % _FRAME_PACK).cast("long").alias("fa"),
-        (F.col("id2") / _FRAME_PACK).cast("long").alias("id2"),
+        F.shiftright(F.col("id2"), 16).alias("id2"),
         (F.col("id2") % _FRAME_PACK).cast("long").alias("fb"))
         .filter(F.col("id1") < F.col("id2")))
     run_w = Window.partitionBy(

@@ -2223,4 +2223,12 @@ def _resolve_band_params(corpus: DataFrame, bands: int | None,
     certified fixed point."""
     if bands is not None and rows_per_band is not None:
         return bands, rows_per_band
+    if bands is not None or rows_per_band is not None:
+        # the two are JOINTLY planned (more bands -> wider bands to
+        # hold the budget); silently replacing the provided half with
+        # planner output would discard caller intent (review r14)
+        raise ValueError(
+            "banded operators: pass BOTH bands and rows_per_band as "
+            "literals, or BOTH as None for the planned path — a mixed "
+            "call is ambiguous (the pair is jointly planned)")
     return planned_band_params(corpus.count())

@@ -575,19 +575,51 @@ def countmin_inner_product(a_cells: DataFrame,
     with the SAME depth/width. Rows with no shared buckets contribute
     an inner product of 0 (a missing row after the cell join must not
     silently drop out of the MIN — that would overestimate), hence the
-    left join from a literal depth frame. Output: 1 row
-    (est_join_size long). Constant exchange: both sides are ≤ d·w
-    cells."""
+    left join from a literal depth frame. ``depth`` must match the
+    sketches' build depth: a read at a LARGER depth would coalesce the
+    phantom rows to 0 and silently return 0 — the inverse of the
+    guarantee — so the sketches' own max row index is validated first
+    (review r14). Output: 1 row (est_join_size long). Constant
+    exchange: both sides are ≤ d·w cells.
+
+    Internals multiply/sum in EXACT DECIMAL (a long·long product wraps
+    silently under non-ANSI Spark once a hot cell passes ~3e9); only
+    the output is BIGINT, raise_error-guarded so an over-BIGINT inner
+    product fails loudly on both engines instead of certifying
+    wrapped values (the ams_f2_join_size discipline)."""
+    from airline_data_warehouse_spark.operators.dedup import _persist
+
     spark = a_cells.sparkSession
+    # persist: the depth probe and the product join would otherwise
+    # each re-run the full corpus scan behind the ≤ d·w-row cell frame
+    a_cells, b_cells = _persist(a_cells), _persist(b_cells)
+    for name, cells in (("a_cells", a_cells), ("b_cells", b_cells)):
+        top = cells.agg(F.max("row").alias("m")).collect()[0]["m"]
+        if top is not None and top != depth - 1:
+            raise ValueError(
+                f"countmin_inner_product: {name} has max row {top} — "
+                f"built at depth {top + 1}, read at depth {depth}; "
+                "the MIN over phantom rows would silently return 0. "
+                "Pass the build depth.")
+    dec = "decimal(38,0)"
     prod = (a_cells.alias("a")
             .join(b_cells.alias("b"), ["row", "bucket"])
             .groupBy("row")
-            .agg(F.sum(F.col("a.counter") * F.col("b.counter"))
-                 .alias("ip")))
+            .agg(F.sum(F.col("a.counter").cast(dec)
+                       * F.col("b.counter").cast(dec)).alias("ip")))
     rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
-    return (rows.join(prod, "row", "left")
-            .agg(F.min(F.coalesce(F.col("ip"), F.lit(0)))
-                 .cast("long").alias("est_join_size")))
+    est = (rows.join(prod, "row", "left")
+           .agg(F.min(F.coalesce(F.col("ip"), F.lit(0).cast(dec)))
+                .alias("ip_min")))
+    bigmax = F.lit(9223372036854775807).cast(dec)
+    return est.select(
+        F.when(F.col("ip_min") <= bigmax,
+               F.col("ip_min").cast("bigint"))
+        .otherwise(F.raise_error(F.lit(
+            "countmin_inner_product: inner product exceeds BIGINT — "
+            "consume the per-row DECIMAL sums directly at this scale"))
+            .cast("bigint"))
+        .alias("est_join_size"))
 
 
 def lc_set_algebra(a: DataFrame, b: DataFrame, hash_col: str = "sh",

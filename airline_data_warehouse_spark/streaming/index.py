@@ -55,15 +55,20 @@ def append_log(spark: SparkSession, index_dir: str) -> DataFrame:
     # row for the same batch_id. Dedup by KEY, not full-row equality —
     # mean_d2 is a 6-dp-rounded float aggregate, so a replay summing
     # in a different partition order can flip the last digit and leave
-    # two near-identical rows for one batch (ADVICE r13-low). max()
-    # per column is deterministic regardless of row arrival order;
-    # the columns beyond the rounding jitter are identical per batch.
+    # two near-identical rows for one batch (ADVICE r13-low). Keep ONE
+    # WHOLE row (lexicographic max struct — deterministic regardless
+    # of arrival order), never per-column maxes: a per-column mix
+    # could pair one replay's mean_d2 with the other's
+    # retrain_recommended, a composite row neither replay wrote
+    # (review r14).
     log = spark.read.parquet(f"{index_dir}/append_log")
     others = [c for c in log.columns if c != "batch_id"]
     if not others:
         return log.distinct()
-    return log.groupBy("batch_id").agg(
-        *[F.max(c).alias(c) for c in others])
+    return (log.groupBy("batch_id")
+            .agg(F.max(F.struct(*others)).alias("_r"))
+            .select("batch_id", *[F.col(f"_r.{c}").alias(c)
+                                  for c in others]))
 
 
 def start_index_ingest(stream: DataFrame, index_dir: str,

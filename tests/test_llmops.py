@@ -3854,16 +3854,24 @@ def test_stream_work_dir_sweeps_stale_scratch(tmp_path, monkeypatch):
     monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
     stale = tmp_path / "adw_stream_tst_stale"
     stale.mkdir()
-    old = llmops._PROC_START - 120
+    old = min(llmops._PROC_START, __import__("time").time()
+              - llmops._SCRATCH_TTL_S) - 120
     os.utime(stale, (old, old))
     fresh = tmp_path / "adw_stream_tst_fresh"
     fresh.mkdir()                      # mtime = now > _PROC_START
+    # a CONCURRENT older process's live scratch: predates our start
+    # but is younger than the TTL — must NOT be swept (review r14)
+    sibling = tmp_path / "adw_stream_tst_sibling"
+    sibling.mkdir()
+    sib = llmops._PROC_START - 60
+    os.utime(sibling, (sib, sib))
     other = tmp_path / "unrelated_prefix_dir"
     other.mkdir()
     os.utime(other, (old, old))        # stale but different prefix
     new = llmops._stream_work_dir("adw_stream_tst_")
-    assert not stale.exists(), "pre-process scratch must be swept"
+    assert not stale.exists(), "past-TTL orphan must be swept"
     assert fresh.exists(), "this process's scratch must survive"
+    assert sibling.exists(), "a concurrent sibling's scratch survives"
     assert other.exists(), "foreign prefixes are not ours to delete"
     assert os.path.isdir(new) and new.startswith(str(tmp_path))
 
@@ -4071,8 +4079,11 @@ def test_exact_substring_incremental_equals_batch_restriction(spark):
     cross = sorted(map(tuple, batch.filter("doc_a < 100 AND doc_b >= 100")
                        .collect()))
     assert inc_rows == cross and inc_rows, "incremental = batch cross cut"
-    # increment-internal pairs are NOT the incremental operator's job
-    assert batch.filter("doc_a >= 100").count() == 0 or True
+    # increment-internal pairs (docs 100 and 101 share the base prefix)
+    # exist in the BATCH view but are not the incremental operator's
+    # job — pin that the incremental output contains no inc-inc pair
+    assert batch.filter("doc_a >= 100 AND doc_b >= 100").count() > 0
+    assert all(pair[0] < 100 <= pair[1] for pair in inc_rows)
 
 
 def test_countmin_inner_product_math(spark):
@@ -4126,3 +4137,28 @@ def test_lc_set_algebra_math(spark):
     assert abs(row["est_intersect"] - 100) < 80
     assert round(row["est_a"] + row["est_b"] - row["est_union"], 6) \
         == row["est_intersect"]
+
+
+def test_countmin_inner_product_guards(spark):
+    """Review-r14 guards: a depth mismatch raises instead of silently
+    returning 0 through phantom rows, and a mixed literal/None banded
+    call raises instead of discarding the provided half."""
+    import pytest as _pytest
+
+    import airline_data_warehouse_spark.operators.similarity as sim
+    import airline_data_warehouse_spark.operators.sketches as sk
+
+    toks = spark.createDataFrame([("x",)] * 5, "token string")
+    shallow = sk.countmin_build(toks, depth=2)
+    full = sk.countmin_build(toks)
+    with _pytest.raises(ValueError, match="depth"):
+        sk.countmin_inner_product(shallow, full)
+    est = sk.countmin_inner_product(
+        shallow, sk.countmin_build(toks, depth=2), depth=2)
+    assert est.collect()[0]["est_join_size"] == 25
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="jointly planned"):
+        sim.embedding_near_dup_pairs(corpus, bands=12,
+                                     rows_per_band=None)

@@ -273,5 +273,10 @@ def test_video_frame_decode_fingerprint_and_segments(spark):
     wide = spark.createDataFrame(
         [(9, 70000, 16, 16, 3, bytes(16 * 16 * 3))],
         mm.FRAME_SCHEMA)
-    with _pytest.raises(ValueError, match="pack width"):
+    with _pytest.raises(ValueError, match="pack domain"):
         mm.video_near_dup_segments(frames.unionByName(wide))
+    big = spark.createDataFrame(
+        [(1 << 50, 0, 16, 16, 3, bytes(16 * 16 * 3))],
+        mm.FRAME_SCHEMA)
+    with _pytest.raises(ValueError, match="pack domain"):
+        mm.video_near_dup_segments(frames.unionByName(big))
