@@ -465,3 +465,81 @@ def test_prefix_filter_exactness_property(spark):
                             want[(i, j)] = jv
             assert got == want, thr
     check()
+
+
+def _brute_spans(docs: dict, k: int, min_tokens: int) -> set:
+    """Python reference for exact_substring_spans: for every doc pair
+    and diagonal, merge consecutive equal-k-window positions into
+    maximal runs (1-based starts)."""
+    toks = {i: t.split() for i, t in docs.items()}
+    wins = {i: [" ".join(w[p:p + k]) for p in range(len(w) - k + 1)]
+            for i, w in toks.items() if len(w) >= k}
+    out = set()
+    ids = sorted(wins)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            hits = sorted((pa, pb) for pa, wa in enumerate(wins[a])
+                          for pb, wb in enumerate(wins[b]) if wa == wb)
+            by_diag: dict = {}
+            for pa, pb in hits:
+                by_diag.setdefault(pa - pb, []).append(pa)
+            for diag, pas in by_diag.items():
+                run_start = prev = pas[0]
+                for pa in pas[1:] + [None]:
+                    if pa is not None and pa == prev + 1:
+                        prev = pa
+                        continue
+                    length = prev - run_start + k
+                    if length >= min_tokens:
+                        out.add((a, b, run_start + 1,
+                                 run_start - diag + 1, length))
+                    if pa is not None:
+                        run_start = prev = pa
+    return out
+
+
+def test_exact_substring_spans_matches_bruteforce(spark):
+    """Property: the distributed ExactSubstr pipeline (window-hash
+    index -> df filter off -> diagonal merge -> verify) equals a
+    quadratic Python reference on arbitrary small corpora, including
+    periodic and self-overlapping content."""
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=40)
+        .map(lambda ws: " ".join(ws)),
+        min_size=4, max_size=8))
+    def check(texts):
+        import airline_data_warehouse_spark.operators.dedup as dd
+
+        docs = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(list(docs.items()),
+                                   "doc_id long, text string")
+        got = {tuple(r) for r in dd.exact_substring_spans(
+            df, k=3, min_tokens=4, max_df=100, max_occ=10_000)
+            .collect()}
+        assert got == _brute_spans(docs, 3, 4)
+
+    check()
+
+
+def test_qdigest_auto_rank_bounds_hold_on_arbitrary_domains(spark):
+    """Property: for ANY integer multiset (negative, huge, skewed),
+    the auto-planned digest's quantile estimates bracket the true
+    order statistics: exact <= est <= exact(rank + levels*thr)."""
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(st.integers(min_value=-10**12, max_value=10**12),
+                    min_size=50, max_size=400))
+    def check(vals):
+        import airline_data_warehouse_spark.operators.sketches as sk
+
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        dig, off, lv = sk.qdigest_build_auto(df, "v", k=64)
+        n, sv = len(vals), sorted(vals)
+        thr = max(1, n // 64)
+        for r in sk.qdigest_quantiles(dig, n, offset=off).collect():
+            exact = sv[r["rnk"] - 1]
+            cap = sv[min(n, r["rnk"] + lv * thr) - 1]
+            assert exact <= r["est_value"] <= cap, (r, exact, cap)
+
+    check()
