@@ -1063,6 +1063,29 @@ def _token_arrays(df: DataFrame, text_col: str, id_col: str,
                      F.split(F.trim(F.col(text_col)), WS).alias(out_arr))
 
 
+def _merged_spans(hits: DataFrame, k: int, min_tokens: int,
+                  id_a: str, id_b: str, start_a: str,
+                  start_b: str) -> DataFrame:
+    """The diagonal run merge alone — consecutive window-hash hits per
+    (pair, diagonal) folded into maximal runs by gaps-and-islands.
+    A ≥ min_tokens span is min_tokens − k + 1 CONSECUTIVE hash
+    collisions, so even unverified spans carry (2^-60)^(run-length)
+    false-positive odds — the streaming tier leans on exactly this
+    amplification where the corpus text is not in its store."""
+    run_w = Window.partitionBy(id_a, id_b, "_diag").orderBy("pa")
+    runs = (hits.select(id_a, id_b, "pa", "pb",
+                        (F.col("pa") - F.col("pb")).alias("_diag"))
+            .withColumn("_grp",
+                        F.col("pa") - F.row_number().over(run_w)))
+    return (runs.groupBy(id_a, id_b, "_diag", "_grp")
+            .agg(F.min("pa").cast("long").alias(start_a),
+                 F.min("pb").cast("long").alias(start_b),
+                 (F.count(F.lit(1)) + F.lit(k - 1)).cast("long")
+                 .alias("span_tokens"))
+            .filter(F.col("span_tokens") >= min_tokens)
+            .select(id_a, id_b, start_a, start_b, "span_tokens"))
+
+
 def _merged_verified_spans(hits: DataFrame, k: int, min_tokens: int,
                            id_a: str, id_b: str, start_a: str,
                            start_b: str, arr_a: DataFrame,
@@ -1073,18 +1096,8 @@ def _merged_verified_spans(hits: DataFrame, k: int, min_tokens: int,
     maximal run per (pair, diagonal); a merged span survives only if
     its re-extracted text is byte-equal on both sides (a window-hash
     collision can drop a span, never invent one)."""
-    run_w = Window.partitionBy(id_a, id_b, "_diag").orderBy("pa")
-    runs = (hits.select(id_a, id_b, "pa", "pb",
-                        (F.col("pa") - F.col("pb")).alias("_diag"))
-            .withColumn("_grp",
-                        F.col("pa") - F.row_number().over(run_w)))
-    spans = (runs.groupBy(id_a, id_b, "_diag", "_grp")
-             .agg(F.min("pa").cast("long").alias(start_a),
-                  F.min("pb").cast("long").alias(start_b),
-                  (F.count(F.lit(1)) + F.lit(k - 1)).cast("long")
-                  .alias("span_tokens"))
-             .filter(F.col("span_tokens") >= min_tokens)
-             .select(id_a, id_b, start_a, start_b, "span_tokens"))
+    spans = _merged_spans(hits, k, min_tokens, id_a, id_b,
+                          start_a, start_b)
     return (spans.join(arr_a, id_a).join(arr_b, id_b)
             .filter(F.expr(f"array_join(slice(_wa, int({start_a}), "
                            "int(span_tokens)), ' ') = "

@@ -583,3 +583,172 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def start_exact_substring_ingest(stream: DataFrame, store_dir: str,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 checkpoint_dir: str | None = None,
+                                 k: int = 8, min_tokens: int = 25,
+                                 max_df: int = 16,
+                                 retention_batches: int | None = None,
+                                 compact_every: int | None = 16):
+    """Continuous cross-document exact-substring detection — the
+    STREAMING tier of the ExactSubstr family (batch =
+    operators.dedup.exact_substring_spans, micro-batch =
+    exact_substring_spans_incremental; this completes the
+    batch/incremental/streaming cascade the MinHash family has).
+    Every micro-batch's k-token window hashes join the ACCUMULATED
+    window index; merged cross-document spans land in
+    ``{store_dir}/spans``, the batch's windows and its per-hash
+    distinct-doc counts append to ``{store_dir}/windows`` /
+    ``{store_dir}/hashstats``.
+
+    Three deliberate contracts, each mirrored from a sibling:
+
+    * UNVERIFIED spans (unlike the batch tier): the window index
+      stores hashes, never text, so the byte-equal verify-join is the
+      downstream batch job's role (run exact_substring_spans over the
+      flagged pairs' silver rows). The run merge itself is the
+      amplifier — a ≥ min_tokens span is min_tokens − k + 1
+      CONSECUTIVE 60-bit collisions, so a false span's odds are
+      (2^-60)^(run), far below the single-hash tail.
+    * EMIT-TIME boilerplate filter: the df count a window is judged by
+      is the accumulated count as of this batch (hashstats is a
+      LINEAR state — per-batch distinct-doc counts sum to the global
+      count while doc ids are unique across batches, the CMS-cell
+      convention). A window that becomes boilerplate later stops
+      MATCHING from then on; spans it emitted earlier stand. The batch
+      tier judges by final corpus df — the two agree exactly whenever
+      no window's df crosses max_df mid-stream (the certificate
+      fixture's case, and the common one: boilerplate is boilerplate
+      early).
+    * cross-BATCH pairs only, strictly-earlier matching: the corpus
+      side is filtered to batch_id < current, so an at-least-once
+      replay recomputes exactly the original batch's pairs (no
+      self-batch matches through the replay's own appended windows);
+      same-batch pairs are the batch operator's job over the silver
+      table (the start_neardup_ingest contract).
+
+    State story: the window index is O(corpus tokens) — ~24 bytes per
+    token, the same order as the suffix array the reference method
+    builds, and the honest price of exact spans (signatures cannot
+    answer substring questions). ``retention_batches`` bounds it to a
+    horizon (the dedup_stream_exact watermark trade);
+    ``compact_every`` bounds file count and drops retry duplicates
+    (reads dedup via DISTINCT meanwhile)."""
+    import os
+
+    from airline_data_warehouse_spark.operators.dedup import (
+        _merged_spans,
+        _token_window_hashes,
+        release_caches,
+    )
+
+    windows_dir = os.path.join(store_dir, "windows")
+    stats_dir = os.path.join(store_dir, "hashstats")
+    spans_dir = os.path.join(store_dir, "spans")
+
+    def retained(df: DataFrame, batch_id: int) -> DataFrame:
+        if retention_batches is None:
+            return df
+        return df.filter(F.col("batch_id") > batch_id - retention_batches)
+
+    def compact(spark, path: str, batch_id: int) -> None:
+        store = retained(spark.read.parquet(path),
+                         batch_id).dropDuplicates()
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+        staging = f"{path.rstrip('/')}__compacting"
+        store.coalesce(n_files).write.mode("overwrite").parquet(staging)
+        _swap_store_dir(spark, staging, path)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bw = _token_window_hashes(batch_df, text_col, id_col,
+                                  k).persist()
+        bstats = (bw.groupBy("wh")
+                  .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+                  .persist())
+        try:
+            _recover_store_dir(spark, windows_dir)
+            _recover_store_dir(spark, stats_dir)
+            df_prior = None
+            if _store_dir_exists(spark, stats_dir):
+                df_prior = (retained(
+                    spark.read.parquet(stats_dir).distinct(), batch_id)
+                    .groupBy("wh").agg(F.sum("n_docs").alias("_prior")))
+            total = bstats.select("wh", F.col("n_docs").alias("_new"))
+            if df_prior is not None:
+                total = (total.join(df_prior, "wh", "full")
+                         .select("wh",
+                                 (F.coalesce("_new", F.lit(0))
+                                  + F.coalesce("_prior", F.lit(0)))
+                                 .alias("_df")))
+            else:
+                total = total.select("wh", F.col("_new").alias("_df"))
+            good = total.filter(F.col("_df") <= max_df).select("wh")
+            if _store_dir_exists(spark, windows_dir):
+                cw = (retained(
+                    spark.read.parquet(windows_dir).distinct(), batch_id)
+                    .filter(F.col("batch_id") < batch_id))
+                a = (cw.join(good, "wh", "left_semi")
+                     .select("wh", F.col(id_col).alias("corpus_id"),
+                             F.col("pos").alias("pa")))
+                b = (bw.join(good, "wh", "left_semi")
+                     .select("wh", F.col(id_col).alias("inc_id"),
+                             F.col("pos").alias("pb")))
+                spans = _merged_spans(
+                    a.join(b, "wh")
+                    .filter(F.col("corpus_id") != F.col("inc_id")),
+                    k, min_tokens, "corpus_id", "inc_id",
+                    "start_corpus", "start_inc")
+                (spans.withColumn("batch_id", F.lit(batch_id))
+                 .coalesce(4).write.mode("append").parquet(spans_dir))
+            (bw.withColumn("batch_id", F.lit(batch_id))
+             .coalesce(4).write.mode("append").parquet(windows_dir))
+            (bstats.withColumn("batch_id", F.lit(batch_id))
+             .coalesce(1).write.mode("append").parquet(stats_dir))
+            if compact_every and batch_id > 0 \
+                    and batch_id % compact_every == 0:
+                compact(spark, windows_dir, batch_id)
+                compact(spark, stats_dir, batch_id)
+                compact(spark, spans_dir, batch_id)
+        finally:
+            bstats.unpersist()
+            bw.unpersist()
+            release_caches()
+
+    writer = stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_exact_substring_spans(spark, store_dir: str) -> DataFrame:
+    """The accumulated streaming span findings, ORDER-NORMALIZED:
+    which side was 'corpus' vs 'increment' depends on arrival order,
+    so rows re-orient to (doc_a = lesser id, doc_b = greater, starts
+    mapped to match) — the batch operator's canonical orientation,
+    which is what makes the unordered pair set arrival-order-invariant
+    (every cross-batch pair is found exactly once, by whichever side
+    arrived later). DISTINCT drops at-least-once replay duplicates
+    between compactions."""
+    import os
+
+    spans_dir = os.path.join(store_dir, "spans")
+    _recover_store_dir(spark, spans_dir)
+    raw = (spark.read.parquet(spans_dir)
+           .select("corpus_id", "inc_id", "start_corpus", "start_inc",
+                   "span_tokens")
+           .distinct())
+    flip = F.col("corpus_id") > F.col("inc_id")
+    return raw.select(
+        F.when(flip, F.col("inc_id")).otherwise(F.col("corpus_id"))
+         .alias("doc_a"),
+        F.when(flip, F.col("corpus_id")).otherwise(F.col("inc_id"))
+         .alias("doc_b"),
+        F.when(flip, F.col("start_inc")).otherwise(F.col("start_corpus"))
+         .alias("start_a"),
+        F.when(flip, F.col("start_corpus")).otherwise(F.col("start_inc"))
+         .alias("start_b"),
+        "span_tokens")

@@ -198,6 +198,7 @@ HEADLINE = [
     "multimodal_video_near_dup",
     "cms_join_size",
     "distinct_set_algebra_linear_count",
+    "stream_exact_substring_read",
     "stream_countmin_read",
     "stream_bloom_read",
     "stream_quantile_read",

@@ -1602,3 +1602,58 @@ def test_stream_qdigest_general_universe(spark, tmp_path):
             q2.processAllAvailable()
         finally:
             q2.stop()
+
+
+def test_stream_exact_substring_matches_batch_cross_cut(spark, tmp_path):
+    """Streaming ExactSubstr: the accumulated, order-normalized span
+    store equals the batch operator restricted to cross-batch pairs;
+    replay-duplicate rows in the store dedup at read; orientation
+    flips normalize to (lesser, greater)."""
+    import json as jsonlib
+
+    import airline_data_warehouse_spark.operators.dedup as dd
+    from airline_data_warehouse_spark.streaming.dedup import (
+        read_exact_substring_spans,
+        start_exact_substring_ingest,
+    )
+
+    base = " ".join(chr(ord("a") + i) * 2 for i in range(26))
+    docs = {1: base,
+            4: base,                                   # full dup of 1
+            2: "zz yy " + " ".join(base.split()[:20]) + " xx ww",
+            3: " ".join(f"w{i}" for i in range(30))}
+    work = tmp_path / "w"
+    for b in range(3):                                 # doc -> file by id%3
+        d = work / "in" / f"b{b}"
+        d.mkdir(parents=True)
+        with open(d / "data.json", "w") as fh:
+            for i, t in docs.items():
+                if i % 3 == b:
+                    fh.write(jsonlib.dumps({"doc_id": i, "text": t})
+                             + "\n")
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(f"{work}/in/*"))
+    q = start_exact_substring_ingest(src, f"{work}/store",
+                                     checkpoint_dir=f"{work}/ck",
+                                     k=4, min_tokens=10, compact_every=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, read_exact_substring_spans(
+        spark, f"{work}/store").collect()))
+
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    batch = dd.exact_substring_spans(df, k=4, min_tokens=10)
+    want = sorted(tuple(r) for r in batch.collect()
+                  if r["doc_a"] % 3 != r["doc_b"] % 3)
+    assert got == want and got, "stream = batch cross-batch cut"
+
+    # at-least-once replay: duplicate span rows dedup at read
+    spans_dir = f"{work}/store/spans"
+    spark.read.parquet(spans_dir).limit(1).write.mode("append") \
+         .parquet(spans_dir)
+    again = sorted(map(tuple, read_exact_substring_spans(
+        spark, f"{work}/store").collect()))
+    assert again == got
