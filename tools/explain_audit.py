@@ -43,6 +43,13 @@ AUDITED = [
     "nation_market_share",
     "blamed_suppliers_waiting",
     "snapshot_reconciliation",
+    # r14 additions: the ExactSubstr family's candidate/merge shape,
+    # the general-universe q-digest, and the new sketch probes
+    "dedup_exact_substring",
+    "dedup_exact_substring_incremental",
+    "quantile_sketch_date_keys",
+    "cms_join_size",
+    "multimodal_video_near_dup",
 ]
 
 
