@@ -388,6 +388,19 @@ def recall_probe(spark, sf_dir: str, sample_docs: int = 300,
         len(vgot & vtruth) / max(len(vtruth), 1), 3)
     out["embedding_truth_pairs"] = len(vtruth)
 
+    # --- PLANNED-band near-dup recall (r14, lsh_band_plan wiring) ---
+    # Same exact truth, but (bands, rows_per_band) derived from the
+    # corpus count via planned_band_params — verifies the planner's
+    # expected_recall >= 0.9 promise holds on real data at whatever
+    # n the probe corpus has, not just in closed form.
+    vgot_planned = {(r["id1"], r["id2"]) for r in
+                    sim.embedding_near_dup_pairs(
+                        vcorp, threshold=0.99, bands=None,
+                        rows_per_band=None).collect()}
+    dd.release_caches()
+    out["embedding_pair_recall_planned"] = round(
+        len(vgot_planned & vtruth) / max(len(vtruth), 1), 3)
+
     # --- Hard-negative mining recall vs the exact [low, high) band ---
     # The probe class that caught lsh_topk's recall 0.04 (r07), applied
     # to the mining path (VERDICT r07 item 7): truth = per anchor, the
