@@ -184,7 +184,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (bands, rows_per_band) from the corpus count via
     planned_band_params."""
     bands, rows_per_band = _resolve_band_params(corpus, bands,
-                                                rows_per_band)
+                                                rows_per_band, (8, 4))
     scored = _lsh_scored(corpus, queries, id_col, vec_col,
                          bands, rows_per_band, dims)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
@@ -295,7 +295,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     band width then grows ~log n instead of a constant silently
     degrading into the ~n²/2^R collision floor."""
     bands, rows_per_band = _resolve_band_params(corpus, bands,
-                                                rows_per_band)
+                                                rows_per_band, (4, 8))
     return (_banded_scored_pairs(corpus, id_col, vec_col, bands,
                                  rows_per_band, dims)
             .filter(F.col("score") >= threshold))
@@ -402,7 +402,7 @@ def mutual_knn_pairs_banded(corpus: DataFrame, k: int = 3,
     every step is 6-dp-rounded with id tie-breaks, so the graph is
     deterministic by arithmetic and the oracle replays it exactly."""
     bands, rows_per_band = _resolve_band_params(corpus, bands,
-                                                rows_per_band)
+                                                rows_per_band, (4, 8))
     scored = _banded_scored_pairs(corpus, id_col, vec_col, bands,
                                   rows_per_band, dims)
     sym = scored.select(F.col("id1").alias("qid"),
@@ -2214,21 +2214,31 @@ def planned_band_params(n_rows: int,
 
 
 def _resolve_band_params(corpus: DataFrame, bands: int | None,
-                         rows_per_band: int | None) -> tuple[int, int]:
+                         rows_per_band: int | None,
+                         defaults: tuple[int, int]) -> tuple[int, int]:
     """Auto path for the banded operators: bands=None (and/or
-    rows_per_band=None) derives both from the corpus count via
+    rows_per_band=None) derives BOTH from the corpus count via
     planned_band_params — one count() action, the price of a plan that
     tracks the corpus instead of a constant that silently degrades.
     Passing literals (the default) costs nothing and stays the
-    certified fixed point."""
+    certified fixed point.
+
+    ``defaults``: the operator's own literal defaults. A single-None
+    call where the other half still sits at its default (the
+    documented `bands=None` spelling) is the planned path; a
+    single-None call whose OTHER half was explicitly moved OFF the
+    default raises — the pair is jointly planned (more bands → wider
+    bands to hold the budget), and silently replacing an explicit
+    literal with planner output would discard caller intent
+    (review r14, both directions)."""
     if bands is not None and rows_per_band is not None:
         return bands, rows_per_band
-    if bands is not None or rows_per_band is not None:
-        # the two are JOINTLY planned (more bands -> wider bands to
-        # hold the budget); silently replacing the provided half with
-        # planner output would discard caller intent (review r14)
+    if (bands is not None and bands != defaults[0]) or \
+            (rows_per_band is not None and rows_per_band != defaults[1]):
         raise ValueError(
             "banded operators: pass BOTH bands and rows_per_band as "
-            "literals, or BOTH as None for the planned path — a mixed "
-            "call is ambiguous (the pair is jointly planned)")
+            "literals, or use the planned path (bands=None with "
+            "rows_per_band left at its default) — a non-default "
+            "literal mixed with None is ambiguous (the pair is "
+            "jointly planned)")
     return planned_band_params(corpus.count())

@@ -590,7 +590,7 @@ def start_exact_substring_ingest(stream: DataFrame, store_dir: str,
                                  id_col: str = "doc_id",
                                  checkpoint_dir: str | None = None,
                                  k: int = 8, min_tokens: int = 25,
-                                 max_df: int = 16,
+                                 max_df: int = 16, max_occ: int = 256,
                                  retention_batches: int | None = None,
                                  compact_every: int | None = 16):
     """Continuous cross-document exact-substring detection — the
@@ -654,9 +654,16 @@ def start_exact_substring_ingest(stream: DataFrame, store_dir: str,
             return df
         return df.filter(F.col("batch_id") > batch_id - retention_batches)
 
-    def compact(spark, path: str, batch_id: int) -> None:
-        store = retained(spark.read.parquet(path),
-                         batch_id).dropDuplicates()
+    def compact(spark, path: str, batch_id: int,
+                retain: bool = True) -> None:
+        store = spark.read.parquet(path)
+        if retain:
+            # the retention horizon applies to STATE (windows,
+            # hashstats) only — the spans OUTPUT is findings, and
+            # "spans it emitted earlier stand" (review r14: pruning
+            # results with the state horizon silently deleted them)
+            store = retained(store, batch_id)
+        store = store.dropDuplicates()
         n_files = max(1, spark.sparkContext.defaultParallelism // 4)
         staging = f"{path.rstrip('/')}__compacting"
         store.coalesce(n_files).write.mode("overwrite").parquet(staging)
@@ -667,43 +674,65 @@ def start_exact_substring_ingest(stream: DataFrame, store_dir: str,
         bw = _token_window_hashes(batch_df, text_col, id_col,
                                   k).persist()
         bstats = (bw.groupBy("wh")
-                  .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+                  .agg(F.count_distinct(F.col(id_col)).alias("n_docs"),
+                       F.count(F.lit(1)).alias("n_occ"))
                   .persist())
         try:
+            # every dir a later swap can touch is recovered up front —
+            # spans_dir included (review r14: a crash between the
+            # compaction swap's renames strands the ONLY copy of every
+            # prior span in the hidden backup; without recovery the
+            # retry's append recreates the dir and the next swap
+            # deletes the backup — silent permanent loss)
             _recover_store_dir(spark, windows_dir)
             _recover_store_dir(spark, stats_dir)
-            df_prior = None
-            if _store_dir_exists(spark, stats_dir):
-                df_prior = (retained(
-                    spark.read.parquet(stats_dir).distinct(), batch_id)
-                    .groupBy("wh").agg(F.sum("n_docs").alias("_prior")))
-            total = bstats.select("wh", F.col("n_docs").alias("_new"))
-            if df_prior is not None:
-                total = (total.join(df_prior, "wh", "full")
-                         .select("wh",
-                                 (F.coalesce("_new", F.lit(0))
-                                  + F.coalesce("_prior", F.lit(0)))
-                                 .alias("_df")))
-            else:
-                total = total.select("wh", F.col("_new").alias("_df"))
-            good = total.filter(F.col("_df") <= max_df).select("wh")
-            if _store_dir_exists(spark, windows_dir):
-                cw = (retained(
-                    spark.read.parquet(windows_dir).distinct(), batch_id)
-                    .filter(F.col("batch_id") < batch_id))
-                a = (cw.join(good, "wh", "left_semi")
-                     .select("wh", F.col(id_col).alias("corpus_id"),
-                             F.col("pos").alias("pa")))
-                b = (bw.join(good, "wh", "left_semi")
-                     .select("wh", F.col(id_col).alias("inc_id"),
-                             F.col("pos").alias("pb")))
-                spans = _merged_spans(
-                    a.join(b, "wh")
-                    .filter(F.col("corpus_id") != F.col("inc_id")),
-                    k, min_tokens, "corpus_id", "inc_id",
-                    "start_corpus", "start_inc")
-                (spans.withColumn("batch_id", F.lit(batch_id))
-                 .coalesce(4).write.mode("append").parquet(spans_dir))
+            _recover_store_dir(spark, spans_dir)
+            prior = (_read_store(spark, stats_dir, bstats, batch_id,
+                                 retention_batches)
+                     .distinct().drop("batch_id")
+                     .groupBy("wh").agg(F.sum("n_docs").alias("_pd"),
+                                        F.sum("n_occ").alias("_po")))
+            total = (bstats.select("wh",
+                                   F.col("n_docs").alias("_nd"),
+                                   F.col("n_occ").alias("_no"))
+                     .join(prior, "wh", "full")
+                     .select("wh",
+                             (F.coalesce("_nd", F.lit(0))
+                              + F.coalesce("_pd", F.lit(0))).alias("_df"),
+                             (F.coalesce("_no", F.lit(0))
+                              + F.coalesce("_po", F.lit(0)))
+                             .alias("_occ")))
+            good = (total.filter(F.col("_df") <= max_df)
+                    .select("wh", "_occ").persist())
+            # the batch tier's max_occ contract, streamed: a surviving
+            # hash whose accumulated occurrences exceed max_occ fails
+            # THIS micro-batch loudly (the qdigest-ingest precedent)
+            # instead of letting the pair join go quadratic silently
+            worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
+            if worst is not None and worst > max_occ:
+                raise ValueError(
+                    f"start_exact_substring_ingest: a window hash has "
+                    f"{worst} accumulated occurrences "
+                    f"(> max_occ={max_occ}) in batch {int(batch_id)} — "
+                    "intra-document repetition would blow up the pair "
+                    "join; run the repetition filter upstream or raise "
+                    "max_occ deliberately")
+            cw = (_read_store(spark, windows_dir, bw, batch_id,
+                              retention_batches)
+                  .distinct().drop("batch_id"))
+            a = (cw.join(good.select("wh"), "wh", "left_semi")
+                 .select("wh", F.col(id_col).alias("corpus_id"),
+                         F.col("pos").alias("pa")))
+            b = (bw.join(good.select("wh"), "wh", "left_semi")
+                 .select("wh", F.col(id_col).alias("inc_id"),
+                         F.col("pos").alias("pb")))
+            spans = _merged_spans(
+                a.join(b, "wh")
+                .filter(F.col("corpus_id") != F.col("inc_id")),
+                k, min_tokens, "corpus_id", "inc_id",
+                "start_corpus", "start_inc")
+            (spans.withColumn("batch_id", F.lit(batch_id))
+             .coalesce(4).write.mode("append").parquet(spans_dir))
             (bw.withColumn("batch_id", F.lit(batch_id))
              .coalesce(4).write.mode("append").parquet(windows_dir))
             (bstats.withColumn("batch_id", F.lit(batch_id))
@@ -712,8 +741,12 @@ def start_exact_substring_ingest(stream: DataFrame, store_dir: str,
                     and batch_id % compact_every == 0:
                 compact(spark, windows_dir, batch_id)
                 compact(spark, stats_dir, batch_id)
-                compact(spark, spans_dir, batch_id)
+                compact(spark, spans_dir, batch_id, retain=False)
         finally:
+            try:
+                good.unpersist()
+            except NameError:
+                pass
             bstats.unpersist()
             bw.unpersist()
             release_caches()

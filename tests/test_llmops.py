@@ -4162,3 +4162,7 @@ def test_countmin_inner_product_guards(spark):
     with _pytest.raises(ValueError, match="jointly planned"):
         sim.embedding_near_dup_pairs(corpus, bands=12,
                                      rows_per_band=None)
+    # the documented single-None spelling (other half at its default)
+    # is the planned path, not an error (review r14 follow-up)
+    assert sim.embedding_near_dup_pairs(
+        corpus, bands=None).columns == ["id1", "id2", "score"]

@@ -1657,3 +1657,33 @@ def test_stream_exact_substring_matches_batch_cross_cut(spark, tmp_path):
     again = sorted(map(tuple, read_exact_substring_spans(
         spark, f"{work}/store").collect()))
     assert again == got
+
+
+def test_stream_exact_substring_max_occ_guard(spark, tmp_path):
+    """The batch tier's intra-document repetition contract, streamed: a
+    doc repeating one window past max_occ fails the micro-batch loudly
+    (the qdigest-ingest precedent) instead of letting the pair join go
+    quadratic silently."""
+    import json as jsonlib
+
+    import pytest as _pytest
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_exact_substring_ingest,
+    )
+
+    d = tmp_path / "in" / "b0"
+    d.mkdir(parents=True)
+    with open(d / "data.json", "w") as fh:
+        fh.write(jsonlib.dumps(
+            {"doc_id": 1, "text": " ".join(["p q r s"] * 40)}) + "\n")
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(f"{tmp_path}/in/*"))
+    q = start_exact_substring_ingest(src, f"{tmp_path}/store",
+                                     checkpoint_dir=f"{tmp_path}/ck",
+                                     k=4, min_tokens=10, max_occ=8)
+    with _pytest.raises(Exception, match="max_occ"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
