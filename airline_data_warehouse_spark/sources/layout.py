@@ -107,11 +107,18 @@ def qdigest_boundaries(df: DataFrame, col: str,
 
 
 def _as_numeric(df: DataFrame, col: str) -> Column:
-    """Timestamps rank by epoch micros; everything else casts to double
+    """Timestamps rank by epoch micros, dates by epoch DAYS (a date has
+    no direct double cast — datediff from 1970-01-01 is its canonical
+    integer encoding, and boundaries computed in day units compare
+    against the same encoding here); everything else casts to double
     (2024-range epoch micros ~1.7e15 sit well inside double's 53-bit
     integer range, so quantile ordering is exact)."""
-    if dict(df.dtypes).get(col) in ("timestamp", "timestamp_ntz"):
+    dt = dict(df.dtypes).get(col)
+    if dt in ("timestamp", "timestamp_ntz"):
         return F.unix_micros(F.col(col)).cast("double")
+    if dt == "date":
+        return F.datediff(F.col(col),
+                          F.to_date(F.lit("1970-01-01"))).cast("double")
     return F.col(col).cast("double")
 
 
@@ -161,22 +168,46 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
     range predicate). ``n_files`` a power of two keeps blocks exactly
     tile-shaped; equi-depth ranks keep rows per block balanced.
 
-    ``deterministic=True`` derives INTEGER columns' boundaries from the
-    certified q-digest (`qdigest_boundaries` — auto offset/levels, any
-    integer domain, a pure function of the value multiset) instead of
-    approxQuantile, whose Greenwald–Khanna summary depends on partition
-    merge order: re-running the same write then produces the same file
-    layout byte-for-byte run-to-run AND engine-to-engine — the
-    reproducible-layout contract (VERDICT r13 item 1's end state).
-    Non-integer columns keep approxQuantile (rank ordering over
-    doubles/timestamps has no integer tree to ride)."""
-    int_types = ("tinyint", "smallint", "int", "bigint", "long")
+    ``deterministic=True`` derives INTEGER-ENCODABLE columns'
+    boundaries from the certified q-digest (`qdigest_boundaries` —
+    auto offset/levels, any integer domain, a pure function of the
+    value multiset) instead of approxQuantile, whose Greenwald–Khanna
+    summary depends on partition merge order: re-running the same
+    write then produces the same file layout byte-for-byte run-to-run
+    AND engine-to-engine — the reproducible-layout contract (VERDICT
+    r13 item 1's end state). Integer-encodable = the integer dtypes
+    plus DATE (epoch days) and TIMESTAMP (epoch micros — span ≤ 2^60
+    for any realistic range), each routed through the same encoding
+    `_as_numeric` ranks by (ADVICE r14-low: dates used to fall
+    silently back to approxQuantile). A column deterministic=True
+    CANNOT make reproducible (double/float/decimal/string — no
+    integer tree to ride) falls back to approxQuantile with a loud
+    `warnings.warn` naming the column, instead of quiet partial
+    determinism."""
+    int_types = ("tinyint", "smallint", "int", "bigint")
     dtypes = dict(df.dtypes)
 
     def bounds(c: str) -> list[float]:
-        if deterministic and dtypes.get(c) in int_types:
-            return [float(v) for v in
-                    qdigest_boundaries(df, c, 1 << bits)]
+        dt = dtypes.get(c)
+        if deterministic:
+            enc = None
+            if dt in int_types:
+                enc = F.col(c)
+            elif dt == "date":
+                enc = F.datediff(F.col(c), F.to_date(F.lit("1970-01-01")))
+            elif dt in ("timestamp", "timestamp_ntz"):
+                enc = F.unix_micros(F.col(c))
+            if enc is not None:
+                return [float(v) for v in qdigest_boundaries(
+                    df.select(enc.cast("long").alias(c)), c, 1 << bits)]
+            import warnings
+            warnings.warn(
+                f"write_zorder(deterministic=True): column {c!r} "
+                f"(dtype {dt!r}) has no integer encoding — its "
+                "boundaries fall back to approxQuantile, whose "
+                "Greenwald-Khanna summary is partition-merge-order "
+                "dependent, so the layout along this column is NOT "
+                "reproducible run-to-run", stacklevel=3)
         return equi_depth_boundaries(df, c, 1 << bits, relative_error)
 
     ranks = [bucket_rank(df, c, bounds(c)) for c in cols]
@@ -184,10 +215,58 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
     shift = max(0, total_bits - max(1, (n_files - 1).bit_length()))
     keyed = (df.withColumn("_zkey", morton_key(ranks, bits))
                .withColumn("_zblock", F.shiftright(F.col("_zkey"), shift)))
-    (keyed.repartitionByRange(n_files, "_zblock")
-          .sortWithinPartitions("_zkey")
-          .drop("_zkey", "_zblock")
-          .write.mode("overwrite").parquet(path))
+    if deterministic:
+        # repartitionByRange SAMPLES to pick its range boundaries, and
+        # the sample seed incorporates the RDD id — two identical calls
+        # in one session can place a block boundary differently (ties
+        # near a weight crossing), which silently breaks the
+        # reproducible-layout contract the deterministic path exists
+        # for. Route blocks to files EXACTLY instead: block b of the
+        # 2^(total_bits-shift) aligned blocks goes to file
+        # b * n_files // n_blocks (contiguous grouping — same
+        # tile-contiguity repartitionByRange targets), carried by a
+        # hash-preimage surrogate so the hash partitioner lands each
+        # block on exactly that partition index. Content-based, no
+        # sampling, no seed: byte-stable run-to-run.
+        n_blocks = 1 << (total_bits - shift)
+        surrogate = _hash_preimages(df.sparkSession, n_files)
+        file_of = [surrogate[b * n_files // n_blocks]
+                   for b in range(n_blocks)]
+        route = F.array(*[F.lit(int(s)).cast("long") for s in file_of])
+        keyed = keyed.withColumn(
+            "_zroute",
+            F.element_at(route, F.col("_zblock").cast("int") + 1))
+        placed = keyed.repartition(n_files, "_zroute") \
+                      .sortWithinPartitions("_zkey") \
+                      .drop("_zkey", "_zblock", "_zroute")
+    else:
+        placed = keyed.repartitionByRange(n_files, "_zblock") \
+                      .sortWithinPartitions("_zkey") \
+                      .drop("_zkey", "_zblock")
+    placed.write.mode("overwrite").parquet(path)
+
+
+def _hash_preimages(spark, n_parts: int) -> list[int]:
+    """For each partition index r in [0, n_parts), the smallest long s
+    with ``pmod(murmur3(s), n_parts) == r`` — i.e. a surrogate key the
+    DataFrame hash partitioner routes to EXACTLY partition r. Computed
+    with Spark's own `F.hash` (same Murmur3, same seed, same long-typed
+    byte width the shuffle uses), so the mapping is exact by
+    construction. Driver cost: one bounded collect of n_parts scalars
+    (the boundary-list class); 64·n_parts candidates make a missing
+    residue astronomically unlikely, and we raise loudly if one is."""
+    cand = spark.range(0, 64 * n_parts).select(
+        F.col("id"),
+        F.pmod(F.hash(F.col("id")), F.lit(n_parts)).alias("r"))
+    rows = cand.groupBy("r").agg(F.min("id").alias("s")).collect()
+    got = {int(r["r"]): int(r["s"]) for r in rows}
+    missing = [r for r in range(n_parts) if r not in got]
+    if missing:
+        raise ValueError(
+            f"_hash_preimages: no surrogate found for partition "
+            f"indices {missing} among {64 * n_parts} candidates — "
+            "widen the candidate range")
+    return [got[r] for r in range(n_parts)]
 
 
 def write_linear(df: DataFrame, path: str, col: str,

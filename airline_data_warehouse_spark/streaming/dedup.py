@@ -622,7 +622,10 @@ def start_exact_substring_ingest(stream: DataFrame, store_dir: str,
       tier judges by final corpus df — the two agree exactly whenever
       no window's df crosses max_df mid-stream (the certificate
       fixture's case, and the common one: boilerplate is boilerplate
-      early).
+      early). A crossing by a hash that could already have matched
+      (prior df >= 2) now raises a runtime ``warnings.warn`` naming
+      the batch, so the divergence from a final-corpus batch run is
+      observable instead of a silent prose assumption (ADVICE r14).
     * cross-BATCH pairs only, strictly-earlier matching: the corpus
       side is filtered to batch_id < current, so an at-least-once
       replay recomputes exactly the original batch's pairs (no
@@ -696,27 +699,60 @@ def start_exact_substring_ingest(stream: DataFrame, store_dir: str,
                                    F.col("n_docs").alias("_nd"),
                                    F.col("n_occ").alias("_no"))
                      .join(prior, "wh", "full")
-                     .select("wh",
+                     .select("wh", "_nd", "_pd",
                              (F.coalesce("_nd", F.lit(0))
                               + F.coalesce("_pd", F.lit(0))).alias("_df"),
                              (F.coalesce("_no", F.lit(0))
                               + F.coalesce("_po", F.lit(0)))
-                             .alias("_occ")))
-            good = (total.filter(F.col("_df") <= max_df)
-                    .select("wh", "_occ").persist())
-            # the batch tier's max_occ contract, streamed: a surviving
-            # hash whose accumulated occurrences exceed max_occ fails
-            # THIS micro-batch loudly (the qdigest-ingest precedent)
-            # instead of letting the pair join go quadratic silently
-            worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
-            if worst is not None and worst > max_occ:
+                             .alias("_occ"))
+                     .persist())
+            # one scalar pass serves BOTH stream-health checks
+            # (ADVICE r14, both lows on this function):
+            # * worst: the batch tier's max_occ contract, streamed —
+            #   but scoped to hashes THIS batch touches (_nd non-null);
+            #   an accumulated high-occ hash the batch never joins
+            #   cannot blow up the batch's pair join, and under a
+            #   retention horizon a boilerplate hash re-entering the
+            #   good set used to wedge every subsequent batch with
+            #   remediation advice no upstream filter could satisfy.
+            # * crossed: hashes whose ACCUMULATED df crossed max_df at
+            #   this batch after previously sitting at >= 2 docs (i.e.
+            #   they could already have matched) — exactly the case
+            #   where the emit-time filter diverges from a final-corpus
+            #   batch oracle (spans emitted before the crossing stand;
+            #   the batch tier would have excluded them). Loud warning,
+            #   not an error: the contract documents the divergence,
+            #   the signal makes it observable instead of silent.
+            head = total.agg(
+                F.max(F.when((F.col("_df") <= max_df)
+                             & F.col("_nd").isNotNull(), F.col("_occ")))
+                 .alias("worst"),
+                F.count(F.when((F.col("_df") > max_df)
+                               & (F.col("_pd") >= 2)
+                               & (F.col("_pd") <= max_df), F.lit(1)))
+                 .alias("crossed")).collect()[0]
+            if head["crossed"]:
+                import warnings
+                warnings.warn(
+                    f"start_exact_substring_ingest: {head['crossed']} "
+                    f"window hash(es) crossed max_df={max_df} at batch "
+                    f"{int(batch_id)} after previously matching — "
+                    "spans they emitted in earlier batches stand, but "
+                    "a final-corpus batch run (the oracle shape) would "
+                    "exclude them; reconcile via the downstream batch "
+                    "verify job if exact batch parity matters",
+                    stacklevel=2)
+            if head["worst"] is not None and head["worst"] > max_occ:
                 raise ValueError(
-                    f"start_exact_substring_ingest: a window hash has "
-                    f"{worst} accumulated occurrences "
-                    f"(> max_occ={max_occ}) in batch {int(batch_id)} — "
-                    "intra-document repetition would blow up the pair "
-                    "join; run the repetition filter upstream or raise "
+                    f"start_exact_substring_ingest: a window hash in "
+                    f"batch {int(batch_id)} has {head['worst']} "
+                    f"accumulated occurrences (> max_occ={max_occ}) — "
+                    "the pair join fans out quadratically in a hash's "
+                    "occurrence count. Intra-document repetition: run "
+                    "the repetition filter upstream; legitimate "
+                    "accumulation across <= max_df documents: raise "
                     "max_occ deliberately")
+            good = total.filter(F.col("_df") <= max_df)
             cw = (_read_store(spark, windows_dir, bw, batch_id,
                               retention_batches)
                   .distinct().drop("batch_id"))
@@ -744,7 +780,7 @@ def start_exact_substring_ingest(stream: DataFrame, store_dir: str,
                 compact(spark, spans_dir, batch_id, retain=False)
         finally:
             try:
-                good.unpersist()
+                total.unpersist()
             except NameError:
                 pass
             bstats.unpersist()

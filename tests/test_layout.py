@@ -238,3 +238,76 @@ def test_write_zorder_deterministic_layout(spark, tmp_path):
     spans = [(lo, hi) for lo, hi in f1]
     hit = sum(1 for lo, hi in spans if lo <= 100 and hi >= 50)
     assert hit < len(spans), "min/max stats must exclude some files"
+
+
+def test_write_zorder_deterministic_date_and_timestamp(spark, tmp_path):
+    """deterministic=True routes DATE (epoch days) and TIMESTAMP
+    (epoch micros) columns through the q-digest boundary path — they
+    used to fall silently back to merge-order-dependent approxQuantile
+    (ADVICE r14-low). Two runs over the same data reproduce the same
+    per-file min/max layout, with no fallback warning."""
+    import os
+    import warnings
+
+    from airline_data_warehouse_spark.sources.layout import write_zorder
+
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000) for i in range(4000)],
+        "id long, x long").selectExpr(
+            "x",
+            "date_add(date'2024-01-01', cast((id * 104729) % 700 as int))"
+            " as d",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
+            "(id * 7907) % 86400) as ts")
+    assert dict(df.dtypes)["d"] == "date"
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+    def footprint(path, col):
+        out = []
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            part = spark.read.parquet(os.path.join(path, name))
+            out.append((part.agg({col: "min"}).collect()[0][0],
+                        part.agg({col: "max"}).collect()[0][0]))
+        return out
+
+    p1, p2 = str(tmp_path / "z1"), str(tmp_path / "z2")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        write_zorder(df, p1, ["d", "ts"], n_files=8, bits=4,
+                     deterministic=True)
+        write_zorder(df, p2, ["d", "ts"], n_files=8, bits=4,
+                     deterministic=True)
+    assert not [w for w in rec if "approxQuantile" in str(w.message)], \
+        "date/timestamp must ride the deterministic path, not fall back"
+    assert footprint(p1, "d") == footprint(p2, "d")
+    assert footprint(p1, "ts") == footprint(p2, "ts")
+    assert spark.read.parquet(p1).count() == 4000
+    # the layout still prunes on the date axis
+    spans = footprint(p1, "d")
+    import datetime as _dt
+    probe_lo, probe_hi = (_dt.date(2024, 3, 1), _dt.date(2024, 3, 15))
+    hit = sum(1 for lo, hi in spans if lo <= probe_hi and hi >= probe_lo)
+    assert hit < len(spans), "min/max stats must exclude some files"
+
+
+def test_write_zorder_deterministic_double_column_warns(spark, tmp_path):
+    """deterministic=True over a column with no integer encoding
+    (double) falls back to approxQuantile — but LOUDLY, naming the
+    column, instead of the silent partial determinism ADVICE r14
+    flagged."""
+    import warnings
+
+    from airline_data_warehouse_spark.sources.layout import write_zorder
+
+    df = spark.createDataFrame(
+        [(i, float((i * 7919) % 1000) / 7.0) for i in range(1000)],
+        "x long, f double")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        write_zorder(df, str(tmp_path / "z"), ["x", "f"], n_files=4,
+                     bits=3, deterministic=True)
+    msgs = [str(w.message) for w in rec if "approxQuantile" in str(w.message)]
+    assert len(msgs) == 1 and "'f'" in msgs[0], msgs
+    assert spark.read.parquet(str(tmp_path / "z")).count() == 1000

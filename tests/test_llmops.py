@@ -4166,3 +4166,110 @@ def test_countmin_inner_product_guards(spark):
     # is the planned path, not an error (review r14 follow-up)
     assert sim.embedding_near_dup_pairs(
         corpus, bands=None).columns == ["id1", "id2", "score"]
+
+
+def test_qdigest_plan_metadata_and_mismatch_raises(spark):
+    """VERDICT r14 item 3: every built digest carries its (offset,
+    levels, branch_bits) plan as field metadata; a merge of digests
+    under different plans, an explicit arg contradicting the recorded
+    plan, and a read with the wrong offset all RAISE on first touch —
+    each used to be a silent wrong answer the docstring could only
+    warn about. The metadata survives a parquet round trip, and
+    plan-less frames (hand-built / pre-r15 stores) keep the old
+    caller-trusted behavior."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import airline_data_warehouse_spark.operators.sketches as sk
+
+    lo = spark.createDataFrame([(v,) for v in range(100, 400)], "v long")
+    hi = spark.createDataFrame(
+        [(20_000_000 + v,) for v in range(5000)], "v long")
+    dl, ol, ll = sk.qdigest_build_auto(lo, "v")
+    dh, oh, lh = sk.qdigest_build_auto(hi, "v")
+    assert sk.qdigest_plan_of(dl) == (ol, ll, sk.QD_BRANCH_BITS)
+    assert sk.qdigest_plan_of(dh) == (oh, lh, sk.QD_BRANCH_BITS)
+    assert (ol, ll) != (oh, lh)
+
+    with _pytest.raises(ValueError, match="DIFFERENT plans"):
+        sk.qdigest_merge(dl, dh)
+    with _pytest.raises(ValueError, match="contradicts"):
+        sk.qdigest_merge(dl, dl, levels=ll + 1)
+    with _pytest.raises(ValueError, match="contradicts"):
+        sk.qdigest_rank_values(dh, [(1, 10)])  # default offset=0 != oh
+
+    # matched merge works, conserves mass, and carries the plan forward
+    da, _, _ = sk.qdigest_build_auto(
+        hi.filter(F.col("v") % 2 == 0), "v")
+    # share ONE plan across shards (the documented shard contract)
+    da = sk.qdigest_build(hi.filter(F.col("v") % 2 == 0), "v",
+                          levels=lh, offset=oh)
+    db = sk.qdigest_build(hi.filter(F.col("v") % 2 != 0), "v",
+                          levels=lh, offset=oh)
+    merged = sk.qdigest_merge(da, db)
+    assert sk.qdigest_plan_of(merged) == (oh, lh, sk.QD_BRANCH_BITS)
+    assert merged.agg(F.sum("cnt")).collect()[0][0] == 5000
+
+    # parquet round trip preserves the plan — a persisted digest still
+    # refuses a wrong-domain read
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        dh.write.mode("overwrite").parquet(f"{td}/dig")
+        back = spark.read.parquet(f"{td}/dig")
+        assert sk.qdigest_plan_of(back) == (oh, lh, sk.QD_BRANCH_BITS)
+        with _pytest.raises(ValueError, match="contradicts"):
+            sk.qdigest_rank_values(back, [(1, 10)])
+
+    # plan-less frame: old behavior (caller-trusted, no raise)
+    bare = spark.createDataFrame([(5, 0, 10)], "id long, lvl int, cnt long")
+    assert sk.qdigest_plan_of(bare) is None
+    assert sk.qdigest_rank_values(bare, [(1, 5)]).count() == 1
+
+
+def test_qdigest_stream_store_plan_sidecar(spark, tmp_path):
+    """The streaming q-digest store pins its plan in a sidecar: a
+    restart under a different plan raises at start (before any leaf
+    appends), and a read whose (offset, levels) contradict the pinned
+    plan raises instead of shifting estimates into the wrong domain
+    (VERDICT r14 item 3, persisted form)."""
+    import json as jsonlib
+
+    import pytest as _pytest
+
+    import airline_data_warehouse_spark.operators.sketches as sk
+    from airline_data_warehouse_spark.streaming.sketch import (
+        qdigest_store_quantiles,
+        start_qdigest_ingest,
+    )
+
+    vals = [19_920_101 + (i * i) % 60_000 for i in range(500)]
+    off, lv = sk.qdigest_plan(min(vals), max(vals))
+    d = tmp_path / "in" / "b0"
+    d.mkdir(parents=True)
+    with open(d / "data.json", "w") as fh:
+        for v in vals:
+            fh.write(jsonlib.dumps({"v": v}) + "\n")
+    src = (spark.readStream.schema("v long")
+           .option("maxFilesPerTrigger", 1).json(f"{tmp_path}/in/*"))
+    q = start_qdigest_ingest(src, f"{tmp_path}/store",
+                             checkpoint_dir=f"{tmp_path}/ck",
+                             offset=off, levels=lv)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # read with the pinned plan: fine
+    assert qdigest_store_quantiles(
+        spark, f"{tmp_path}/store", offset=off, levels=lv).count() == 5
+    # read with a contradicting plan: loud
+    with _pytest.raises(ValueError, match="pinned plan"):
+        qdigest_store_quantiles(spark, f"{tmp_path}/store")
+    # restart under a different plan: refused before any append
+    src2 = (spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", 1).json(f"{tmp_path}/in/*"))
+    with _pytest.raises(ValueError, match="pinned"):
+        start_qdigest_ingest(src2, f"{tmp_path}/store",
+                             checkpoint_dir=f"{tmp_path}/ck2",
+                             offset=off + 1, levels=lv)

@@ -1500,6 +1500,13 @@ def test_fold_race_error_classifier():
     assert _is_fold_race_error(
         RuntimeError("java.io.FileNotFoundException: part-0000 gone"))
     assert not _is_fold_race_error(ValueError("boom"))
+    # a message that merely QUOTES an earlier failure's text must not
+    # qualify — only the exception's own class / message prefix does
+    # (ADVICE r14-low: the substring fallback re-masked deterministic
+    # errors whose diagnostics happened to mention FileNotFoundException)
+    assert not _is_fold_race_error(RuntimeError(
+        "[CANNOT_READ_FILE_FOOTER] while retrying after "
+        "java.io.FileNotFoundException was observed upstream"))
     assert not _is_fold_race_error(
         RuntimeError("[CANNOT_READ_FILE_FOOTER] corrupt"))
     from pyspark.errors import AnalysisException
@@ -1687,3 +1694,90 @@ def test_stream_exact_substring_max_occ_guard(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_stream_exact_substring_max_df_crossing_warns(spark, tmp_path):
+    """ADVICE r14: when a window hash that previously matched (prior
+    df >= 2) crosses max_df mid-stream, the divergence from a
+    final-corpus batch run becomes OBSERVABLE — a runtime warning names
+    the batch — instead of resting silently on a fixture property."""
+    import json as jsonlib
+    import warnings
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        start_exact_substring_ingest,
+    )
+
+    def stage(b, rows):
+        d = tmp_path / "in" / f"b{b}"
+        d.mkdir(parents=True)
+        with open(d / "data.json", "w") as fh:
+            for i, t in rows:
+                fh.write(jsonlib.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stage(0, [(1, "w1 w2 w3 w4 a b c"), (2, "w1 w2 w3 w4 d e f")])
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(f"{tmp_path}/in/*"))
+    q = start_exact_substring_ingest(src, f"{tmp_path}/store",
+                                     checkpoint_dir=f"{tmp_path}/ck",
+                                     k=4, min_tokens=4, max_df=2)
+    try:
+        q.processAllAvailable()   # batch 0: df(W)=2, span emitted
+        stage(1, [(3, "w1 w2 w3 w4 g h i")])   # df(W) -> 3 > max_df
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    hits = [str(w.message) for w in rec
+            if "crossed max_df" in str(w.message)]
+    assert len(hits) == 1 and "batch 1" in hits[0], hits
+
+
+def test_stream_exact_substring_max_occ_guard_is_batch_scoped(
+        spark, tmp_path):
+    """ADVICE r14: the max_occ guard inspects only hashes the CURRENT
+    batch touches. An accumulated high-occ hash re-entering the good
+    set when retention drops its df back under max_df must not wedge
+    every subsequent batch that never joins it."""
+    import json as jsonlib
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        read_exact_substring_spans,
+        start_exact_substring_ingest,
+    )
+
+    def stage(b, rows):
+        d = tmp_path / "in" / f"b{b}"
+        d.mkdir(parents=True)
+        with open(d / "data.json", "w") as fh:
+            for i, t in rows:
+                fh.write(jsonlib.dumps({"doc_id": i, "text": t}) + "\n")
+
+    # batch 0: W once (df=1, occ=1 — passes)
+    stage(0, [(1, "w w w w x0 x1 x2")])
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(f"{tmp_path}/in/*"))
+    q = start_exact_substring_ingest(src, f"{tmp_path}/store",
+                                     checkpoint_dir=f"{tmp_path}/ck",
+                                     k=4, min_tokens=4, max_df=1,
+                                     max_occ=8, retention_batches=2)
+    try:
+        q.processAllAvailable()
+        # batch 1: doc 2 repeats W 9 times — but accumulated df=2 >
+        # max_df=1 excludes W from the good set BEFORE the occ guard,
+        # so the batch passes (boilerplate exclusion, not a wedge)
+        stage(1, [(2, " ".join(["w"] * 12))])
+        q.processAllAvailable()
+        # batch 2: retention (2) has aged batch 0 out, so W re-enters
+        # the good set at df=1 with occ=9 > max_occ — but this batch
+        # never touches W, and a batch-scoped guard must let it through
+        # (the old accumulated-scan guard wedged here, permanently)
+        stage(2, [(3, "c1 c2 c3 c4 c5")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert q.exception() is None, q.exception()
+    # no cross-doc spans were ever eligible (W was boilerplate or solo)
+    assert read_exact_substring_spans(
+        spark, f"{tmp_path}/store").count() == 0
