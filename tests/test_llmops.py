@@ -4086,6 +4086,80 @@ def test_exact_substring_incremental_equals_batch_restriction(spark):
     assert all(pair[0] < 100 <= pair[1] for pair in inc_rows)
 
 
+def test_exact_substring_store_equals_recompute(spark, tmp_path):
+    """The store-mediated incremental (persisted window index) equals
+    the recompute twin EXACTLY — on the first batch against the built
+    store, and again after exact_substring_store_append folds that
+    batch in (delta hashstats rows summed per hash) — VERDICT r14
+    item 1's certification contract."""
+    import airline_data_warehouse_spark.operators.dedup as dd
+
+    base = " ".join(chr(ord("a") + i) * 2 for i in range(26))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(100, "zz yy " + " ".join(base.split()[:20]) + " xx"),
+         (101, base)],
+        "doc_id long, text string")
+    store = str(tmp_path / "es_store")
+    dd.exact_substring_store_build(corpus, store, k=4)
+    got = sorted(map(tuple, dd.exact_substring_spans_store(
+        spark, store, inc, min_tokens=10).collect()))
+    ref = sorted(map(tuple, dd.exact_substring_spans_incremental(
+        corpus, inc, k=4, min_tokens=10).collect()))
+    assert got == ref and got, "store-mediated = recompute"
+
+    # fold the batch in; a second increment must see corpus ∪ inc
+    inc2 = spark.createDataFrame(
+        [(200, " ".join(base.split()[5:]) + " qq")],
+        "doc_id long, text string")
+    dd.exact_substring_store_append(spark, store, inc)
+    got2 = sorted(map(tuple, dd.exact_substring_spans_store(
+        spark, store, inc2, min_tokens=10).collect()))
+    ref2 = sorted(map(tuple, dd.exact_substring_spans_incremental(
+        corpus.unionByName(inc), inc2, k=4, min_tokens=10).collect()))
+    assert got2 == ref2 and got2, "append-path store = recompute"
+
+
+def test_exact_substring_store_guards(spark, tmp_path):
+    """The store tier's loud-misuse set: no _built marker raises
+    (half-built stores rebuild, never half-read); an increment reusing
+    store doc ids raises (the df sum would double-count); a corpus
+    breaching max_occ raises AT BUILD (the guard's build-time half);
+    overwrite=False reuses the existing store."""
+    import pytest
+
+    import airline_data_warehouse_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="_built"):
+        dd.exact_substring_spans_store(
+            spark, str(tmp_path / "missing"), docs)
+
+    store = str(tmp_path / "es_store")
+    dd.exact_substring_store_build(docs, store, k=4)
+    with pytest.raises(ValueError, match="reuses doc ids"):
+        dd.exact_substring_spans_store(spark, store, docs)
+    with pytest.raises(ValueError, match="reuses doc ids"):
+        dd.exact_substring_store_append(spark, store, docs)
+
+    # overwrite=False: second build is a no-op on an intact store
+    other = spark.createDataFrame(
+        [(9, " ".join(f"v{i}" for i in range(20)))],
+        "doc_id long, text string")
+    dd.exact_substring_store_build(other, store, k=4)
+    assert spark.read.parquet(f"{store}/tokens").count() == 1  # doc 1
+
+    rep = spark.createDataFrame(
+        [(5, " ".join(["rep"] * 40))], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_occ"):
+        dd.exact_substring_store_build(
+            rep, str(tmp_path / "rep_store"), k=4, max_occ=8)
+
+
 def test_countmin_inner_product_math(spark):
     """CMS inner product on a hand corpus: est >= the exact inner
     product, and for a collision-free token set est == exact; a
