@@ -1657,10 +1657,12 @@ def test_stream_exact_substring_matches_batch_cross_cut(spark, tmp_path):
                   if r["doc_a"] % 3 != r["doc_b"] % 3)
     assert got == want and got, "stream = batch cross-batch cut"
 
-    # at-least-once replay: duplicate span rows dedup at read
+    # at-least-once replay: duplicate span rows dedup at read — the
+    # dup lands as a FLAT file in the tiered dir (recursive reads see
+    # flat files and b/c subdirs alike)
     spans_dir = f"{work}/store/spans"
-    spark.read.parquet(spans_dir).limit(1).write.mode("append") \
-         .parquet(spans_dir)
+    (spark.read.option("recursiveFileLookup", "true").parquet(spans_dir)
+     .limit(1).write.mode("append").parquet(spans_dir))
     again = sorted(map(tuple, read_exact_substring_spans(
         spark, f"{work}/store").collect()))
     assert again == got
@@ -1781,3 +1783,140 @@ def test_stream_exact_substring_max_occ_guard_is_batch_scoped(
     # no cross-doc spans were ever eligible (W was boilerplate or solo)
     assert read_exact_substring_spans(
         spark, f"{tmp_path}/store").count() == 0
+
+
+def _tier_dir_listing(path):
+    """{relpath: size} of every data file under a tier dir."""
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = os.path.getsize(p)
+    return out
+
+
+def test_tier_compaction_rewrites_only_active_tier(spark, tmp_path):
+    """VERDICT r14 item 2's contract: a compaction consolidates ONLY
+    the b{N} appends since the last one — the files of an existing
+    tier are byte-for-byte untouched (same names, sizes, mtimes), so
+    cumulative write volume is linear in the stream, not
+    O(N²/compact_every)."""
+    import os
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        _tier_compact,
+    )
+
+    store = str(tmp_path / "tiered")
+
+    def append(bid, vals):
+        (spark.createDataFrame([(v, bid) for v in vals],
+                               "wh long, batch_id long")
+         .coalesce(1).write.mode("append").parquet(f"{store}/b{bid}"))
+
+    append(1, [10, 11]); append(2, [20, 21])
+    _tier_compact(spark, store, 2)
+    assert sorted(os.listdir(store)) == ["c1_2"]
+    first = _tier_dir_listing(f"{store}/c1_2")
+    mtimes = {f: os.path.getmtime(f"{store}/c1_2/{f}") for f in first}
+
+    append(3, [30]); append(4, [40, 41, 42])
+    _tier_compact(spark, store, 4)
+    assert sorted(os.listdir(store)) == ["c1_2", "c3_4"]
+    assert _tier_dir_listing(f"{store}/c1_2") == first, \
+        "existing tier rewritten — compaction must touch only b-dirs"
+    assert all(os.path.getmtime(f"{store}/c1_2/{f}") == m
+               for f, m in mtimes.items())
+    got = sorted(r["wh"] for r in spark.read
+                 .option("recursiveFileLookup", "true").parquet(store)
+                 .collect())
+    assert got == [10, 11, 20, 21, 30, 40, 41, 42]
+
+
+def test_tier_compaction_crash_windows_and_retention(spark, tmp_path):
+    """The tier protocol's crash story: a crashed staging write is
+    dot-hidden from readers and swept on the next call; b-dirs at or
+    below the watermark (a crash between the tier rename and the
+    b-dir deletes, or a replayed batch) are swept WITHOUT re-merging —
+    reads dedup meanwhile; with a retention horizon, tiers entirely
+    below it are garbage-collected at dir granularity."""
+    import os
+    import shutil
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        _tier_compact,
+    )
+
+    store = str(tmp_path / "tiered")
+
+    def append(bid, vals):
+        (spark.createDataFrame([(v, bid) for v in vals],
+                               "wh long, batch_id long")
+         .coalesce(1).write.mode("append").parquet(f"{store}/b{bid}"))
+
+    append(1, [10]); append(2, [20])
+    _tier_compact(spark, store, 2)
+
+    # crash window A: staging written, rename never happened — hidden
+    # from readers, deleted by the next compaction
+    (spark.createDataFrame([(99, 9)], "wh long, batch_id long")
+     .write.mode("overwrite").parquet(f"{store}/.c3_3.staging"))
+    rows = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(store).collect()
+    assert sorted(r["wh"] for r in rows) == [10, 20], \
+        "staging dir must be invisible to readers"
+
+    # crash window B: tier renamed in, b-dirs not yet deleted (replay
+    # twin: a re-created pre-watermark b-dir) — duplicate rows dedup
+    # at read; the next compaction sweeps them without a new tier
+    shutil.copytree(f"{store}/c1_2", f"{store}/b2")
+    dup = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(store).dropDuplicates().collect()
+    assert sorted(r["wh"] for r in dup) == [10, 20]
+    _tier_compact(spark, store, 2)
+    assert not os.path.exists(f"{store}/.c3_3.staging")
+    assert not os.path.exists(f"{store}/b2")
+    assert sorted(os.listdir(store)) == ["c1_2"]
+
+    # retention horizon: a tier entirely below it is dropped at dir
+    # granularity; the active tier keeps only in-horizon rows
+    append(7, [70]); append(8, [80])
+    _tier_compact(spark, store, 8, retention_batches=4)
+    assert sorted(os.listdir(store)) == ["c7_8"], \
+        "tier c1_2 (hi=2 <= horizon=4) must be garbage-collected"
+    kept = sorted(r["wh"] for r in spark.read
+                  .option("recursiveFileLookup", "true").parquet(store)
+                  .collect())
+    assert kept == [70, 80]
+
+
+def test_verify_spans_against_silver_drops_forged_span(spark):
+    """The streaming→batch verify composition (VERDICT r14 item 4):
+    genuine streamed spans survive the byte-equal re-extraction
+    verify; a forged span (the collision stand-in — positions whose
+    texts differ) is dropped. Composing the unverified stream output
+    with this job reproduces the batch tier's verified answer."""
+    from airline_data_warehouse_spark.streaming.dedup import (
+        verify_spans_against_silver,
+    )
+    import airline_data_warehouse_spark.operators.dedup as dd
+
+    base = " ".join(chr(ord("a") + i) * 2 for i in range(26))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "zz yy " + " ".join(base.split()[:20]) + " xx"),
+         (3, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    real = dd.exact_substring_spans(docs, k=4, min_tokens=10) \
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    assert real.count() > 0
+    forged = spark.createDataFrame(
+        [(1, 3, 1, 1, 10)],
+        "doc_a long, doc_b long, start_a long, start_b long, "
+        "span_tokens long")
+    got = sorted(map(tuple, verify_spans_against_silver(
+        real.unionByName(forged), docs).collect()))
+    assert got == sorted(map(tuple, real.collect())), \
+        "verify must keep every genuine span and drop the forged one"
