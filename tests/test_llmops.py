@@ -4015,8 +4015,20 @@ def test_planned_band_params_pins_certified_constants_and_scales():
     import pytest as _pytest
 
     import airline_data_warehouse_spark.operators.similarity as sim
+    from airline_data_warehouse_spark.plans.llmops import (
+        _PLANNED_CERT_BANDS,
+        _PLANNED_CERT_ROWS,
+    )
 
     assert sim.planned_band_params(4_000) == (4, 8)
+    # r15: the planned path is LOAD-BEARING in the certified keys
+    # (dedup_embedding_cosine / semantic_cluster_profile pass
+    # bands=None) — their static oracles mirror the planner's fixed
+    # point at the CERTIFICATION corpus (sf0.01: 500 embeddings × 2 =
+    # 1,000 vectors). If this pin fails, the planner or the test
+    # corpus drifted and the oracle literals must move WITH it.
+    assert sim.planned_band_params(1_000) == (
+        _PLANNED_CERT_BANDS, _PLANNED_CERT_ROWS) == (3, 6)
 
     plan8 = sim.lsh_band_plan(32_000, 64.0, 0.96, 0.9, bands_hint=4)
     assert plan8["budget_met"]
