@@ -793,11 +793,19 @@ def incremental_cascade(spark, store_dir: str, inc_docs: DataFrame,
     store-mediated answer equals DuckDB recomputing from raw tables."""
     import os
 
-    hashes = spark.read.parquet(os.path.join(store_dir, "hashes"))
-    bands = spark.read.parquet(os.path.join(store_dir, "bands"))
-    shingles = spark.read.parquet(os.path.join(store_dir, "shingles"))
-    emb_bands = spark.read.parquet(os.path.join(store_dir, "emb_bands"))
-    vectors = spark.read.parquet(os.path.join(store_dir, "vectors"))
+    # recursiveFileLookup: a store written by the STREAMING cascade
+    # ingest is tiered (b{N}/ + c{lo}_{hi}/ subdirs, r15 — the shared-
+    # state contract lets a stream and this batch job hand the same
+    # dirs to each other); flat batch-built stores read identically
+    def _rd(name: str):
+        return (spark.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(store_dir, name)))
+
+    hashes = _rd("hashes")
+    bands = _rd("bands")
+    shingles = _rd("shingles")
+    emb_bands = _rd("emb_bands")
+    vectors = _rd("vectors")
     return cascade_classify(inc_docs, inc_emb, hashes, bands, shingles,
                             emb_bands, vectors, threshold=threshold,
                             cos_threshold=cos_threshold, text_col=text_col,

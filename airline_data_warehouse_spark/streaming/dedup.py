@@ -54,30 +54,6 @@ def dedup_batch_exact(df: DataFrame, text_col: str = "text",
             .drop("_rn"))
 
 
-def _recover_store_dir(spark, dest: str) -> None:
-    """Heal a store directory stranded by a crash mid-compaction swap.
-
-    Compaction replaces the whole store dir with two renames (dest →
-    hidden ``.name.replaced`` sibling, staging → dest). A backup whose
-    destination is missing is the store's only copy — rename it back; a
-    backup whose destination exists is a post-swap leftover — delete it.
-    Same protocol as sources/atomic.py, at directory granularity."""
-    import os
-
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    conf = spark._jsc.hadoopConfiguration()
-    parent, name = os.path.split(dest.rstrip("/"))
-    backup = hpath(parent, f".{name}.replaced")
-    fs = backup.getFileSystem(conf)
-    if not fs.exists(backup):
-        return
-    dpath = hpath(dest)
-    if fs.exists(dpath):
-        fs.delete(backup, True)
-    elif not fs.rename(backup, dpath):
-        raise IOError(f"store recovery: rename {backup} -> {dest} failed")
-
 
 def _store_dir_exists(spark, path: str) -> bool:
     # Explicit existence probe via the Hadoop FileSystem API, instead of
@@ -138,23 +114,6 @@ def _read_store(spark, path: str, empty_like: DataFrame, batch_id: int,
         df = df.filter(F.col("batch_id") > batch_id - retention_batches)
     return df
 
-
-def _swap_store_dir(spark, staging: str, dest: str) -> None:
-    import os
-
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    conf = spark._jsc.hadoopConfiguration()
-    parent, name = os.path.split(dest.rstrip("/"))
-    fs = hpath(dest).getFileSystem(conf)
-    backup = hpath(parent, f".{name}.replaced")
-    if fs.exists(backup):
-        fs.delete(backup, True)
-    if fs.exists(hpath(dest)) and not fs.rename(hpath(dest), backup):
-        raise IOError(f"store swap: rename {dest} -> {backup} failed")
-    if not fs.rename(hpath(staging), hpath(dest)):
-        raise IOError(f"store swap: rename {staging} -> {dest} failed")
-    fs.delete(backup, True)
 
 
 def _tier_list(spark, path: str):
@@ -302,13 +261,14 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
       smaller than text, so full-corpus state is usually the RIGHT
       trade; the real per-batch latency driver is file count, which
       compaction bounds independently.
-    * ``compact_every``: every N batches the bands/shingles stores are
-      rewritten — retention-filtered, retry-duplicate-deduped, and
-      coalesced into a few files — and swapped in atomically (two
-      renames with a hidden backup; `_recover_store_dir` heals a crash
-      between them before the next read). Without it, one parquet file
-      per partition per batch makes the corpus-side read cost grow
-      linearly in BATCH COUNT even when state bytes are flat.
+    * ``compact_every``: every N batches the bands/shingles appends
+      since the LAST compaction consolidate into a new tier
+      (`_tier_compact`, r15 — existing tiers are never rewritten, so
+      compaction I/O ∝ the active tier, and the crash story is one
+      rename of a dot-hidden staging dir instead of the old
+      whole-store swap). Without it, one parquet file per partition
+      per batch makes the corpus-side read cost grow linearly in
+      BATCH COUNT even when state bytes are flat.
     """
     import os
 
@@ -324,27 +284,11 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
     shingles_dir = os.path.join(store_dir, "shingles")
     pairs_dir = os.path.join(store_dir, "pairs")
 
-    def retained(df: DataFrame, batch_id: int) -> DataFrame:
-        if retention_batches is None:
-            return df
-        return df.filter(F.col("batch_id") > batch_id - retention_batches)
-
-    def compact(spark, path: str, batch_id: int) -> None:
-        # retention-filter + drop retry duplicates + coalesce the
-        # per-batch append files; stage to a sibling, swap atomically
-        store = retained(spark.read.parquet(path), batch_id).dropDuplicates()
-        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
-        staging = f"{path.rstrip('/')}__compacting"
-        store.coalesce(n_files).write.mode("overwrite").parquet(staging)
-        _swap_store_dir(spark, staging, path)
-
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sh = shingled(batch_df, text_col, id_col).persist()
         new_bands = minhash_band_table(sh, id_col).persist()
         try:
-            _recover_store_dir(spark, bands_dir)
-            _recover_store_dir(spark, shingles_dir)
             # each store dir probed INDIVIDUALLY; a dir missing because
             # batch 0 crashed between the sequential appends reads as
             # empty instead of wedging every retry (_read_store)
@@ -388,13 +332,16 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
             # latency) came from in the 50-batch probe. The coalesce
             # reads the PERSISTED frames, so the corpus join above keeps
             # its full parallelism.
+            bid = int(batch_id)
             (new_bands.withColumn("batch_id", F.lit(batch_id))
-                      .coalesce(4).write.mode("append").parquet(bands_dir))
+                      .coalesce(4).write.mode("append")
+                      .parquet(f"{bands_dir}/b{bid}"))
             (sh.withColumn("batch_id", F.lit(batch_id))
-               .coalesce(4).write.mode("append").parquet(shingles_dir))
+               .coalesce(4).write.mode("append")
+               .parquet(f"{shingles_dir}/b{bid}"))
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-                compact(spark, bands_dir, batch_id)
-                compact(spark, shingles_dir, batch_id)
+                _tier_compact(spark, bands_dir, bid, retention_batches)
+                _tier_compact(spark, shingles_dir, bid, retention_batches)
         finally:
             new_bands.unpersist()
             sh.unpersist()
@@ -434,9 +381,10 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
     broadcast build); the corpus store appears only through band-keyed
     or id-keyed joins. ``retention_batches`` / ``compact_every`` bound
     the state and file-count growth axes exactly as documented on
-    `start_neardup_ingest`, reusing the same atomic swap + crash
-    recovery; a corrupt store READ fails the micro-batch (structured
-    streaming retries) rather than being mistaken for the first batch.
+    `start_neardup_ingest`, via the same tiered compaction
+    (`_tier_compact`, r15); a corrupt store READ fails the micro-batch
+    (structured streaming retries) rather than being mistaken for the
+    first batch.
     """
     import os
 
@@ -448,18 +396,6 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
     bands_dir = os.path.join(store_dir, "emb_bands")
     vectors_dir = os.path.join(store_dir, "vectors")
     pairs_dir = os.path.join(store_dir, "pairs")
-
-    def retained(df: DataFrame, batch_id: int) -> DataFrame:
-        if retention_batches is None:
-            return df
-        return df.filter(F.col("batch_id") > batch_id - retention_batches)
-
-    def compact(spark, path: str, batch_id: int) -> None:
-        store = retained(spark.read.parquet(path), batch_id).dropDuplicates()
-        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
-        staging = f"{path.rstrip('/')}__compacting"
-        store.coalesce(n_files).write.mode("overwrite").parquet(staging)
-        _swap_store_dir(spark, staging, path)
 
     keys = sim.hyperplane_band_keys_sql("v", bands=4, rows_per_band=8)
 
@@ -477,8 +413,6 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
                              "band_key")
                      .persist())
         try:
-            _recover_store_dir(spark, bands_dir)
-            _recover_store_dir(spark, vectors_dir)
             # cheap FS probe gates batch 0 only; a vectors dir stranded
             # missing by a crash between the two appends reads as empty
             # on retry instead of wedging the stream (_read_store,
@@ -509,13 +443,16 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
                            .select("inc_id", "corpus_id", "score"))
                 (flagged.withColumn("batch_id", F.lit(batch_id))
                         .write.mode("append").parquet(pairs_dir))
+            bid = int(batch_id)
             (new_bands.withColumn("batch_id", F.lit(batch_id))
-                      .coalesce(4).write.mode("append").parquet(bands_dir))
+                      .coalesce(4).write.mode("append")
+                      .parquet(f"{bands_dir}/b{bid}"))
             (new_vecs.withColumn("batch_id", F.lit(batch_id))
-                     .coalesce(4).write.mode("append").parquet(vectors_dir))
+                     .coalesce(4).write.mode("append")
+                     .parquet(f"{vectors_dir}/b{bid}"))
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-                compact(spark, bands_dir, batch_id)
-                compact(spark, vectors_dir, batch_id)
+                _tier_compact(spark, bands_dir, bid, retention_batches)
+                _tier_compact(spark, vectors_dir, bid, retention_batches)
         finally:
             new_vecs.unpersist()
             new_bands.unpersist()
@@ -556,9 +493,10 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
     or cross-batch keepers resolve deterministically.
 
     Scale/state posture identical to `start_neardup_ingest` /
-    `start_semantic_ingest` (shared retention/compaction knobs, atomic
-    swap + crash recovery, corrupt-read-fails-the-batch, shuffle_hash
-    on every corpus-proportional side, finite-guarded vectors)."""
+    `start_semantic_ingest` (shared retention/compaction knobs, tiered
+    compaction — `_tier_compact`, r15 — corrupt-read-fails-the-batch,
+    shuffle_hash on every corpus-proportional side, finite-guarded
+    vectors)."""
     import os
 
     from pyspark.sql import functions as F
@@ -575,18 +513,6 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
     dirs = {name: os.path.join(store_dir, name)
             for name in ("hashes", "bands", "shingles", "emb_bands",
                          "vectors", "verdicts")}
-
-    def retained(df: DataFrame, batch_id: int) -> DataFrame:
-        if retention_batches is None:
-            return df
-        return df.filter(F.col("batch_id") > batch_id - retention_batches)
-
-    def compact(spark, path: str, batch_id: int) -> None:
-        store = retained(spark.read.parquet(path), batch_id).dropDuplicates()
-        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
-        staging = f"{path.rstrip('/')}__compacting"
-        store.coalesce(n_files).write.mode("overwrite").parquet(staging)
-        _swap_store_dir(spark, staging, path)
 
     emb_keys = sim.hyperplane_band_keys_sql("v", bands=4, rows_per_band=8)
 
@@ -623,9 +549,6 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
                       "shingles": new_shingles, "emb_bands": new_emb_bands,
                       "vectors": new_vectors}
         try:
-            for name in ("hashes", "bands", "shingles", "emb_bands",
-                         "vectors"):
-                _recover_store_dir(spark, dirs[name])
             # gate on the FIRST-appended store only to detect a truly
             # fresh stream; each of the five reads probes its own dir
             # (crash-stranded siblings → empty, never a wedged retry)
@@ -656,14 +579,19 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
             # at compaction / deduped on read) and re-classify
             # identically. The first failure fails the micro-batch.
             bid = F.lit(batch_id)
+            bsub = f"b{int(batch_id)}"
             writes = [
                 (verdicts.withColumn("batch_id", bid), dirs["verdicts"]),
-                (new_hashes.withColumn("batch_id", bid), dirs["hashes"]),
-                (new_bands.withColumn("batch_id", bid), dirs["bands"]),
-                (new_shingles.withColumn("batch_id", bid), dirs["shingles"]),
+                (new_hashes.withColumn("batch_id", bid),
+                 f"{dirs['hashes']}/{bsub}"),
+                (new_bands.withColumn("batch_id", bid),
+                 f"{dirs['bands']}/{bsub}"),
+                (new_shingles.withColumn("batch_id", bid),
+                 f"{dirs['shingles']}/{bsub}"),
                 (new_emb_bands.withColumn("batch_id", bid),
-                 dirs["emb_bands"]),
-                (new_vectors.withColumn("batch_id", bid), dirs["vectors"]),
+                 f"{dirs['emb_bands']}/{bsub}"),
+                (new_vectors.withColumn("batch_id", bid),
+                 f"{dirs['vectors']}/{bsub}"),
             ]
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=len(writes)) as pool:
@@ -676,7 +604,8 @@ def start_cascade_ingest(stream: DataFrame, store_dir: str,
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                 for name in ("hashes", "bands", "shingles", "emb_bands",
                              "vectors"):
-                    compact(spark, dirs[name], batch_id)
+                    _tier_compact(spark, dirs[name], int(batch_id),
+                                  retention_batches)
         finally:
             docs.unpersist()
             emb.unpersist()

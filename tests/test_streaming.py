@@ -450,9 +450,15 @@ def test_stream_neardup_retention_and_compaction(spark, tmp_path):
     try:
         for i, batch in enumerate(batches):
             if i == 3:
-                # strand the bands store mid-swap: only copy in backup
-                os.rename(os.path.join(store, "bands"),
-                          os.path.join(store, ".bands.replaced"))
+                # crash the tier protocol mid-compaction: a stranded
+                # dot-hidden staging dir must stay invisible to the
+                # next batch's reads and be swept at the next
+                # compaction (the tiered crash story, r15)
+                (spark.createDataFrame([(0, 0, "x", 0)],
+                                       "doc_id long, band int, "
+                                       "band_key string, batch_id long")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(store, "bands", ".c9_9.staging")))
             with open(in_dir / f"b{i}.json", "w") as f:
                 for d, tx_ in batch:
                     f.write(jsonlib.dumps({"doc_id": d, "text": tx_}) + "\n")
@@ -464,10 +470,21 @@ def test_stream_neardup_retention_and_compaction(spark, tmp_path):
              for r in spark.read.parquet(f"{store}/pairs").collect()}
     assert pairs == set()  # doc 1 fell outside the 2-batch horizon
     # compaction at batch 2 dropped batch-0 state (retention filter)
-    bands = spark.read.parquet(f"{store}/bands")
+    bands = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(f"{store}/bands"))
     assert bands.filter("doc_id = 1").count() == 0
-    assert bands.filter("doc_id = 4").count() > 0  # recovery kept the store
-    assert not os.path.exists(os.path.join(store, ".bands.replaced"))
+    assert bands.filter("doc_id = 4").count() > 0
+    # the stranded staging's planted row never reached any read (doc 0
+    # appears nowhere in the recursive read)
+    assert bands.filter("doc_id = 0").count() == 0
+    # ... and the next compaction sweeps the crashed staging dir
+    from airline_data_warehouse_spark.streaming.dedup import (
+        _tier_compact,
+    )
+
+    _tier_compact(spark, f"{store}/bands", 3, retention_batches=2)
+    assert not os.path.exists(
+        os.path.join(store, "bands", ".c9_9.staging"))
 
 
 def test_stream_neardup_full_corpus_state_by_default(spark, tmp_path):
@@ -544,7 +561,8 @@ def test_stream_neardup_corrupt_store_fails_batch(spark, tmp_path):
 
     # corrupt every bands parquet footer in place (path still EXISTS,
     # so this is a read failure, not the legitimate first-batch case)
-    band_files = glob.glob(f"{store}/bands/*.parquet")
+    band_files = glob.glob(f"{store}/bands/**/*.parquet",
+                           recursive=True)
     assert band_files
     for p in band_files:
         with open(p, "wb") as f:
@@ -565,7 +583,8 @@ def test_stream_neardup_corrupt_store_fails_batch(spark, tmp_path):
 
     # the failed batch appended NOTHING: doc 2's shingles are absent
     # (a silent skip would have appended them while dropping its pairs)
-    shingles = spark.read.parquet(f"{store}/shingles")
+    shingles = (spark.read.option("recursiveFileLookup", "true")
+                .parquet(f"{store}/shingles"))
     assert shingles.filter("doc_id = 2").count() == 0
 
 
@@ -621,7 +640,8 @@ def test_stream_semantic_ingest_flags_embedding_neardups(spark, tmp_path):
     assert got[(5, 1)] == round(1 / math.sqrt(1 + 0.01 ** 2), 6)
     # the poisoned vector was excluded at entry, never stored
     stored = {r["vec_id"] for r in
-              spark.read.parquet(f"{store}/vectors").collect()}
+              spark.read.option("recursiveFileLookup", "true")
+              .parquet(f"{store}/vectors").collect()}
     assert stored == {1, 2, 3, 4, 5}
 
 
