@@ -144,9 +144,12 @@ def _tier_list(spark, path: str):
 
 def _tier_compact(spark, path: str, batch_id: int,
                   retention_batches: int | None = None,
-                  retain: bool = True) -> None:
-    """TIERED compaction for the streaming ExactSubstr store (VERDICT
-    r14 item 2): consolidate ONLY the per-batch ``b{N}`` appends above
+                  retain: bool = True,
+                  max_tiers: int | None = 8) -> None:
+    """TIERED compaction for the streaming signature/span stores —
+    ExactSubstr (VERDICT r14 item 2), and since r15 the neardup,
+    semantic, and cascade stores too: consolidate ONLY the per-batch
+    ``b{N}`` appends above
     the tier watermark into one new ``c{lo}_{hi}`` tier dir — existing
     tiers are never re-read and never rewritten, so bytes rewritten
     per compaction are proportional to the ACTIVE tier (the appends
@@ -176,7 +179,14 @@ def _tier_compact(spark, path: str, batch_id: int,
     tier and WHOLE tiers strictly below it are garbage-collected at
     dir granularity; a tier straddling the horizon stays until it
     falls entirely below (reads filter rows, so overhang is storage,
-    never wrong answers)."""
+    never wrong answers).
+
+    ``max_tiers`` bounds TIER-COUNT growth (one new tier per
+    compact_every batches would otherwise grow the read-side listing
+    linearly in stream lifetime): above the bound, the adjacent tier
+    pair with the smallest combined bytes folds into one — the
+    size-tiered LSM trade, amortized O(N log N) total write volume,
+    one bounded merge per call. None disables folding."""
     hpath, fs, bdirs, cmax, tiers = _tier_list(spark, path)
     if not bdirs and not tiers:
         return
@@ -198,23 +208,68 @@ def _tier_compact(spark, path: str, batch_id: int,
         for lo, hi, name in tiers:
             if hi <= horizon:
                 fs.delete(hpath(f"{path}/{name}"), True)
+    # tiers fully CONTAINED in another tier's range are fold-crash
+    # leftovers (the merged tier renamed in, its sources not yet
+    # deleted) — their content is in the container; delete, never
+    # re-merge (reads deduped the overlap meanwhile)
+    tiers = sorted(t for t in tiers
+                   if horizon is None or t[1] > horizon)
+    contained = [t for t in tiers
+                 if any(o[0] <= t[0] and t[1] <= o[1] and o != t
+                        for o in tiers)]
+    for lo, hi, name in contained:
+        fs.delete(hpath(f"{path}/{name}"), True)
+    tiers = [t for t in tiers if t not in contained]
+
+    def _write_tier(df, lo: int, hi: int) -> None:
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+        staging = f"{path}/.c{lo}_{hi}.staging"
+        df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+        if not fs.rename(hpath(staging), hpath(f"{path}/c{lo}_{hi}")):
+            raise IOError(
+                f"tier compaction: rename {staging} -> c{lo}_{hi} failed")
+
     active = sorted(i for i in bdirs if i <= batch_id)
-    if not active:
-        return
-    lo, hi = active[0], active[-1]
-    df = (spark.read.option("recursiveFileLookup", "true")
-          .parquet(*[f"{path}/{bdirs[i]}" for i in active])
-          .dropDuplicates())
-    if horizon is not None:
-        df = df.filter(F.col("batch_id") > horizon)
-    n_files = max(1, spark.sparkContext.defaultParallelism // 4)
-    staging = f"{path}/.c{lo}_{hi}.staging"
-    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
-    if not fs.rename(hpath(staging), hpath(f"{path}/c{lo}_{hi}")):
-        raise IOError(
-            f"tier compaction: rename {staging} -> c{lo}_{hi} failed")
-    for i in active:
-        fs.delete(hpath(f"{path}/{bdirs[i]}"), True)
+    if active:
+        lo, hi = active[0], active[-1]
+        df = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(*[f"{path}/{bdirs[i]}" for i in active])
+              .dropDuplicates())
+        if horizon is not None:
+            df = df.filter(F.col("batch_id") > horizon)
+        _write_tier(df, lo, hi)
+        for i in active:
+            fs.delete(hpath(f"{path}/{bdirs[i]}"), True)
+        tiers.append((lo, hi, f"c{lo}_{hi}"))
+
+    # SIZE-TIERED FOLD (the LSM completion of the tiered protocol):
+    # single-level tiering caps per-compaction I/O but lets the TIER
+    # COUNT grow one per compact_every batches — at stream lifetimes
+    # the read-side listing and per-tier open costs grow linearly.
+    # When the count exceeds max_tiers, merge the ADJACENT pair with
+    # the smallest combined bytes — one merge per call, so each call's
+    # extra I/O is bounded by the smallest pair while repeated folds
+    # give the geometric tier-size ladder (amortized O(N log N) total
+    # write volume, the classic size-tiered trade; a full fold-to-one
+    # would be the O(N²) rewrite this protocol replaced). Same
+    # staging/rename crash story; a crash between the merged tier's
+    # rename and the source deletes leaves CONTAINED tiers the next
+    # call sweeps (above).
+    if max_tiers is not None and len(tiers) > max_tiers:
+        tiers.sort()
+        sizes = [fs.getContentSummary(hpath(f"{path}/{name}")).getLength()
+                 for _, _, name in tiers]
+        j = min(range(len(tiers) - 1),
+                key=lambda i: sizes[i] + sizes[i + 1])
+        (alo, _ahi, aname), (_blo, bhi, bname) = tiers[j], tiers[j + 1]
+        merged = (spark.read.option("recursiveFileLookup", "true")
+                  .parquet(f"{path}/{aname}", f"{path}/{bname}")
+                  .dropDuplicates())
+        if horizon is not None:
+            merged = merged.filter(F.col("batch_id") > horizon)
+        _write_tier(merged, alo, bhi)
+        fs.delete(hpath(f"{path}/{aname}"), True)
+        fs.delete(hpath(f"{path}/{bname}"), True)
 
 
 def start_neardup_ingest(stream: DataFrame, store_dir: str,

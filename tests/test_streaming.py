@@ -1940,3 +1940,55 @@ def test_verify_spans_against_silver_drops_forged_span(spark):
         real.unionByName(forged), docs).collect()))
     assert got == sorted(map(tuple, real.collect())), \
         "verify must keep every genuine span and drop the forged one"
+
+
+def test_tier_compaction_size_tiered_fold(spark, tmp_path):
+    """max_tiers bounds tier-count growth: above the bound, the
+    adjacent pair with the smallest combined bytes folds into one
+    (content preserved, range-union name); a fold crash that leaves
+    the merged tier AND its sources (containment) is swept — never
+    re-merged — on the next call."""
+    import os
+    import shutil
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        _tier_compact,
+    )
+
+    store = str(tmp_path / "tiered")
+
+    def append(bid, vals):
+        (spark.createDataFrame([(v, bid) for v in vals],
+                               "wh long, batch_id long")
+         .coalesce(1).write.mode("append").parquet(f"{store}/b{bid}"))
+
+    # build 4 tiers of one batch each
+    for bid in (1, 2, 3, 4):
+        append(bid, [bid * 10, bid * 10 + 1])
+        _tier_compact(spark, store, bid, max_tiers=None)
+    assert sorted(os.listdir(store)) == ["c1_1", "c2_2", "c3_3", "c4_4"]
+
+    # max_tiers=3: one fold merges one adjacent pair -> 3 tiers
+    _tier_compact(spark, store, 4, max_tiers=3)
+    tiers = sorted(os.listdir(store))
+    assert len(tiers) == 3 and any("_" in t and t[1] != t[-1]
+                                   for t in tiers), tiers
+    got = sorted(r["wh"] for r in spark.read
+                 .option("recursiveFileLookup", "true").parquet(store)
+                 .collect())
+    assert got == [10, 11, 20, 21, 30, 31, 40, 41]
+
+    # fold-crash twin: merged tier present AND sources present
+    # (containment) -> next call deletes the contained sources only
+    merged = next(t for t in tiers if t[1] != t[-1])
+    lo, hi = merged[1:].split("_")
+    shutil.copytree(f"{store}/{merged}", f"{store}/c{lo}_{lo}")
+    shutil.copytree(f"{store}/{merged}", f"{store}/c{hi}_{hi}")
+    _tier_compact(spark, store, 4, max_tiers=5)
+    after = sorted(os.listdir(store))
+    assert merged in after
+    assert f"c{lo}_{lo}" not in after and f"c{hi}_{hi}" not in after
+    still = sorted(r["wh"] for r in spark.read
+                   .option("recursiveFileLookup", "true").parquet(store)
+                   .collect())
+    assert still == got
