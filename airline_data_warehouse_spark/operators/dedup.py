@@ -1227,7 +1227,7 @@ def _es_store_fs(spark, store_dir: str):
 def exact_substring_store_build(corpus: DataFrame, store_dir: str,
                                 text_col: str = "text",
                                 id_col: str = "doc_id", k: int = 8,
-                                max_occ: int = 256,
+                                max_df: int = 16, max_occ: int = 256,
                                 overwrite: bool = False) -> None:
     """Materialize the persisted ExactSubstr WINDOW INDEX — the
     store-mediated batch-incremental tier's corpus state (VERDICT r14
@@ -1250,48 +1250,70 @@ def exact_substring_store_build(corpus: DataFrame, store_dir: str,
       semi-join) — the store keeps corpus bytes exactly once, like
       Lee et al.'s retained corpus, but the per-batch cost touches
       O(affected docs), never the corpus.
-    * ``meta``      — 1-row (k, max_occ) plan sidecar: windows under
-      different k are incommensurable, so a read under a different
-      plan RAISES naming both (the r15 q-digest plan-sidecar
-      discipline); max_occ rides along so the split guard contract
-      (build-time vs increment-time, below) is explicit.
+    * ``meta``      — 1-row (k, max_df, max_occ) plan sidecar: windows
+      under different k are incommensurable, so reads take k FROM the
+      store, and an ``overwrite=False`` re-build whose plan differs
+      from the sidecar RAISES naming both (the r15 q-digest
+      plan-sidecar discipline; silently reusing a store built under a
+      different plan was review-r15's finding 3); max_df/max_occ ride
+      along so the split guard contract (build-time vs
+      increment-time, below) is explicit.
     * ``_built``    — the crash-safety marker, written LAST; an
       ``overwrite=True`` rebuild deletes it FIRST (a mid-rebuild
       crash leaves a rebuildable store, never a half-new one).
 
-    The batch tier's max_occ guard SPLITS across tiers: this build
-    raises if any corpus window hash exceeds max_occ occurrences
-    (corpus-only repetition is a build-time defect), and the
-    incremental raises for hashes its increment touches — together
-    they cover exactly the hash set the recompute twin
-    (`exact_substring_spans_incremental`) checks in one pass. The df
-    boilerplate filter is NOT applied here: df depends on the final
-    corpus ∪ increment state, so it is an increment-time decision
-    from hashstats + the batch's own counts."""
-    mk, fs = _es_store_fs(corpus.sparkSession, store_dir)
+    The batch tier's max_occ guard SPLITS across tiers, and matches
+    the recompute twin's ORDER (df filter FIRST — review r15 finding
+    2: a license header in 300 docs has occ=300 but df=300 > max_df,
+    so every tier df-filters it out and no guard should refuse it):
+    this build raises only when a hash with corpus df <= max_df
+    exceeds max_occ occurrences (corpus-only repetition the df filter
+    would NOT remove); the incremental raises for hashes its
+    increment touches whose TOTAL df passes the filter. Corpus df
+    only grows with appends, so a hash df-excluded here can never
+    re-enter the good set. The df boilerplate filter itself is an
+    increment-time decision from hashstats + the batch's own
+    counts."""
+    spark = corpus.sparkSession
+    mk, fs = _es_store_fs(spark, store_dir)
     if fs.exists(mk("_built")):
         if not overwrite:
+            kk, kdf, kocc = _es_store_meta(spark, store_dir)
+            if (kk, kdf, kocc) != (int(k), int(max_df), int(max_occ)):
+                raise ValueError(
+                    "exact_substring_store_build(overwrite=False): "
+                    f"the existing store at {store_dir!r} was built "
+                    f"under plan (k={kk}, max_df={kdf}, "
+                    f"max_occ={kocc}) but this call asked for "
+                    f"(k={int(k)}, max_df={int(max_df)}, "
+                    f"max_occ={int(max_occ)}) — reusing it silently "
+                    "would answer under a plan the caller never "
+                    "chose; pass overwrite=True to rebuild, or the "
+                    "stored plan to reuse")
             return
         fs.delete(mk("_built"), False)
     wins = _persist(_token_window_hashes(corpus, text_col, id_col, k))
     stats = wins.groupBy("wh").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
         F.count(F.lit(1)).alias("n_occ"))
-    worst = stats.agg(F.max("n_occ").alias("m")).collect()[0]["m"]
+    worst = (stats.filter(F.col("n_docs") <= max_df)
+             .agg(F.max("n_occ").alias("m")).collect()[0]["m"])
     if worst is not None and worst > max_occ:
         raise ValueError(
-            f"exact_substring_store_build: a window hash occurs "
-            f"{worst} times in the corpus (> max_occ={max_occ}) — "
-            "the increment-side pair join would fan out "
-            "quadratically on it; run the repetition filter "
-            "(text_repetition_filter / remove_repeated_spans) over "
-            "the corpus first, or raise max_occ deliberately")
+            f"exact_substring_store_build: a window hash within the "
+            f"df <= {max_df} boilerplate bound occurs {worst} times "
+            f"in the corpus (> max_occ={max_occ}) — the "
+            "increment-side pair join would fan out quadratically on "
+            "it; run the repetition filter (text_repetition_filter / "
+            "remove_repeated_spans) over the corpus first, or raise "
+            "max_occ deliberately")
     wins.write.mode("overwrite").parquet(str(mk("windows")))
     stats.write.mode("overwrite").parquet(str(mk("hashstats")))
     (_token_arrays(corpus, text_col, id_col, id_col, "toks")
      .write.mode("overwrite").parquet(str(mk("tokens"))))
-    (corpus.sparkSession.createDataFrame(
-        [(int(k), int(max_occ))], "k int, max_occ int")
+    (spark.createDataFrame(
+        [(int(k), int(max_df), int(max_occ))],
+        "k int, max_df int, max_occ int")
      .coalesce(1).write.mode("overwrite").parquet(str(mk("meta"))))
     out = fs.create(mk("_built"), True)
     out.write(bytearray(b"ok\n"))
@@ -1299,27 +1321,27 @@ def exact_substring_store_build(corpus: DataFrame, store_dir: str,
     release_caches()
 
 
-def _es_store_meta(spark, store_dir: str) -> tuple[int, int]:
-    """(k, max_occ) from the store's meta sidecar; raises on a store
-    without its `_built` marker (half-built stores are rebuilt, never
-    half-read — the cascade marker contract)."""
+def _es_store_meta(spark, store_dir: str) -> tuple[int, int, int]:
+    """(k, max_df, max_occ) from the store's meta sidecar; raises on a
+    store without its `_built` marker (half-built stores are rebuilt,
+    never half-read — the cascade marker contract). Reads a pre-fix
+    2-column sidecar (k, max_occ) with max_df defaulted to 16."""
     mk, fs = _es_store_fs(spark, store_dir)
     if not fs.exists(mk("_built")):
         raise ValueError(
             f"exact_substring store at {store_dir!r} has no _built "
             "marker — build it with exact_substring_store_build "
             "(a missing marker means a crashed or absent build)")
-    row = spark.read.schema("k int, max_occ int") \
-        .parquet(str(mk("meta"))).collect()[0]
-    return int(row["k"]), int(row["max_occ"])
+    row = spark.read.parquet(str(mk("meta"))).collect()[0]
+    d = row.asDict()
+    return (int(d["k"]), int(d.get("max_df", 16)), int(d["max_occ"]))
 
 
 def exact_substring_spans_store(spark, store_dir: str,
                                 increment: DataFrame,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",
-                                min_tokens: int = 25,
-                                max_df: int = 16) -> DataFrame:
+                                min_tokens: int = 25) -> DataFrame:
     """Store-mediated incremental ExactSubstr: spans between the NEW
     batch and the persisted corpus index — the production shape of
     `exact_substring_spans_incremental`, which re-derives the corpus
@@ -1339,17 +1361,21 @@ def exact_substring_spans_store(spark, store_dir: str,
       documents holding candidate spans (keyed join against the
       store's ``tokens``), increment side from the batch itself.
 
-    ``k`` comes from the store's meta sidecar (windows under
-    different k are incommensurable — there is nothing correct a
-    caller-supplied k could do). The max_occ guard covers hashes this
-    increment touches (accumulated store + batch occurrences); the
-    store build already raised on corpus-only repetition — between
-    them, the recompute twin's guard set, split at the tier boundary
-    (the streaming tier's batch-scoped guard discipline, ADVICE r14).
-    Disjoint doc ids are the incremental contract (same as the
-    recompute twin); an increment id already present in the store
-    RAISES — the df sum would silently double-count it."""
-    k, max_occ = _es_store_meta(spark, store_dir)
+    ``k``, ``max_df``, and ``max_occ`` come from the store's meta
+    sidecar (windows under different k are incommensurable — there is
+    nothing correct a caller-supplied k could do; and the guard-split
+    contract below only covers the PLAN the build checked under, so
+    the read-time knobs are the stored ones too). The max_occ guard
+    covers hashes this increment touches (accumulated store + batch
+    occurrences, df-filtered first — the recompute twin's order); the
+    store build already raised on corpus-only repetition within the
+    df bound — between them, the recompute twin's guard set, split at
+    the tier boundary (the streaming tier's batch-scoped guard
+    discipline, ADVICE r14). Disjoint doc ids are the incremental
+    contract (same as the recompute twin); an increment id already
+    present in the store RAISES — the df sum would silently
+    double-count it."""
+    k, max_df, max_occ = _es_store_meta(spark, store_dir)
     mk, _ = _es_store_fs(spark, store_dir)
     # hashstats holds DELTA rows (one per hash per build/append) —
     # readers sum per hash, the linear-state convention; with the
@@ -1420,8 +1446,23 @@ def exact_substring_store_append(spark, store_dir: str,
     store` aggregates over the union), the streaming tier's linear
     hashstats-state convention, so no read-modify-write of the
     accumulated stats is ever needed. Disjoint-id contract as the
-    join side (same raise)."""
-    k, _ = _es_store_meta(spark, store_dir)
+    join side (same raise).
+
+    Crash contract (review r15 finding 1 — the three appends cannot
+    be atomic in plain parquet): ``tokens`` is appended FIRST, so the
+    disjoint-id guard — which reads tokens — turns a RETRY of a
+    crashed append into a loud raise instead of silently
+    double-appending windows/hashstats (duplicate (wh, doc, pos) rows
+    would fragment the gaps-and-islands run merge and double-counted
+    df deltas would mis-exclude hashes as boilerplate). The append
+    ORDER also keeps concurrent readers consistent at every crash
+    point: tokens-only = extra verify rows nothing references;
+    tokens+hashstats = df counted for windows not yet visible, which
+    can only DROP candidate spans (never invent — the family's
+    collision direction); windows lands LAST and completes the
+    increment. On a raise after a crash, re-id or rebuild the store
+    (the error says so)."""
+    k, _max_df, _max_occ = _es_store_meta(spark, store_dir)
     mk, _fs = _es_store_fs(spark, store_dir)
     clash = (spark.read.parquet(str(mk("tokens")))
              .join(increment.select(F.col(id_col)).distinct(), id_col,
@@ -1429,14 +1470,20 @@ def exact_substring_store_append(spark, store_dir: str,
     if clash:
         raise ValueError(
             "exact_substring_store_append: the increment reuses doc "
-            "ids already present in the store — re-id it (the "
-            "disjoint-ids incremental contract)")
+            "ids already present in the store — either re-id it (the "
+            "disjoint-ids incremental contract) or, if a previous "
+            "append of THIS increment crashed mid-way, rebuild the "
+            "store (exact_substring_store_build(overwrite=True)): "
+            "re-appending would duplicate window/stat rows and "
+            "silently corrupt df counts and run merges")
     iw = _persist(_token_window_hashes(increment, text_col, id_col, k))
-    iw.write.mode("append").parquet(str(mk("windows")))
+    # tokens FIRST (arms the retry guard), stats second, windows LAST
+    # — see the crash contract above
+    (_token_arrays(increment, text_col, id_col, id_col, "toks")
+     .write.mode("append").parquet(str(mk("tokens"))))
     (iw.groupBy("wh").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
         F.count(F.lit(1)).alias("n_occ"))
      .write.mode("append").parquet(str(mk("hashstats"))))
-    (_token_arrays(increment, text_col, id_col, id_col, "toks")
-     .write.mode("append").parquet(str(mk("tokens"))))
+    iw.write.mode("append").parquet(str(mk("windows")))
     release_caches()

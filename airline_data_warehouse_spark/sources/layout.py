@@ -106,19 +106,35 @@ def qdigest_boundaries(df: DataFrame, col: str,
             for r in sorted(rows, key=lambda r: r["key"])]
 
 
+_INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _int_encoding(dtype: str | None, col: str) -> Column | None:
+    """The canonical INTEGER encoding of a column for ranking and
+    deterministic boundary derivation, or None when the dtype has no
+    integer tree to ride: integers pass through, TIMESTAMP ranks by
+    epoch micros, DATE by epoch days (datediff from 1970-01-01 — a
+    date has no direct numeric cast). ONE definition shared by
+    `_as_numeric` (bucket ranking) and `write_zorder`'s deterministic
+    boundary path — the two MUST agree or boundaries and ranks land
+    in different domains (review r15 finding 5)."""
+    if dtype in _INT_DTYPES:
+        return F.col(col)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(col))
+    if dtype == "date":
+        return F.datediff(F.col(col), F.to_date(F.lit("1970-01-01")))
+    return None
+
+
 def _as_numeric(df: DataFrame, col: str) -> Column:
-    """Timestamps rank by epoch micros, dates by epoch DAYS (a date has
-    no direct double cast — datediff from 1970-01-01 is its canonical
-    integer encoding, and boundaries computed in day units compare
-    against the same encoding here); everything else casts to double
-    (2024-range epoch micros ~1.7e15 sit well inside double's 53-bit
-    integer range, so quantile ordering is exact)."""
-    dt = dict(df.dtypes).get(col)
-    if dt in ("timestamp", "timestamp_ntz"):
-        return F.unix_micros(F.col(col)).cast("double")
-    if dt == "date":
-        return F.datediff(F.col(col),
-                          F.to_date(F.lit("1970-01-01"))).cast("double")
+    """Rank order of ``col`` as a double: the shared integer encoding
+    when one exists (`_int_encoding` — 2024-range epoch micros ~1.7e15
+    sit well inside double's 53-bit integer range, so quantile
+    ordering is exact), plain double cast otherwise."""
+    enc = _int_encoding(dict(df.dtypes).get(col), col)
+    if enc is not None:
+        return enc.cast("double")
     return F.col(col).cast("double")
 
 
@@ -184,19 +200,14 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
     integer tree to ride) falls back to approxQuantile with a loud
     `warnings.warn` naming the column, instead of quiet partial
     determinism."""
-    int_types = ("tinyint", "smallint", "int", "bigint")
     dtypes = dict(df.dtypes)
 
     def bounds(c: str) -> list[float]:
         dt = dtypes.get(c)
         if deterministic:
-            enc = None
-            if dt in int_types:
-                enc = F.col(c)
-            elif dt == "date":
-                enc = F.datediff(F.col(c), F.to_date(F.lit("1970-01-01")))
-            elif dt in ("timestamp", "timestamp_ntz"):
-                enc = F.unix_micros(F.col(c))
+            # the SAME encoding bucket_rank ranks through
+            # (_int_encoding — one definition, review r15 finding 5)
+            enc = _int_encoding(dt, c)
             if enc is not None:
                 return [float(v) for v in qdigest_boundaries(
                     df.select(enc.cast("long").alias(c)), c, 1 << bits)]

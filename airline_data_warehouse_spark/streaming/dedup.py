@@ -926,15 +926,25 @@ def verify_spans_against_silver(spans: DataFrame, docs: DataFrame,
     the stream_exact_substring_verified registry key's oracle IS the
     batch chain with its verify kept).
 
-    Scale shape: the token-array join touches only documents that
-    hold a candidate span (keyed join, span-proportional), and spans
-    joins docs — never docs × docs."""
+    Scale shape: the silver corpus is SEMI-JOINED down to the
+    documents that actually hold a candidate span before any
+    tokenization (review r15 finding 4 — the join alone prunes output
+    rows, not the corpus-wide split work), then tokenized ONCE and
+    aliased for both sides — per-run cost is span-proportional, never
+    docs × docs and never a full-corpus tokenize."""
     from airline_data_warehouse_spark.operators.dedup import (
         _token_arrays,
     )
 
-    arr_a = _token_arrays(docs, text_col, id_col, "doc_a", "_wa")
-    arr_b = _token_arrays(docs, text_col, id_col, "doc_b", "_wb")
+    touched = (spans.select(F.col("doc_a").alias(id_col))
+               .unionByName(spans.select(F.col("doc_b").alias(id_col)))
+               .distinct())
+    affected = docs.join(touched, id_col, "left_semi")
+    arr = _token_arrays(affected, text_col, id_col, id_col, "_w")
+    arr_a = arr.select(F.col(id_col).alias("doc_a"),
+                       F.col("_w").alias("_wa"))
+    arr_b = arr.select(F.col(id_col).alias("doc_b"),
+                       F.col("_w").alias("_wb"))
     return (spans.join(arr_a, "doc_a").join(arr_b, "doc_b")
             .filter(F.expr(
                 "array_join(slice(_wa, int(start_a), "

@@ -4171,6 +4171,51 @@ def test_exact_substring_store_guards(spark, tmp_path):
         dd.exact_substring_store_build(
             rep, str(tmp_path / "rep_store"), k=4, max_occ=8)
 
+    # review r15 finding 2: boilerplate spread across MANY docs (df >
+    # max_df) is df-filtered by every tier and must NOT refuse the
+    # build, even when its total occurrences exceed max_occ
+    boiler = spark.createDataFrame(
+        [(100 + i, "common license header line " +
+          " ".join(f"d{100 + i}w{j}" for j in range(6)))
+         for i in range(12)],
+        "doc_id long, text string")
+    dd.exact_substring_store_build(
+        boiler, str(tmp_path / "boiler_store"), k=4, max_df=4, max_occ=8)
+
+    # review r15 finding 3: overwrite=False over an existing store
+    # with a DIFFERENT plan raises naming both, never silently reuses
+    with pytest.raises(ValueError, match="k=12"):
+        dd.exact_substring_store_build(docs, store, k=12)
+
+
+def test_exact_substring_store_append_crash_retry_raises(spark, tmp_path):
+    """review r15 finding 1: the append writes tokens FIRST, so a
+    retry after any mid-append crash hits the disjoint-id guard and
+    raises loudly instead of double-appending windows/hashstats
+    (which would fragment run merges and inflate df silently)."""
+    import pytest
+
+    import airline_data_warehouse_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(100, " ".join(f"w{i}" for i in range(25)))],
+        "doc_id long, text string")
+    store = str(tmp_path / "es_store")
+    dd.exact_substring_store_build(docs, store, k=4)
+    # simulate the worst crash point: tokens landed, windows/stats did
+    # not — exactly the state after the first write completes
+    from airline_data_warehouse_spark.operators.dedup import (
+        _token_arrays,
+    )
+
+    (_token_arrays(inc, "text", "doc_id", "doc_id", "toks")
+     .write.mode("append").parquet(f"{store}/tokens"))
+    with pytest.raises(ValueError, match="crashed mid-way"):
+        dd.exact_substring_store_append(spark, store, inc)
+
 
 def test_countmin_inner_product_math(spark):
     """CMS inner product on a hand corpus: est >= the exact inner
