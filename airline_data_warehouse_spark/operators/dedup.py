@@ -1487,3 +1487,37 @@ def exact_substring_store_append(spark, store_dir: str,
      .write.mode("append").parquet(str(mk("hashstats"))))
     iw.write.mode("append").parquet(str(mk("windows")))
     release_caches()
+
+
+def remove_increment_spans_store(spark, store_dir: str,
+                                 increment: DataFrame,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 min_tokens: int = 25) -> DataFrame:
+    """The daily-ingest SCRUB composition: cut from each INCREMENT
+    document every token range `exact_substring_spans_store` found
+    verbatim in the persisted corpus, and reassemble the survivor
+    text — the store-mediated form of `remove_cross_doc_spans`'
+    keep-first rule with the corpus always the keeper (it was there
+    first). Run it on a batch BEFORE `exact_substring_store_append`
+    and the store accumulates deduplicated text only — the Lee et al.
+    ExactSubstr training-corpus loop as one operator per batch.
+
+    Output: (doc_id, n_removed, kept_text) for increment documents
+    that lost at least one token (kept_text = '' marks a document
+    wholly covered by corpus material). Equivalent by construction to
+    `remove_cross_doc_spans` over corpus ∪ increment restricted to
+    spans whose later side is the increment — the oracle replays that
+    chain. Scale shape: spans come from the increment-proportional
+    store join; the removal explode/anti-mark/reassembly stages are
+    linear in affected increment tokens (the batch removal twin's
+    bounds), and the corpus store stays read-only."""
+    spans = exact_substring_spans_store(spark, store_dir, increment,
+                                        text_col, id_col, min_tokens)
+    cross = spans.select(F.col("corpus_id").alias("doc_a"),
+                         F.col("inc_id").alias("doc_b"),
+                         F.col("start_corpus").alias("start_a"),
+                         F.col("start_inc").alias("start_b"),
+                         "span_tokens")
+    return remove_cross_doc_spans(increment, text_col, id_col,
+                                  min_tokens=min_tokens, spans=cross)

@@ -196,6 +196,7 @@ HEADLINE = [
     "dedup_exact_substring_removal",
     "dedup_exact_substring_incremental",
     "dedup_exact_substring_store",
+    "dedup_exact_substring_store_scrub",
     "stream_exact_substring_verified",
     "multimodal_video_near_dup",
     "cms_join_size",

@@ -4134,6 +4134,38 @@ def test_exact_substring_store_equals_recompute(spark, tmp_path):
     assert got2 == ref2 and got2, "append-path store = recompute"
 
 
+def test_remove_increment_spans_store_equals_batch_cut(spark, tmp_path):
+    """The store-mediated increment scrub ≡ remove_cross_doc_spans
+    over corpus ∪ increment restricted to spans whose later side is
+    the increment (the oracle's chain) — corpus text is never
+    re-hashed, and intra-increment duplication is deliberately NOT
+    scrubbed (the batch operator over the silver table owns it)."""
+    import airline_data_warehouse_spark.operators.dedup as dd
+
+    base = " ".join(chr(ord("a") + i) * 2 for i in range(26))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(100, "zz yy " + " ".join(base.split()[:20]) + " xx"),
+         (101, base)],
+        "doc_id long, text string")
+    store = str(tmp_path / "es_store")
+    dd.exact_substring_store_build(corpus, store, k=4)
+    got = sorted(map(tuple, dd.remove_increment_spans_store(
+        spark, store, inc, min_tokens=10).collect()))
+
+    both = corpus.unionByName(inc)
+    spans = (dd.exact_substring_spans(both, k=4, min_tokens=10)
+             .filter("doc_a < 100 AND doc_b >= 100"))
+    want = sorted(map(tuple, dd.remove_cross_doc_spans(
+        inc, k=4, min_tokens=10, spans=spans).collect()))
+    assert got == want and got, "store scrub = batch removal cross cut"
+    # doc 101 is a full copy of corpus doc 1 -> wholly covered
+    full = [r for r in got if r[0] == 101]
+    assert full and full[0][2] == ""
+
+
 def test_exact_substring_store_guards(spark, tmp_path):
     """The store tier's loud-misuse set: no _built marker raises
     (half-built stores rebuild, never half-read); an increment reusing
