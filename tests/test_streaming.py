@@ -1992,3 +1992,77 @@ def test_tier_compaction_size_tiered_fold(spark, tmp_path):
                    .option("recursiveFileLookup", "true").parquet(store)
                    .collect())
     assert still == got
+
+
+def test_tier_protocol_randomized_crash_fuzz(spark, tmp_path):
+    """Seeded randomized exercise of the tier protocol: an arbitrary
+    interleaving of appends, compactions (varying max_tiers), replay
+    re-appends, and injected crash artifacts (stray staging dirs,
+    re-created pre-watermark b-dirs) must always read back EXACTLY
+    the appended row multiset (distinct) — content is never lost and
+    never invented, whatever the crash/fold history."""
+    import os
+    import random
+    import shutil
+
+    from airline_data_warehouse_spark.streaming.dedup import (
+        _tier_compact,
+    )
+
+    for seed in (7, 23):
+        rnd = random.Random(seed)
+        store = str(tmp_path / f"fuzz{seed}")
+        model = set()
+        next_bid, last_bid = 1, 0
+
+        def read_back():
+            if not os.path.exists(store):
+                return set()
+            return {(r["wh"], r["batch_id"]) for r in
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(store).collect()}
+
+        for _step in range(12):
+            op = rnd.choice(["append", "append", "compact", "replay",
+                             "staging_crash", "fold_crash"])
+            if op == "append":
+                rows = [(rnd.randrange(10_000) * 100 + next_bid,
+                         next_bid) for _ in range(rnd.randint(1, 4))]
+                (spark.createDataFrame(rows, "wh long, batch_id long")
+                 .coalesce(1).write.mode("append")
+                 .parquet(f"{store}/b{next_bid}"))
+                model.update(rows)
+                last_bid, next_bid = next_bid, next_bid + 1
+            elif op == "compact" and model:
+                _tier_compact(spark, store, last_bid,
+                              max_tiers=rnd.choice([None, 1, 2, 3]))
+            elif op == "replay" and model:
+                # re-append a random already-appended row into its
+                # original b-dir (at-least-once duplicate)
+                wh, bid = rnd.choice(sorted(model))
+                (spark.createDataFrame([(wh, bid)],
+                                       "wh long, batch_id long")
+                 .coalesce(1).write.mode("append")
+                 .parquet(f"{store}/b{bid}"))
+            elif op == "staging_crash" and os.path.exists(store):
+                (spark.createDataFrame([(-1, -1)],
+                                       "wh long, batch_id long")
+                 .write.mode("overwrite")
+                 .parquet(f"{store}/.c998_999.staging"))
+            elif op == "fold_crash" and os.path.exists(store):
+                tiers = [d for d in os.listdir(store)
+                         if d.startswith("c") and "_" in d]
+                if tiers:
+                    # duplicate a tier under a contained range — the
+                    # post-rename/pre-delete fold crash shape
+                    t = rnd.choice(tiers)
+                    lo = t[1:].split("_")[0]
+                    dup = f"{store}/c{lo}_{lo}"
+                    if not os.path.exists(dup) and f"c{lo}_{lo}" != t:
+                        shutil.copytree(f"{store}/{t}", dup)
+            got = {x for x in read_back() if x[1] >= 0}
+            assert got == model, (seed, _step, op,
+                                  got ^ model)
+        # final full compact drains every artifact
+        _tier_compact(spark, store, last_bid, max_tiers=1)
+        assert {x for x in read_back() if x[1] >= 0} == model
