@@ -197,6 +197,7 @@ HEADLINE = [
     "dedup_exact_substring_incremental",
     "dedup_exact_substring_store",
     "dedup_exact_substring_store_scrub",
+    "exact_substring_overlap_clusters",
     "stream_exact_substring_verified",
     "multimodal_video_near_dup",
     "cms_join_size",

@@ -4436,3 +4436,40 @@ def test_qdigest_stream_store_plan_sidecar(spark, tmp_path):
         start_qdigest_ingest(src2, f"{tmp_path}/store",
                              checkpoint_dir=f"{tmp_path}/ck2",
                              offset=off + 1, levels=lv)
+
+
+def test_exact_substring_overlap_clusters_hand_graph(spark):
+    """Span-graph contamination clusters on a hand corpus: docs
+    sharing >= 40 verbatim tokens cluster transitively; a pair whose
+    total shared material sits below the threshold stays apart."""
+    from pyspark.sql import functions as F
+
+    import airline_data_warehouse_spark.operators.dedup as dd
+    from airline_data_warehouse_spark.operators.graph import (
+        component_profile,
+    )
+
+    base = " ".join(f"t{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base),                              # root
+         (2, base + " x2"),                      # 60 shared with 1
+         (3, " ".join(base.split()[:45]) + " y3"),  # 45 shared, chains
+         (4, " ".join(base.split()[:30]) + " z4 "   # only 30 shared
+             + " ".join(f"u{i}" for i in range(30))),
+         (5, " ".join(f"v{i}" for i in range(40)))],  # isolated
+        "doc_id long, text string")
+    spans = dd.exact_substring_spans(docs, k=4, min_tokens=10)
+    edges = (spans.groupBy("doc_a", "doc_b")
+             .agg(F.sum("span_tokens").alias("shared"))
+             .filter(F.col("shared") >= 40)
+             .select(F.col("doc_a").alias("id1"),
+                     F.col("doc_b").alias("id2")))
+    labels = dd.connected_components(edges, docs.select("doc_id"))
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert by_doc[1] == by_doc[2] == by_doc[3] == 1
+    assert by_doc[4] == 4 and by_doc[5] == 5  # below threshold / isolated
+    prof = {(r["stat"], r["k"]): r["value"]
+            for r in component_profile(labels).collect()}
+    assert prof[("components", -1)] == 3.0
+    assert prof[("max_size", -1)] == 3.0
+    assert prof[("singletons", -1)] == 2.0
