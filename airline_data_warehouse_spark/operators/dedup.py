@@ -1507,8 +1507,12 @@ def remove_increment_spans_store(spark, store_dir: str,
     that lost at least one token (kept_text = '' marks a document
     wholly covered by corpus material). Equivalent by construction to
     `remove_cross_doc_spans` over corpus ∪ increment restricted to
-    spans whose later side is the increment — the oracle replays that
-    chain. Scale shape: spans come from the increment-proportional
+    CROSS pairs (earlier side corpus AND later side increment) — the
+    oracle replays that chain. Intra-increment duplication (two docs
+    of the SAME batch sharing a span) is deliberately NOT scrubbed
+    here: the store join never pairs increment against itself; run
+    the batch removal over the silver table for that (the
+    incremental family's standing contract). Scale shape: spans come from the increment-proportional
     store join; the removal explode/anti-mark/reassembly stages are
     linear in affected increment tokens (the batch removal twin's
     bounds), and the corpus store stays read-only."""

@@ -2060,9 +2060,12 @@ def test_tier_protocol_randomized_crash_fuzz(spark, tmp_path):
                     dup = f"{store}/c{lo}_{lo}"
                     if not os.path.exists(dup) and f"c{lo}_{lo}" != t:
                         shutil.copytree(f"{store}/{t}", dup)
-            got = {x for x in read_back() if x[1] >= 0}
-            assert got == model, (seed, _step, op,
-                                  got ^ model)
+            # UNFILTERED equality: the injected staging rows carry
+            # batch_id = -1 and a correct protocol NEVER surfaces
+            # them — filtering them out here would mask exactly the
+            # staging-visibility regression this op injects
+            got = read_back()
+            assert got == model, (seed, _step, op, got ^ model)
         # final full compact drains every artifact
         _tier_compact(spark, store, last_bid, max_tiers=1)
-        assert {x for x in read_back() if x[1] >= 0} == model
+        assert read_back() == model
