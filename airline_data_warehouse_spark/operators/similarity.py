@@ -1894,29 +1894,90 @@ def _per_dim_mu(corpus: DataFrame, vec_col: str) -> DataFrame:
 
 def _cov_cells(centered: DataFrame, dims: int, round_dp: int = 6) -> DataFrame:
     """Upper-triangle covariance cells (i, j, cov) from a frame with a
-    centered vector column ``c`` — the in-row nested-transform cell
-    generation (no self-join) shared by embedding_covariance, pca_whiten
-    and whiten_invariants. The only exchange is the (i, j)-keyed partial
-    agg: ≤ d(d+1)/2 rows per task. ``round_dp``: output rounding — 6 for
-    the exact covariance contract (6-dp-rounded inputs), 3 for the
-    whiten-invariants Gram (float-noise margin, see whiten_invariants)."""
-    idx = F.sequence(F.lit(0), F.lit(dims - 1))
-    cells = F.flatten(F.transform(
-        idx, lambda i: F.transform(
-            F.sequence(i, F.lit(dims - 1)),
-            lambda j: F.struct(
-                i.cast("int").alias("i"), j.cast("int").alias("j"),
-                (F.get(F.col("c"), i) * F.get(F.col("c"), j)).alias("p")))))
-    return (centered.select(F.explode(cells).alias("cell"))
-            .select("cell.i", "cell.j", "cell.p")
-            .groupBy("i", "j")
+    centered vector column ``c`` of 6-dp-ROUNDED doubles — shared by
+    embedding_covariance, pca_whiten and whiten_invariants.
+
+    r15 optimization (guide §4.2 — batch the Python boundary, hand
+    whole Arrow batches to vectorized native code): the r11–r14 shape
+    exploded d(d+1)/2 product structs PER ROW (n·d²/2 rows through
+    Catalyst explode + DECIMAL(38,12) hash-agg: 7.2 s for 2,000×64 at
+    sf0.1); this one is a single `mapInArrow` pass — per task, the
+    6-dp values recover their EXACT integer 1e-6 units (each double is
+    within ~1e-10·|v| of the decimal it rounds to, so rint(c·1e6) is
+    exact; a loud guard raises if a caller ever passes unrounded
+    values), one int64 matmul per chunk accumulates the exact
+    1e-12-unit product sums (chunks of 1e6 rows keep |partial| ≤ 4e18
+    < 2^63; chunk totals then accumulate in arbitrary-precision Python
+    ints), and each task emits d(d+1)/2 partial rows as
+    DECIMAL(38,12). The only exchange is that schema-bounded partial
+    frame. Bit-identical to the decimal-explode path — the product of
+    two 6-dp doubles cast to DECIMAL(38,12) IS the exact 12-dp decimal
+    product (the established exactness argument), and integer units
+    replicate it exactly — measured identical at sf0.1 and 0.93 s vs
+    7.19 s median-of-5 (tools/opt_experiments.py).
+
+    ``round_dp``: output rounding — 6 for the exact covariance
+    contract, 9 for the whiten-invariants fit, 3 for its Gram."""
+    import pyarrow as pa
+
+    n_pairs = dims * (dims + 1) // 2
+    iu = [i for i in range(dims) for _ in range(i, dims)]
+    ju = [j for i in range(dims) for j in range(i, dims)]
+
+    def _partial(batches):
+        import decimal
+
+        import numpy as np
+        acc = [0] * n_pairs
+        cnt = 0
+        iu_a = np.array(iu, dtype=np.int64)
+        ju_a = np.array(ju, dtype=np.int64)
+        for batch in batches:
+            flat = np.asarray(batch.column(0).flatten(), dtype=np.float64)
+            if flat.size % dims:
+                raise ValueError(
+                    f"_cov_cells: vector length is not dims={dims} "
+                    f"(got {flat.size} values for "
+                    f"{batch.num_rows} rows)")
+            arr = flat.reshape(-1, dims)
+            scaled = arr * 1e6
+            ci = np.rint(scaled)
+            if scaled.size and np.max(np.abs(scaled - ci)) > 1e-3:
+                raise ValueError(
+                    "_cov_cells: centered values are not 6-dp-rounded "
+                    "doubles — the integer-exact accumulation only "
+                    "replicates the DECIMAL(38,12) contract for "
+                    "round(x, 6) inputs (round the caller's column "
+                    "first)")
+            ci = ci.astype(np.int64)
+            # chunk so int64 partials cannot overflow: |c| ≤ ~2e6 units
+            # → |product| ≤ 4e12; 1e6 rows/chunk → |chunk sum| ≤ 4e18
+            for lo in range(0, ci.shape[0], 1_000_000):
+                ch = ci[lo:lo + 1_000_000]
+                tri = (ch.T @ ch)[iu_a, ju_a]
+                for p in range(n_pairs):
+                    acc[p] += int(tri[p])
+                cnt += ch.shape[0]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(iu, type=pa.int32()),
+             pa.array(ju, type=pa.int32()),
+             pa.array([decimal.Decimal(a).scaleb(-12) for a in acc],
+                      type=pa.decimal128(38, 12)),
+             pa.array([cnt] * n_pairs, type=pa.int64())],
+            names=["i", "j", "psum", "pcnt"])
+
+    partials = (centered.select("c")       # only the vector crosses (§4.1)
+                .mapInArrow(_partial,
+                            "i int, j int, psum decimal(38,12), pcnt long"))
+    return (partials.groupBy("i", "j")
+            .agg(F.sum("psum").alias("_s"), F.sum("pcnt").alias("_n"))
             # + 0.0 canonicalizes IEEE signed zero: a negative sum that
             # rounds to zero yields -0.0, which the external
             # canonicalizer renders differently from the oracle's 0.0
-            .agg((F.round(F.sum(F.col("p").cast("decimal(38,12)"))
-                           .cast("double")
-                          / (F.count(F.lit(1)) - 1), round_dp) + 0.0)
-                 .alias("cov")))
+            .select("i", "j",
+                    (F.round(F.col("_s").cast("double")
+                             / (F.col("_n") - 1), round_dp) + 0.0)
+                    .alias("cov")))
 
 
 def embedding_covariance(corpus: DataFrame, dims: int = 64,
@@ -2094,7 +2155,15 @@ def whiten_invariants(corpus: DataFrame, dims: int = 64,
             f"analytic error bound d·0.5e-9/λ_min would pass the 5e-4 "
             f"rounding margin — reduce dims or fix the corpus")
     comps = F.array(*[_dot(F.col("c"), _lit_vec(w)) for w in ws])
-    projected = centered.select(comps.alias("c"))
+    # 6-dp-round the projected coordinates so the Gram pass rides the
+    # integer-exact _cov_cells kernel (r15): |y| is ~1 by construction
+    # (whitened coordinates), so the perturbation adds ≤ ~2·0.5e-6·E|y|
+    # ≈ 1e-6 per Gram cell — three orders of magnitude inside the
+    # certificate's remaining margin (5e-4 rounding margin minus the
+    # 2.5e-4 analytic covariance-rounding bound), and the certified
+    # output (the exact identity after 3-dp rounding) is unchanged
+    projected = centered.select(
+        F.transform(comps, lambda x: F.round(x, 6)).alias("c"))
     gram = (_cov_cells(projected, dims, round_dp=3)
             .select(F.lit("gram").alias("stat"), "i", "j",
                     F.col("cov").alias("value")))

@@ -3792,6 +3792,40 @@ def test_triangle_counts_known_graph(spark):
     assert 9 not in got                    # self-loop-only node drops
 
 
+def test_triangle_counts_random_graph_vs_bruteforce(spark):
+    """Pin the r15 adjacency-intersection internals against a plain
+    brute-force per-node triangle count on a seeded random graph dense
+    enough that every code path (multi-witness edges, nodes that appear
+    only as witnesses, empty intersections) is exercised — the
+    focused-test rule for an operator whose internals changed this
+    round (the wedge join + closing semi-join became an in-row
+    array_intersect on oriented adjacency lists)."""
+    import itertools
+    import random
+
+    from airline_data_warehouse_spark.operators.graph import triangle_counts
+
+    rng = random.Random(1519)
+    nodes = list(range(40))
+    edges = sorted({(a, b) for a in nodes for b in nodes
+                    if a < b and rng.random() < 0.25})
+    nbrs = {v: set() for v in nodes}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    want = {}
+    for v in nodes:
+        if not nbrs[v]:
+            continue
+        t = sum(1 for x, y in itertools.combinations(sorted(nbrs[v]), 2)
+                if y in nbrs[x])
+        want[v] = (len(nbrs[v]), t)
+    got = {r["node_id"]: (r["degree"], r["triangles"])
+           for r in triangle_counts(
+               spark.createDataFrame(edges, "src long, dst long")).collect()}
+    assert got == want
+
+
 def test_personalized_pagerank_matches_reference_and_localizes(spark):
     """pagerank(seeds=...) vs the plain-Python integer reference with
     teleport/start/dangling concentrated on the seed set; plus the
