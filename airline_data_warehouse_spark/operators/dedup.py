@@ -1311,9 +1311,11 @@ def exact_substring_store_build(corpus: DataFrame, store_dir: str,
     stats.write.mode("overwrite").parquet(str(mk("hashstats")))
     (_token_arrays(corpus, text_col, id_col, id_col, "toks")
      .write.mode("overwrite").parquet(str(mk("tokens"))))
-    (spark.createDataFrame(
-        [(int(k), int(max_df), int(max_occ))],
-        "k int, max_df int, max_occ int")
+    from airline_data_warehouse_spark.operators.frames import (
+        jvm_local_frame,
+    )
+    (jvm_local_frame(spark, [(int(k), int(max_df), int(max_occ))],
+                     "k int, max_df int, max_occ int")
      .coalesce(1).write.mode("overwrite").parquet(str(mk("meta"))))
     out = fs.create(mk("_built"), True)
     out.write(bytearray(b"ok\n"))

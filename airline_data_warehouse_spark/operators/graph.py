@@ -169,8 +169,11 @@ def pagerank(edges: DataFrame, iters: int = 3,
             raise ValueError(
                 "pagerank: personalized teleport set is empty after "
                 "cast/distinct — seeds must contain at least one id")
-        pcount = nodes.sparkSession.createDataFrame(
-            [(int(n_seeds),)], "n long")
+        from airline_data_warehouse_spark.operators.frames import (
+            jvm_local_frame,
+        )
+        pcount = jvm_local_frame(nodes.sparkSession,
+                                 [(int(n_seeds),)], "n long")
     else:
         nodes = _persist(nodes.withColumn("_p", F.lit(True)))
         pcount = nodes.agg(F.count(F.lit(1)).alias("n"))

@@ -1764,7 +1764,10 @@ def kcenter_select(corpus: DataFrame, k: int = 6, dims: int = 64,
                 F.least(F.col("_mind"),
                         _sqdist_exact(F.col("_v"), _lit_vec(center)))
                  .alias("_mind")))
-    return spark.createDataFrame(sel, schema)
+    from airline_data_warehouse_spark.operators.frames import (
+        jvm_local_frame,
+    )
+    return jvm_local_frame(spark, sel, schema)
 
 
 def _sq6_int(a: list[int], b: list[int]) -> int:
@@ -1876,7 +1879,10 @@ def kcenter_select_batched(corpus: DataFrame, k: int = 6, m: int = 2,
                 F.least(F.col("_mind"),
                         *[_sqdist_exact(F.col("_v"), _lit_vec(bv))
                           for bv in batch_vecs]).alias("_mind")))
-    return spark.createDataFrame(sel, schema)
+    from airline_data_warehouse_spark.operators.frames import (
+        jvm_local_frame,
+    )
+    return jvm_local_frame(spark, sel, schema)
 
 
 def _per_dim_mu(corpus: DataFrame, vec_col: str) -> DataFrame:
@@ -2169,7 +2175,11 @@ def whiten_invariants(corpus: DataFrame, dims: int = 64,
                     F.col("cov").alias("value")))
     n = centered.count()
     spark = corpus.sparkSession
-    scalars = spark.createDataFrame(
+    from airline_data_warehouse_spark.operators.frames import (
+        jvm_local_frame,
+    )
+    scalars = jvm_local_frame(
+        spark,
         [("eig_sum", -1, -1, round(float(sum(evals)), 6) + 0.0),
          ("eig_sumsq", -1, -1,
           round(float(sum(v * v for v in evals)), 6) + 0.0),

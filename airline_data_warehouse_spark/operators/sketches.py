@@ -629,7 +629,11 @@ def qdigest_rank_values(digest: DataFrame,
     if isinstance(ranks, DataFrame):
         rdf = ranks.select("key", "rnk")
     else:
-        rdf = digest.sparkSession.createDataFrame(
+        from airline_data_warehouse_spark.operators.frames import (
+            jvm_local_frame,
+        )
+        rdf = jvm_local_frame(
+            digest.sparkSession,
             [(int(kk), int(r)) for kk, r in ranks], "key int, rnk long")
     # offset: shift the estimate back to the raw value domain when the
     # digest was built over offset-shifted ids (qdigest_build_auto)

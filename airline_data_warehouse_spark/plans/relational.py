@@ -220,7 +220,11 @@ def dimension_repair_placeholders(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def lookup_join_with_fuzzy_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    lang_map = spark.createDataFrame(
+    from airline_data_warehouse_spark.operators.frames import (
+        jvm_local_frame,
+    )
+    lang_map = jvm_local_frame(
+        spark,
         [("en", "English"), ("es", "Spanish"), ("de", "German"), ("fr", "French")],
         "code string, lang_name string")
     return (

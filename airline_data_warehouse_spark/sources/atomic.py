@@ -207,8 +207,11 @@ def merge_parquet(spark: SparkSession, source: DataFrame, dest_path: str,
     # staging write (cheaper, and immune to a non-deterministic source
     # making the drop list diverge from what was staged)
     part_field = target.schema[partition_col]
-    aff_lit = spark.createDataFrame([(v,) for v in affected_vals],
-                                    schema=T.StructType([part_field]))
+    from airline_data_warehouse_spark.operators.frames import (
+        jvm_local_frame,
+    )
+    aff_lit = jvm_local_frame(spark, [(v,) for v in affected_vals],
+                              T.StructType([part_field]))
     surviving = (target
                  .join(F.broadcast(aff_lit), partition_col, "left_semi")
                  .join(keys, key, "left_anti"))

@@ -162,7 +162,11 @@ def start_index_ingest(stream: DataFrame, index_dir: str,
                                  drift_factor=drift_factor)
         if dels is not None:
             ivfpq_index_delete(spark, index_dir, dels, id_col=id_col)
-        (spark.createDataFrame(
+        from airline_data_warehouse_spark.operators.frames import (
+            jvm_local_frame,
+        )
+        (jvm_local_frame(
+            spark,
             [(int(batch_id), rep["appended"], rep["mean_d2"],
               rep["baseline_mean_d2"], rep["retrain_recommended"])],
             "batch_id long, appended long, mean_d2 double, "

@@ -368,7 +368,11 @@ def _pin_store_plan(spark: SparkSession, store_dir: str, offset: int,
     qdigest_merge contract, persisted)."""
     pinned = _read_store_plan(spark, store_dir)
     if pinned is None:
-        (spark.createDataFrame(
+        from airline_data_warehouse_spark.operators.frames import (
+            jvm_local_frame,
+        )
+        (jvm_local_frame(
+            spark,
             [(int(offset), int(levels), int(branch_bits))],
             "offset long, levels int, branch_bits int")
          .coalesce(1).write.mode("overwrite")
