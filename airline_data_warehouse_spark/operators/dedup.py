@@ -209,20 +209,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # and shingling (substring explosion + md5) dominates the cost
     sh = _persist(shingled(df, text_col, id_col, k))
     cand = minhash_lsh_candidates(df, text_col, id_col, k, shingle_sets=sh)
-    # shuffle_hash hint on the shingle-ARRAY sides: their in-heap hash-map
-    # expansion is 4-8x their shuffle bytes, so AQE's size-threshold
-    # broadcast decision under-predicts and a driver-side build OOMs at
-    # scale (reproduced in the r07 8x probe via dedup_cascade — two
-    # concurrent ~270 MB builds). A shuffled hash join builds per-
-    # PARTITION maps instead; no sort, id-keyed, safe at any corpus size.
-    s1 = sh.select(F.col(id_col).alias("id1"), _i32("hs").alias("sh1")).hint("shuffle_hash")
-    s2 = sh.select(F.col(id_col).alias("id2"), _i32("hs").alias("sh2")).hint("shuffle_hash")
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
-    return (cand.join(s1, "id1").join(s2, "id2")
-                .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
-                .filter(F.col("jaccard") >= threshold)
-                .select("id1", "id2", "jaccard"))
+    # verify via the shared barrier join (_verified_jaccard_pairs): the
+    # shuffle_hash discipline on the array sides (in-heap hash-map
+    # expansion 4-8x shuffle bytes defeats AQE's broadcast size check —
+    # the r07 8x probe OOM) and the compute-once barrier both live there.
+    return _verified_jaccard_pairs(cand, sh, sh, "id1", "id2",
+                                   id_col, threshold)
 
 
 def _i32(col: str) -> F.Column:
@@ -233,6 +225,47 @@ def _i32(col: str) -> F.Column:
     — ships half the bytes. Values are preserved exactly; MinHash/
     SimHash arithmetic upstream keeps the long form it needs."""
     return F.col(col).cast("array<int>")
+
+
+def _verified_jaccard_pairs(cand: DataFrame, sh_left: DataFrame,
+                            sh_right: DataFrame, c1: str, c2: str,
+                            id_col: str, threshold: float) -> DataFrame:
+    """The exact-Jaccard verify join shared by every candidate-then-
+    verify dedup operator: attach both shingle sets to each candidate
+    pair (shuffle_hash — corpus-proportional array sides never reach a
+    broadcast build, the r07 rule; arrays ship as int32, `_i32`),
+    compute the intersection ONCE per pair, and apply the threshold
+    filter ABOVE a persist barrier.
+
+    The barrier is the r16 fix for a measured 1.7× verify overhead
+    (guide §1.2 per-task work): written as join → withColumn(jaccard)
+    → filter, Catalyst pushes the threshold predicate back INTO the
+    join condition, where size(array_intersect(sh1, sh2)) appears twice
+    (score numerator + union denominator) and join-condition evaluation
+    has no common-subexpression elimination — every candidate pair paid
+    the dominant intersect kernel twice, and survivors paid it twice
+    more in the output projection (plans/r16/dedup_prefix_filter_exact_
+    before.txt node 58: the full round(...) expression sits in the
+    ShuffledHashJoin condition AND the Project). The persisted frame is
+    candidate-proportional ids+score only (~24 B/row, memory+disk
+    storage level, freed by release_caches/cache_scope) — traded
+    against halving the per-candidate verify CPU.
+
+    Output: (c1, c2, jaccard) with jaccard = round(|x∩y|/|x∪y|, 6)
+    ≥ threshold — expression-identical to the pre-r16 inline form.
+    """
+    s1 = (sh_left.select(F.col(id_col).alias(c1), _i32("hs").alias("sh1"))
+          .hint("shuffle_hash"))
+    s2 = (sh_right.select(F.col(id_col).alias(c2), _i32("hs").alias("sh2"))
+          .hint("shuffle_hash"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    scored = _persist(
+        cand.join(s1, c1).join(s2, c2)
+            .select(c1, c2,
+                    F.round(inter.cast("double") / union, 6)
+                     .alias("jaccard")))
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -265,6 +298,25 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     The global frequency table grows with vocabulary (Heaps' law), so it
     joins shuffle_hash, never broadcast — same rule as tf_idf (r07).
+
+    r16 (guide §2.3, shuffle/compute fewer candidate rows): the
+    candidate join is Bayardo-ASYMMETRIC (AllPairs' indexing prefix,
+    WWW'07 §3.1). Order every pair by set size — (n, id) lexicographic,
+    the larger set is the PROBE, the smaller the INDEXED side. The
+    probe still needs the full Jaccard prefix |x| − ⌈t·|x|⌉ + 1 (its
+    partner may be as small as t·|x|), but the indexed side's partners
+    are all ≥ its own size, so its required overlap is
+    α ≥ ⌈2t/(1+t)·|y|⌉ and its prefix shortens to
+    |y| − ⌈2t/(1+t)·|y|⌉ + 1 (at t = 0.6: 25% of the set instead of
+    40%). Soundness is the standard prefix-share lemma: if
+    |x∩y| ≥ α(x,y) = ⌈t/(1+t)(|x|+|y|)⌉ then the first |x|−α+1 tokens
+    of x and the first |y|−α+1 of y (same global order) share a token;
+    |x| ≥ |y| gives α ≥ ⌈t·|x|⌉ AND α ≥ ⌈2t/(1+t)·|y|⌉, so both actual
+    prefixes contain those bounds. Per-token candidate volume drops
+    from plen² to plen_probe × plen_indexed (measured at sf0.1:
+    78.6M → 49M raw match rows, 2.61M → 1.63M distinct candidates),
+    and the verify join shrinks proportionally. The emitted pair
+    re-orients to the canonical (lesser id, greater id) afterward.
     """
     from decimal import Decimal
 
@@ -281,10 +333,27 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
            .withColumn("pos", pos)
            .filter(F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
            .select(id_col, "n", "t", "pos"))
+    # indexed-side prefix cut: pos <= n - ceil(2t·n/(1+t)) + 1, computed
+    # EXACTLY in integer units (2t·n/(1+t) is not a finite decimal, so
+    # never divide decimals: with S = 1e6, p = 2·t·n·S and q = (1+t)·S
+    # are exact integers and ceil(p/q) = (p + q − 1 − (p+q−1) mod q)/q —
+    # the triangle_counts DECIMAL(38,0) integer-division discipline).
+    s_units = 10 ** 6
+    p_int = (F.lit(2).cast("decimal(38,0)")
+             * F.lit(int(Decimal(str(threshold))
+                         .quantize(Decimal("0.000001")) * s_units))
+             .cast("decimal(38,0)")
+             * F.col("n").cast("decimal(38,0)"))
+    q_int = F.lit(int((Decimal("1") + Decimal(str(threshold))
+                       .quantize(Decimal("0.000001"))) * s_units)) \
+        .cast("decimal(38,0)")
+    num = p_int + q_int - F.lit(1).cast("decimal(38,0)")
+    alpha_min = ((num - num % q_int) / q_int).cast("long")
     a = prefix.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"),
                       F.col("pos").alias("p1"), "t")
-    b = prefix.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"),
-                      F.col("pos").alias("p2"), "t")
+    b = (prefix.filter(F.col("pos") <= F.col("n") - alpha_min + 1)
+         .select(F.col(id_col).alias("id2"), F.col("n").alias("n2"),
+                 F.col("pos").alias("p2"), "t"))
     # PPJoin positional filter (Xiao et al., WWW'08): a shared token at
     # ranks (p1, p2) bounds the overlap by ub = 1 + min(n1-p1, n2-p2)
     # (only suffix tokens can still match), and J >= t needs overlap
@@ -297,21 +366,22 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # — because decimal multiply is exact while t/(1+t) would round.
     ub = F.lit(1) + F.least(F.col("n1") - F.col("p1"),
                             F.col("n2") - F.col("p2"))
+    # pair order: (n2, id2) <lex (n1, id1) — the indexed side is the
+    # smaller set of the pair; ties break by id so each unordered pair
+    # is generated exactly once
+    probe_is_larger = ((F.col("n2") < F.col("n1"))
+                       | ((F.col("n2") == F.col("n1"))
+                          & (F.col("id2") < F.col("id1"))))
     cand = (a.join(b, "t")
-             .filter((F.col("id1") < F.col("id2"))
+             .filter(probe_is_larger
                      # length filter: J >= t forces t*max(|x|,|y|) <= min
-                     & (F.least("n1", "n2") >= t * F.greatest("n1", "n2"))
+                     & (F.col("n2") >= t * F.col("n1"))
                      & (ub * (1 + t) >= t * (F.col("n1") + F.col("n2"))))
-             .select("id1", "id2")
+             .select(F.least("id1", "id2").alias("id1"),
+                     F.greatest("id1", "id2").alias("id2"))
              .distinct())
-    s1 = sh.select(F.col(id_col).alias("id1"), _i32("hs").alias("sh1")).hint("shuffle_hash")
-    s2 = sh.select(F.col(id_col).alias("id2"), _i32("hs").alias("sh2")).hint("shuffle_hash")
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
-    return (cand.join(s1, "id1").join(s2, "id2")
-                .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
-                .filter(F.col("jaccard") >= threshold)
-                .select("id1", "id2", "jaccard"))
+    return _verified_jaccard_pairs(cand, sh, sh, "id1", "id2",
+                                   id_col, threshold)
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",
@@ -380,11 +450,16 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     s2 = sh.select(F.col(id_col).alias("id_big"),
                    _i32("hs").alias("sh2")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh1", "sh2"))
-    return (cand.join(s1, "id_small").join(s2, "id_big")
-                .withColumn("containment",
-                            F.round(inter.cast("double") / F.size("sh1"), 6))
-                .filter(F.col("containment") >= threshold)
-                .select("id_small", "id_big", "containment"))
+    # compute-once barrier before the threshold filter — the
+    # _verified_jaccard_pairs rationale (r16): without it Catalyst
+    # pushes the containment predicate into the join condition and
+    # every candidate pays array_intersect twice
+    scored = _persist(
+        cand.join(s1, "id_small").join(s2, "id_big")
+            .select("id_small", "id_big",
+                    F.round(inter.cast("double") / F.size("sh1"), 6)
+                     .alias("containment")))
+    return scored.filter(F.col("containment") >= threshold)
 
 
 def incremental_minhash_pairs(corpus: DataFrame, increment: DataFrame,
@@ -416,20 +491,12 @@ def incremental_minhash_pairs(corpus: DataFrame, increment: DataFrame,
     cand = (ibands.join(cbands, ["band", "band_key"])
                   .select("inc_id", "corpus_id")
                   .distinct())
-    # shuffle_hash on the shingle-array sides — same no-driver-side-
-    # broadcast rule as ngram_jaccard_pairs (the corpus side grows
-    # without bound; the increment side is hinted too because batch
-    # sizes are caller-controlled)
-    s1 = (ish.select(F.col(id_col).alias("inc_id"), _i32("hs").alias("sh1"))
-             .hint("shuffle_hash"))
-    s2 = (csh.select(F.col(id_col).alias("corpus_id"), _i32("hs").alias("sh2"))
-             .hint("shuffle_hash"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
-    return (cand.join(s1, "inc_id").join(s2, "corpus_id")
-                .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
-                .filter(F.col("jaccard") >= threshold)
-                .select("inc_id", "corpus_id", "jaccard"))
+    # shared barrier verify (_verified_jaccard_pairs): the shuffle_hash
+    # no-driver-side-broadcast rule and the compute-once barrier both
+    # live there (the increment side is hinted too because batch sizes
+    # are caller-controlled)
+    return _verified_jaccard_pairs(cand, ish, csh, "inc_id", "corpus_id",
+                                   id_col, threshold)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
@@ -855,10 +922,16 @@ def cascade_classify(inc_docs: DataFrame, inc_emb: DataFrame,
            .hint("shuffle_hash"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
-    near = _persist(
+    # inner compute-once barrier before the threshold filter (the
+    # _verified_jaccard_pairs rationale, r16) — the outer persist
+    # serves the two downstream consumers as before
+    j_scored = _persist(
         cand.join(s_i, "inc_id").join(s_c, "corpus_id")
-            .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
-            .filter(F.col("jaccard") >= threshold)
+            .select("inc_id", "corpus_id",
+                    F.round(inter.cast("double") / union, 6)
+                     .alias("jaccard")))
+    near = _persist(
+        j_scored.filter(F.col("jaccard") >= threshold)
             .groupBy(F.col("inc_id").alias(id_col))
             .agg(F.min("corpus_id").alias("n_partner")))
     s2 = s1.select(id_col).join(near.select(id_col), id_col, "left_anti")
@@ -886,11 +959,15 @@ def cascade_classify(inc_docs: DataFrame, inc_emb: DataFrame,
            .hint("shuffle_hash"))
     cos = F.round(sim._dot(F.col("v1"), F.col("v2"))
                   / (F.col("n1") * F.col("n2")), 6)
-    sem = (vcand.join(v_i, id_col).join(v_c, "corpus_id")
-                .withColumn("score", cos)
-                .filter(F.col("score") >= cos_threshold)
-                .groupBy(id_col)
-                .agg(F.min("corpus_id").alias("s_partner")))
+    # same compute-once barrier: pushed into the join condition the
+    # 64-mult interpreted-HOF dot product would evaluate twice per
+    # candidate (r16)
+    c_scored = _persist(
+        vcand.join(v_i, id_col).join(v_c, "corpus_id")
+             .select(id_col, "corpus_id", cos.alias("score")))
+    sem = (c_scored.filter(F.col("score") >= cos_threshold)
+                   .groupBy(id_col)
+                   .agg(F.min("corpus_id").alias("s_partner")))
 
     return (inc.select(id_col)
             .join(t1, id_col, "left")

@@ -250,8 +250,11 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
     this is the mining pass a retrieval pipeline runs per training
     epoch against the frozen corpus index.
     """
-    scored = _lsh_scored(corpus, queries, id_col, vec_col,
-                         bands, rows_per_band, dims)
+    # compute-once barrier before the band filter (r16): pushed into
+    # the scoring join's condition the two band predicates would each
+    # re-evaluate the interpreted-HOF dot product per candidate
+    scored = _persist(_lsh_scored(corpus, queries, id_col, vec_col,
+                                  bands, rows_per_band, dims))
     banded = scored.filter((F.col("score") >= low) & (F.col("score") < high))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
@@ -296,9 +299,15 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     degrading into the ~n²/2^R collision floor."""
     bands, rows_per_band = _resolve_band_params(corpus, bands,
                                                 rows_per_band, (4, 8))
-    return (_banded_scored_pairs(corpus, id_col, vec_col, bands,
-                                 rows_per_band, dims)
-            .filter(F.col("score") >= threshold))
+    # compute-once barrier before the threshold filter (r16, the
+    # dedup._verified_jaccard_pairs rationale): without it Catalyst
+    # pushes the score predicate into the verify-join condition, where
+    # join-condition evaluation has no common-subexpression elimination
+    # and every candidate pays the 64-mult interpreted-HOF dot product
+    # twice (once for the predicate, once for the projected score)
+    scored = _persist(_banded_scored_pairs(corpus, id_col, vec_col,
+                                           bands, rows_per_band, dims))
+    return scored.filter(F.col("score") >= threshold)
 
 
 def _banded_scored_pairs(corpus: DataFrame, id_col: str, vec_col: str,
@@ -403,8 +412,12 @@ def mutual_knn_pairs_banded(corpus: DataFrame, k: int = 3,
     deterministic by arithmetic and the oracle replays it exactly."""
     bands, rows_per_band = _resolve_band_params(corpus, bands,
                                                 rows_per_band, (4, 8))
-    scored = _banded_scored_pairs(corpus, id_col, vec_col, bands,
-                                  rows_per_band, dims)
+    # persist the scored pairs: the symmetrization union reads them
+    # twice, and without the cache the whole candidate+verify join
+    # subtree (the operator's dominant cost) runs once per union branch
+    # (r16, guide §2.4 reuse); pair-proportional ids+score rows only
+    scored = _persist(_banded_scored_pairs(corpus, id_col, vec_col,
+                                           bands, rows_per_band, dims))
     sym = scored.select(F.col("id1").alias("qid"),
                         F.col("id2").alias("nid"), "score") \
                 .unionByName(scored.select(
@@ -412,8 +425,10 @@ def mutual_knn_pairs_banded(corpus: DataFrame, k: int = 3,
                     F.col("id1").alias("nid"), "score"))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
                                           F.col("nid").asc())
-    topk = (sym.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k).select("qid", "nid"))
+    # persist top-k too: the reciprocity semi-join reads it as both
+    # `topk` and its flipped `rev` — two full window passes otherwise
+    topk = _persist(sym.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= k).select("qid", "nid"))
     rev = topk.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
     return (topk.join(rev, ["qid", "nid"], "left_semi")
             .filter(F.col("qid") < F.col("nid"))
@@ -443,13 +458,17 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
     a, b = assigned.alias("a"), assigned.alias("b")
     score = F.round(_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
                     / (F.col("a._n") * F.col("b._n")), 6)
-    return (a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id1"),
-                     F.col(f"b.{id_col}").alias("id2"),
-                     F.col("a.list_id").alias("list_id"),
-                     score.alias("score"))
-             .filter(F.col("score") >= threshold))
+    # compute-once barrier before the threshold filter (r16): pushed
+    # into the self-join condition the interpreted-HOF dot product
+    # would evaluate twice per within-list pair
+    scored = _persist(
+        a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+         .select(F.col(f"a.{id_col}").alias("id1"),
+                 F.col(f"b.{id_col}").alias("id2"),
+                 F.col("a.list_id").alias("list_id"),
+                 score.alias("score")))
+    return scored.filter(F.col("score") >= threshold)
 
 
 def mutual_knn_pairs(corpus: DataFrame, centroids: DataFrame, k: int = 3,
@@ -505,8 +524,11 @@ def mutual_knn_pairs(corpus: DataFrame, centroids: DataFrame, k: int = 3,
                       score.alias("score")))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
                                           F.col("nid").asc())
-    topk = (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k).select("qid", "nid"))
+    # persist top-k: the reciprocity semi-join reads it as both `topk`
+    # and its flipped `rev` — without the cache the within-list scoring
+    # self-join + window run once per side (r16, guide §2.4 reuse)
+    topk = _persist(scored.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= k).select("qid", "nid"))
     rev = topk.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
     return (topk.join(rev, ["qid", "nid"], "left_semi")
             .filter(F.col("qid") < F.col("nid"))

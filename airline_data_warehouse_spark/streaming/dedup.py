@@ -374,11 +374,18 @@ def start_neardup_ingest(stream: DataFrame, store_dir: str,
                       .hint("shuffle_hash"))
                 inter = F.size(F.array_intersect("sh1", "sh2"))
                 union = F.size("sh1") + F.size("sh2") - inter
-                verified = (cand.join(s1, "inc_id").join(s2, "corpus_id")
-                            .withColumn("jaccard",
-                                        F.round(inter.cast("double") / union, 6))
-                            .filter(F.col("jaccard") >= threshold)
-                            .select("inc_id", "corpus_id", "jaccard"))
+                # compute-once barrier before the threshold filter
+                # (r16, dedup._verified_jaccard_pairs rationale);
+                # released by the finally-block release_caches
+                from airline_data_warehouse_spark.operators.dedup import (
+                    _persist,
+                )
+                scored = _persist(
+                    cand.join(s1, "inc_id").join(s2, "corpus_id")
+                        .select("inc_id", "corpus_id",
+                                F.round(inter.cast("double") / union, 6)
+                                 .alias("jaccard")))
+                verified = scored.filter(F.col("jaccard") >= threshold)
                 (verified.withColumn("batch_id", F.lit(batch_id))
                          .write.mode("append").parquet(pairs_dir))
             # coalesce the appends: a micro-batch's signatures are small,
@@ -492,10 +499,17 @@ def start_semantic_ingest(stream: DataFrame, store_dir: str,
                       .hint("shuffle_hash"))
                 score = F.round(sim._dot(F.col("v1"), F.col("v2"))
                                 / (F.col("n1") * F.col("n2")), 6)
-                flagged = (cand.join(v1, "inc_id").join(v2, "corpus_id")
-                           .withColumn("score", score)
-                           .filter(F.col("score") >= threshold)
-                           .select("inc_id", "corpus_id", "score"))
+                # compute-once barrier (r16): pushed into the join
+                # condition the 64-mult dot would evaluate twice per
+                # candidate; released by the finally-block release_caches
+                from airline_data_warehouse_spark.operators.dedup import (
+                    _persist,
+                )
+                scored = _persist(
+                    cand.join(v1, "inc_id").join(v2, "corpus_id")
+                        .select("inc_id", "corpus_id",
+                                score.alias("score")))
+                flagged = scored.filter(F.col("score") >= threshold)
                 (flagged.withColumn("batch_id", F.lit(batch_id))
                         .write.mode("append").parquet(pairs_dir))
             bid = int(batch_id)
